@@ -1,0 +1,101 @@
+"""Deterministic per-page extraction (Arrow-batched pandas UDFs).
+
+The engine analogue of the reference's preprocess + tokenize stage
+(``utils/preprocessor.py:6-68``, ``tree_parser/c_parser.py:142-278``):
+a pure function of the page bytes, byte-identical per url across reruns and
+parallelism levels. Per SURVEY.md §7.4(1) the invariant-bearing path uses
+Python ``re`` inside the UDF (never SQL regex) so the semantics are pinned to
+one engine.
+
+All UDFs are scalar pandas UDFs (Arrow batches, vectorized pandas string ops
+where possible) — zero per-row Python round trips through the JVM boundary.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# the page template is <title>url</title> ... <p>BODY</p>; extraction contract
+# is "text inside the first <p> element", tags stripped, no entity decoding.
+_P_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]+>")
+_GEO_RE = re.compile(r"GEO_\d{5}")
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """html binary -> extracted text. Byte-identical invariant bearer."""
+    def one(b: bytes) -> str:
+        if b is None:
+            return None
+        m = _P_RE.search(b)
+        if m is not None:
+            return m.group(1).decode("utf-8")
+        # fallback: strip all tags (still deterministic)
+        return _TAG_RE.sub("", b.decode("utf-8"))
+
+    return html.map(one)
+
+
+_ENTITY_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("entity_id", T.IntegerType()),
+            T.StructField("surface", T.StringType()),
+            T.StructField("char_offset", T.IntegerType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_ENTITY_SCHEMA)
+def extract_entities_udf(text: pd.Series) -> pd.Series:
+    """Scan text for gazetteer surfaces; entity_id = ordinal of occurrence
+    within the page (content-derived surrogate key, cf. reference
+    ``custom_parser.py:45-57`` — NEVER monotonically_increasing_id)."""
+    def one(t: str):
+        if t is None:
+            return []
+        return [
+            (i, m.group(0), m.start())
+            for i, m in enumerate(_GEO_RE.finditer(t))
+        ]
+
+    return text.map(one)
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """pages -> (doc_id, url, warc_ts, lang, text_out)."""
+    return pages.select(
+        "doc_id", "url", "warc_ts", "lang",
+        extract_text_udf(F.col("html")).alias("text_out"),
+    )
+
+
+def page_entities(pages: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """pages ⋈ gazetteer -> (url, doc_id, entity_id, surface, char_offset,
+    lon, lat, entity_kind).
+
+    Extraction is a UDF + explode (the UDTF pattern, SURVEY.md §2.10); the
+    lon/lat resolution is a **broadcast equi-join** against the tiny
+    gazetteer dim — the engine's version of use→declaration resolution
+    (``c_parser.py:227-249``) with the dim always broadcast.
+    """
+    extracted = pages.select(
+        "url", "doc_id",
+        extract_text_udf(F.col("html")).alias("text_out"),
+    )
+    exploded = extracted.select(
+        "url", "doc_id",
+        F.explode(extract_entities_udf(F.col("text_out"))).alias("e"),
+    ).select("url", "doc_id", "e.entity_id", "e.surface", "e.char_offset")
+    return exploded.join(F.broadcast(gazetteer), "surface", "inner").select(
+        "url", "doc_id", "entity_id", "surface", "char_offset",
+        "lon", "lat", "entity_kind",
+    )
