@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship pipeline smoke at sf0.001.
+queries()         — name -> (spark, sf_dir) -> DataFrame, one per operator.
+oracle_sql()      — name -> equivalent DuckDB SQL over the same parquet views.
+
+Implementations live in ``tree_sitter_codeviews_spark`` (queries.py /
+oracle.py); this module is a thin registry.
 """
 
 from __future__ import annotations
@@ -13,26 +14,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tree_sitter_codeviews_spark import oracle, queries as q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages -> byte-identical extract -> entities -> cell encode ->
+    two-phase PIP join -> (url, cell_id, polygon_id) triples."""
+    return q.geo_pip_entities(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "geo_cell_encode": q.geo_cell_encode,
+        "geo_pip_docs": q.geo_pip_docs,
+        "geo_pip_best": q.geo_pip_best,
+        "geo_entities": q.geo_entities,
+        "geo_pip_entities": q.geo_pip_entities,
+        "geo_tiles": q.geo_tiles,
+        "geo_knn": q.geo_knn,
+        "geo_extract_text": q.geo_extract_text,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "geo_cell_encode": oracle.cell_encode_sql(),
+        "geo_pip_docs": oracle.pip_docs_sql(),
+        "geo_pip_best": oracle.pip_best_sql(),
+        "geo_entities": oracle.entities_sql(),
+        "geo_pip_entities": oracle.pip_entities_sql(),
+        "geo_tiles": oracle.tiles_sql(),
+        "geo_knn": oracle.knn_sql(),
+        "geo_extract_text": oracle.extract_text_sql(),
+    }

@@ -1,0 +1,179 @@
+"""Exact kNN via hierarchical-cell ring expansion with distance-bounded pruning.
+
+The engine's iterative operator — the structural analogue of the reference's
+RDA fixed point (``codeviews/SDFG/SDFG_c.py:1200-1261``), built the way the
+survey says the reference should have (SURVEY.md §4.1): a driver-side loop
+over DataFrames, convergence decided by a cheap per-round count (queries
+still unresolved), lineage cut with ``localCheckpoint`` each round — no
+deepcopy/DeepDiff equivalents.
+
+Exactness argument: a query point lies somewhere inside its res-``res`` cell.
+Any point outside the Chebyshev-radius-``t`` cell block is at least ``t``
+whole cells away along some axis, i.e. at planar-degree distance
+``>= t * (180 / 2^res)`` (the smaller of the two cell extents). So once a
+query holds k candidates whose worst distance is within that bound, no
+outside point can displace them — the query is resolved. Unresolved queries
+expand the annulus; stragglers (empty regions) fall back to a brute-force
+pass, which at that point involves only a tiny remainder.
+
+Distance = squared planar degrees (deterministic: *,+,- only), ties broken by
+neighbor id — bit-reproducible against the DuckDB brute-force oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import cells, layers
+
+DEFAULT_SCHEDULE = (1, 2, 4, 8, 16)
+
+
+def _dist_sq(alon, alat, blon, blat):
+    return (alon - blon) * (alon - blon) + (alat - blat) * (alat - blat)
+
+
+def _offsets_df(spark: SparkSession, lo: int, hi: int) -> DataFrame:
+    """Static annulus offsets: Chebyshev distance in (lo, hi]."""
+    rows = [
+        (dx, dy)
+        for dx in range(-hi, hi + 1)
+        for dy in range(-hi, hi + 1)
+        if max(abs(dx), abs(dy)) > lo and max(abs(dx), abs(dy)) <= hi
+    ]
+    return spark.createDataFrame(rows, "dx int, dy int")
+
+
+def knn_ring(
+    points: DataFrame,
+    spark: SparkSession,
+    k: int = 5,
+    res: int = 5,
+    id_col: str = "doc_id",
+    schedule: tuple[int, ...] = DEFAULT_SCHEDULE,
+    grid_res: int = layers.GRID_RES,
+) -> DataFrame:
+    """points(id, gx, gy, lon, lat) -> (id, neighbor_id, rank, dist_sq).
+
+    gx/gy are grid coords at ``grid_res``; the kNN index grid is ``res``.
+    """
+    shift = grid_res - res
+    n = 1 << res
+    min_cell_deg = 180.0 / n
+
+    base = points.select(
+        F.col(id_col).alias("pid"),
+        F.shiftright(F.col("gx"), shift).alias("px"),
+        F.shiftright(F.col("gy"), shift).alias("py"),
+        F.col("lon").alias("plon"),
+        F.col("lat").alias("plat"),
+    )
+    idx = base.select(
+        F.col("pid").alias("nid"),
+        cells.morton_col(F.col("px"), F.col("py"), res).alias("cell"),
+        F.col("plon").alias("nlon"),
+        F.col("plat").alias("nlat"),
+    ).persist()
+    idx.count()  # materialize once; reused every round
+
+    unresolved = base.select(
+        F.col("pid").alias("qid"), F.col("px").alias("qx"), F.col("py").alias("qy"),
+        F.col("plon").alias("qlon"), F.col("plat").alias("qlat"),
+    ).localCheckpoint()
+    best: DataFrame | None = None  # (qid, nid, dist_sq) top-k-so-far of unresolved
+    resolved_parts: list[DataFrame] = []
+
+    w = Window.partitionBy("qid").orderBy(F.col("dist_sq").asc(), F.col("nid").asc())
+
+    prev_t = -1  # ring 0 (own cell) included in first annulus
+    for t in schedule:
+        offs = _offsets_df(spark, prev_t, t)
+        ringed = (
+            unresolved.crossJoin(F.broadcast(offs))
+            .withColumn("cx", F.col("qx") + F.col("dx"))
+            .withColumn("cy", F.col("qy") + F.col("dy"))
+            .filter((F.col("cx") >= 0) & (F.col("cx") < n) & (F.col("cy") >= 0) & (F.col("cy") < n))
+            .withColumn("cell", cells.morton_col(F.col("cx"), F.col("cy"), res))
+            .select("qid", "qlon", "qlat", "cell")
+        )
+        cand_new = (
+            ringed.join(idx, "cell", "inner")
+            .filter(F.col("qid") != F.col("nid"))
+            .select(
+                "qid", "nid",
+                _dist_sq(F.col("qlon"), F.col("qlat"), F.col("nlon"), F.col("nlat")).alias("dist_sq"),
+            )
+        )
+        pool = cand_new if best is None else best.unionByName(cand_new)
+        topk = (
+            pool.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .localCheckpoint()
+        )
+        stats = topk.groupBy("qid").agg(
+            F.count("*").alias("cnt"), F.max("dist_sq").alias("kth")
+        )
+        bound = float((t * min_cell_deg) ** 2)
+        done_q = stats.filter((F.col("cnt") == k) & (F.col("kth") <= F.lit(bound))).select("qid")
+        resolved_parts.append(
+            topk.join(done_q, "qid", "left_semi").select("qid", "nid", "rank", "dist_sq")
+        )
+        unresolved = (
+            unresolved.join(done_q, "qid", "left_anti").localCheckpoint()
+        )
+        best = topk.join(done_q, "qid", "left_anti").select("qid", "nid", "dist_sq")
+        if unresolved.isEmpty():
+            best = None
+            break
+        prev_t = t
+
+    if best is not None:
+        # brute-force the stragglers (few: empty-region queries)
+        all_pairs = (
+            unresolved.crossJoin(idx.drop("cell"))
+            .filter(F.col("qid") != F.col("nid"))
+            .select(
+                "qid", "nid",
+                _dist_sq(F.col("qlon"), F.col("qlat"), F.col("nlon"), F.col("nlat")).alias("dist_sq"),
+            )
+        )
+        resolved_parts.append(
+            all_pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "rank", "dist_sq")
+        )
+
+    out = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        out = out.unionByName(part)
+    return out.select(
+        F.col("qid").alias(id_col),
+        F.col("nid").alias("neighbor_id"),
+        "rank",
+        "dist_sq",
+    )
+
+
+def knn_brute(points: DataFrame, k: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """O(n^2) reference implementation (tests / tiny scales only)."""
+    a = points.select(
+        F.col(id_col).alias("qid"), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
+    )
+    b = points.select(
+        F.col(id_col).alias("nid"), F.col("lon").alias("nlon"), F.col("lat").alias("nlat")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist_sq").asc(), F.col("nid").asc())
+    return (
+        a.crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "nid",
+            _dist_sq(F.col("qlon"), F.col("qlat"), F.col("nlon"), F.col("nlat")).alias("dist_sq"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col), F.col("nid").alias("neighbor_id"), "rank", "dist_sq"
+        )
+    )

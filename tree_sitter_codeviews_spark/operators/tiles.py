@@ -1,0 +1,88 @@
+"""Tile aggregation over the cell hierarchy (raster<->vector path).
+
+Per-tile counts at the finest resolution, then **rolled up the hierarchy by
+re-aggregating the aggregates** (parent = ``cell >> 2``): each coarser level
+is computed from the level below it, never from the raw points — at 10^12
+rows the raw table is touched exactly once (one shuffle at the finest res;
+the rollup shuffles only tile rows, which are bounded by the grid size).
+
+Compaction (H3 ``compact`` analogue) folds complete sibling sets into their
+parent, the storage-side dual of the rollup.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import cells
+
+
+def tile_counts(
+    points: DataFrame,
+    res_lo: int = 7,
+    res_hi: int = 10,
+    grid_res: int = 10,
+    count_col: str = "n_docs",
+) -> DataFrame:
+    """points(gx, gy at grid_res) -> (res, cell_id, n_docs) for res_lo..res_hi."""
+    base_cell = cells.morton_col(
+        F.shiftright(F.col("gx"), grid_res - res_hi) if grid_res != res_hi else F.col("gx"),
+        F.shiftright(F.col("gy"), grid_res - res_hi) if grid_res != res_hi else F.col("gy"),
+        res_hi,
+    )
+    finest = (
+        points.select(base_cell.alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias(count_col))
+        .withColumn("res", F.lit(res_hi))
+    )
+    levels = [finest]
+    cur = finest
+    for r in range(res_hi - 1, res_lo - 1, -1):
+        cur = (
+            cur.select(cells.parent_col(F.col("cell_id")).alias("cell_id"), count_col)
+            .groupBy("cell_id")
+            .agg(F.sum(count_col).alias(count_col))
+            .withColumn("res", F.lit(r))
+        )
+        levels.append(cur)
+    return reduce(lambda a, b: a.unionByName(b), levels).select("res", "cell_id", count_col)
+
+
+def compact_tiles(tiles_at_res: DataFrame, res: int, min_res: int = 0) -> DataFrame:
+    """Fold complete 4-sibling sets into parents, recursively.
+
+    Input: (cell_id, <measure cols...>) at a single ``res``. Output:
+    (res, cell_id, measures...) where measures of merged children are summed.
+    Iterative driver loop, converges in <= res - min_res rounds (delta-counted,
+    cf. SURVEY.md §4.1 fixpoint discipline)."""
+    measures = [c for c in tiles_at_res.columns if c != "cell_id"]
+    out_parts: list[DataFrame] = []
+    cur = tiles_at_res.withColumn("res", F.lit(res))
+    r = res
+    while r > min_res:
+        parents = (
+            cur.select(cells.parent_col(F.col("cell_id")).alias("p"), "cell_id", *measures)
+            .groupBy("p")
+            .agg(F.count("*").alias("nkids"), *[F.sum(m).alias(m) for m in measures])
+        )
+        full = parents.filter(F.col("nkids") == 4).drop("nkids")
+        n_full = full.limit(1).count()
+        keep = cur.join(
+            full.select(F.col("p")),
+            cells.parent_col(cur["cell_id"]) == F.col("p"),
+            "left_anti",
+        )
+        out_parts.append(keep.select("res", "cell_id", *measures))
+        if n_full == 0:
+            cur = None
+            break
+        r -= 1
+        cur = full.select(F.col("p").alias("cell_id"), *measures).withColumn("res", F.lit(r))
+        cur = cur.localCheckpoint()
+    if cur is not None:
+        out_parts.append(cur.select("res", "cell_id", *measures))
+    return reduce(lambda a, b: a.unionByName(b), out_parts)

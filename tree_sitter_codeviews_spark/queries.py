@@ -1,0 +1,89 @@
+"""Named queries: the engine's public query surface.
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose row set,
+schema and values match the DuckDB oracle of the same name in ``oracle.py``
+(driver correctness gate). Column names are aliased identically on both
+sides (the driver's compare sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cells, layers
+from .operators import extract, knn, pip_join, tiles
+from .sources import pages as pages_src
+
+
+# ---------------------------------------------------------------------------
+# geo suite
+# ---------------------------------------------------------------------------
+
+def geo_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, res, cell_id) at res 7..10 — one scan, parents by truncation."""
+    pts = pages_src.doc_points_df(spark, sf_dir)
+    c10 = cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+    levels = F.array(*[
+        F.struct(
+            F.lit(r).alias("res"),
+            F.shiftright(c10, 2 * (layers.GRID_RES - r)).alias("cell_id"),
+        )
+        for r in range(7, 11)
+    ])
+    return pts.select("doc_id", F.explode(levels).alias("l")).select(
+        "doc_id", "l.res", "l.cell_id"
+    )
+
+
+def geo_pip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = pages_src.doc_points_df(spark, sf_dir).withColumn(
+        "cell", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+    )
+    return pip_join.pip_join(pts, spark, keys=("doc_id",)).select(
+        "doc_id", "cell_id", "polygon_id"
+    )
+
+
+def geo_pip_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = pages_src.doc_points_df(spark, sf_dir).withColumn(
+        "cell", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+    )
+    joined = pip_join.pip_join(pts, spark, keys=("doc_id",))
+    return pip_join.pip_best(joined, keys=("doc_id",)).select(
+        "doc_id", "cell_id", "polygon_id", "admin_level"
+    )
+
+
+def geo_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_src.pages_df(spark, sf_dir)
+    gaz = pages_src.gazetteer_df(spark)
+    return extract.page_entities(pages, gaz).select(
+        "url", "entity_id", "surface", "char_offset", "lon", "lat"
+    )
+
+
+def geo_pip_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: pages -> extract -> encode -> two-phase PIP -> triples."""
+    pages = pages_src.pages_df(spark, sf_dir)
+    gaz = pages_src.gazetteer_df(spark)
+    ents = extract.page_entities(pages, gaz)
+    joined = pip_join.pip_join(ents, spark, keys=("url",))
+    return joined.select("url", "cell_id", "polygon_id").distinct()
+
+
+def geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = pages_src.doc_points_df(spark, sf_dir)
+    return tiles.tile_counts(pts, res_lo=7, res_hi=10, grid_res=layers.GRID_RES)
+
+
+def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = pages_src.doc_points_df(spark, sf_dir)
+    return knn.knn_ring(pts, spark, k=5, res=5)
+
+
+def geo_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, text_out) — the byte-identical extraction invariant, checked
+    value-for-value against an oracle that reconstructs the text directly."""
+    pages = pages_src.pages_df(spark, sf_dir)
+    return extract.extract_pages(pages).select("url", "text_out")
