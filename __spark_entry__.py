@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from tree_sitter_codeviews_spark import oracle, queries as q
+from tree_sitter_codeviews_spark.operators import relational as rel
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,6 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # geo engine (the north-rule core)
         "geo_cell_encode": q.geo_cell_encode,
         "geo_pip_docs": q.geo_pip_docs,
         "geo_pip_best": q.geo_pip_best,
@@ -33,6 +35,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tiles": q.geo_tiles,
         "geo_knn": q.geo_knn,
         "geo_extract_text": q.geo_extract_text,
+        # training-data pipeline: dedup / similarity / text / multimodal
+        "dedup_exact": q.dedup_exact,
+        "dedup_jaccard": q.dedup_jaccard,
+        "dedup_minhash_lsh": q.dedup_minhash_lsh,      # rows-only (LSH recall)
+        "dedup_simhash": q.dedup_simhash,              # rows-only (xxhash64 JVM-side)
+        "dedup_embedding": q.dedup_embedding,
+        "ann_topk_quantized": q.ann_topk_quantized,
+        "ann_cosine_topk": q.ann_cosine_topk,          # rows-only (float ULP)
+        "text_tokens": q.text_tokens,
+        "text_quality": q.text_quality,
+        "lang_stats": q.lang_stats,
+        "text_langid": q.text_langid,                  # rows-only (heuristic UDF)
+        "text_fingerprint": q.text_fingerprint,        # rows-only (rolling hash UDF)
+        "multimodal_meta": q.multimodal_meta,
+        "multimodal_frames": q.multimodal_frames,      # rows-only (frame hash UDF)
+        # relational coverage (joins/windows/rollup/anti/as-of)
+        "q1_pricing": rel.q1_pricing,
+        "q3_top_orders": rel.q3_top_orders,
+        "q5_region_revenue": rel.q5_region_revenue,
+        "events_running": rel.events_running,
+        "events_asof": rel.events_asof,
+        "orders_rollup": rel.orders_rollup,
+        "customers_no_orders": rel.customers_no_orders,
     }
 
 
@@ -46,4 +71,22 @@ def oracle_sql() -> dict[str, str]:
         "geo_tiles": oracle.tiles_sql(),
         "geo_knn": oracle.knn_sql(),
         "geo_extract_text": oracle.extract_text_sql(),
+        "dedup_exact": oracle.dedup_exact_sql(),
+        "dedup_jaccard": oracle.dedup_jaccard_sql(),
+        "dedup_embedding": oracle.dedup_embedding_sql(),
+        "ann_topk_quantized": oracle.ann_topk_quantized_sql(),
+        "text_tokens": oracle.text_tokens_sql(),
+        "text_quality": oracle.text_quality_sql(),
+        "lang_stats": oracle.lang_stats_sql(),
+        "multimodal_meta": oracle.multimodal_meta_sql(),
+        "q1_pricing": oracle.q1_pricing_sql(),
+        "q3_top_orders": oracle.q3_top_orders_sql(),
+        "q5_region_revenue": oracle.q5_region_revenue_sql(),
+        "events_running": oracle.events_running_sql(),
+        "events_asof": oracle.events_asof_sql(),
+        "orders_rollup": oracle.orders_rollup_sql(),
+        "customers_no_orders": oracle.customers_no_orders_sql(),
+        # intentionally no oracle (driver records rows-only):
+        # dedup_minhash_lsh, dedup_simhash, ann_cosine_topk, text_langid,
+        # text_fingerprint, multimodal_frames
     }

@@ -24,7 +24,9 @@ def duck_run(sf_dir: str, sql: str) -> pd.DataFrame:
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df[sorted(df.columns)].copy()
     for c in out.columns:
-        if out[c].dtype == object:
+        if out[c].dtype.kind == "M":  # normalize datetime64 unit (ns vs us)
+            out[c] = out[c].astype("datetime64[us]")
+        elif out[c].dtype == object:
             out[c] = out[c].astype(str)
     out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
     return out

@@ -1,0 +1,114 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tree_sitter_codeviews_spark.operators import ann, dedup, textstats
+from tree_sitter_codeviews_spark.sources.testdata import load_table
+
+
+def test_lsh_precision_and_high_jaccard_recall(spark, sf_tiny):
+    """LSH output ⊆ exact pairs (precision exact); pairs with very high
+    jaccard are always caught (signatures nearly identical)."""
+    docs = load_table(spark, sf_tiny, "documents")
+    exact = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.jaccard_pairs_exact(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.minhash_lsh_dups(docs, threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    high = {k for k, v in exact.items() if v >= 0.9}
+    assert high <= set(lsh), f"missed high-jaccard pairs: {high - set(lsh)}"
+    # sanity: the corpus does contain near-dups worth catching
+    assert len(exact) > 0
+
+
+def test_simhash_blocking_is_complete(spark, sf_tiny):
+    """Pigeonhole check: banded blocking finds exactly the pairs a brute-force
+    hamming join finds (hamming <= 3 over 64 bits => some 16-bit band equal)."""
+    docs = load_table(spark, sf_tiny, "documents").limit(200)
+    sims = dedup.simhash_df(docs)
+    blocked = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in dedup.simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    a = sims.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"))
+    b = sims.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.da, r.db, r.h)
+        for r in a.crossJoin(b)
+        .filter(F.col("da") < F.col("db"))
+        .withColumn("h", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert blocked == brute
+
+
+def test_simhash_detects_reordered_tokens_differently(spark, sf_tiny):
+    # simhash is order-insensitive over the token multiset: same tokens
+    # reordered -> identical simhash (sum of per-token contributions)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"), (3, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.simhash for r in dedup.simhash_df(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_fingerprint_matches_python(spark, sf_tiny):
+    docs = load_table(spark, sf_tiny, "documents").limit(50)
+    got = {r.doc_id: r.fingerprint for r in textstats.fingerprints(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r.doc_id] == textstats.fingerprint_py(r.text)
+    # order sensitivity (unlike simhash)
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha")], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.fingerprint for r in textstats.fingerprints(df).collect()}
+    assert fps[1] != fps[2]
+
+
+def test_ann_cosine_pandas_vs_numpy(spark, sf_tiny):
+    embs = load_table(spark, sf_tiny, "embeddings")
+    got = ann.topk_cosine_pandas(embs, k=5, every=100).collect()
+    rows = embs.collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cos))
+    qids = ids[ids % 100 == 0]
+    assert set(by_q) == set(qids.tolist())
+    for qid in qids:
+        sims = m @ m[ids == qid][0]
+        order = sorted(
+            [(round(-s, 6), i) for s, i in zip(sims, ids) if i != qid]
+        )[:5]
+        want = [i for _, i in order]
+        gotlist = [nid for _, nid, _ in sorted(by_q[qid])]
+        assert gotlist == want, f"query {qid}"
+
+
+def test_lsh_bucketed_topk_runs(spark, sf_tiny):
+    embs = load_table(spark, sf_tiny, "embeddings")
+    out = ann.lsh_bucketed_topk(embs, k=5, every=100)
+    pdf = out.toPandas()
+    assert (pdf.groupby("query_id")["rank"].max() <= 5).all()
+    assert len(pdf) > 0
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "unique text")],
+        "doc_id long, text string",
+    )
+    rows = {r.text_hash: (r.n_dups, r.keep_doc_id) for r in dedup.exact_dup_groups(df).collect()}
+    assert sorted(v for v in rows.values()) == [(1, 3), (2, 1)]

