@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geo engine (the north-rule core)
         "geo_cell_encode": q.geo_cell_encode,
+        "geo_s2_encode": q.geo_s2_encode,
         "geo_pip_docs": q.geo_pip_docs,
         "geo_pip_best": q.geo_pip_best,
         "geo_entities": q.geo_entities,
@@ -64,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "geo_cell_encode": oracle.cell_encode_sql(),
+        "geo_s2_encode": oracle.s2_encode_sql(),
         "geo_pip_docs": oracle.pip_docs_sql(),
         "geo_pip_best": oracle.pip_best_sql(),
         "geo_entities": oracle.entities_sql(),

@@ -69,6 +69,28 @@ def cell_encode_sql(res_lo: int = 7, res_hi: int = 10) -> str:
     return f"WITH {_pts0_only()} " + " UNION ALL ".join(parts)
 
 
+def s2_encode_sql(levels: tuple[int, ...] = (12, 13, 14, 15, 16)) -> str:
+    """Hilbert (S2-style) encode at levels 12..16, via the unrolled CTE chain
+    (same bit algorithm as ``s2.hilbert_np`` — see s2.py)."""
+    from . import s2
+
+    src = f"""
+src AS (
+  SELECT doc_id,
+         ({layers.DOC_GX_SQL}) * {1 << (s2.S2_RES - layers.GRID_RES)}
+           + {1 << (s2.S2_RES - layers.GRID_RES - 1)} AS x16,
+         ({layers.DOC_GY_SQL}) * {1 << (s2.S2_RES - layers.GRID_RES)}
+           + {1 << (s2.S2_RES - layers.GRID_RES - 1)} AS y16
+  FROM documents
+)"""
+    chain = s2.hilbert_cte_chain_sql("src", "doc_id", "x16", "y16", s2.S2_RES)
+    sel = " UNION ALL ".join(
+        f"SELECT doc_id, {lvl} AS level, d >> {2 * (s2.S2_RES - lvl)} AS cell_id FROM hfin"
+        for lvl in levels
+    )
+    return f"WITH {src},\n{chain}\n{sel}"
+
+
 def pip_docs_sql() -> str:
     """(doc_id, cell_id, polygon_id): every polygon containing each doc point."""
     return f"""

@@ -36,6 +36,29 @@ def geo_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geo_s2_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, level, cell_id) at S2-style Hilbert levels 12..16.
+
+    Finest level encoded once via the vectorized Arrow UDF; coarser levels by
+    truncation (the Hilbert curve is self-similar — ``s2.py``)."""
+    from . import s2
+
+    pts = pages_src.doc_points_df(spark, sf_dir)
+    x16 = s2.upscale_grid_col(F.col("gx"), layers.GRID_RES, s2.S2_RES)
+    y16 = s2.upscale_grid_col(F.col("gy"), layers.GRID_RES, s2.S2_RES)
+    h = pts.withColumn("h16", s2.hilbert_udf(s2.S2_RES)(x16, y16))
+    levels = F.array(*[
+        F.struct(
+            F.lit(lvl).alias("level"),
+            s2.hilbert_at_level_col(F.col("h16"), lvl).alias("cell_id"),
+        )
+        for lvl in s2.S2_LEVELS
+    ])
+    return h.select("doc_id", F.explode(levels).alias("l")).select(
+        "doc_id", "l.level", "l.cell_id"
+    )
+
+
 def geo_pip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pages_src.doc_points_df(spark, sf_dir).withColumn(
         "cell", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
