@@ -34,7 +34,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_entities": q.geo_entities,
         "geo_pip_entities": q.geo_pip_entities,
         "geo_tiles": q.geo_tiles,
+        "geo_pip_salted": q.geo_pip_salted,
+        "geo_tiles_salted": q.geo_tiles_salted,
         "geo_knn": q.geo_knn,
+        "geo_vector_raster": q.geo_vector_raster,
+        "geo_raster_compact": q.geo_raster_compact,
         "geo_extract_text": q.geo_extract_text,
         # training-data pipeline: dedup / similarity / text / multimodal
         "dedup_exact": q.dedup_exact,
@@ -71,7 +75,11 @@ def oracle_sql() -> dict[str, str]:
         "geo_entities": oracle.entities_sql(),
         "geo_pip_entities": oracle.pip_entities_sql(),
         "geo_tiles": oracle.tiles_sql(),
+        "geo_pip_salted": oracle.pip_docs_sql(),
+        "geo_tiles_salted": oracle.tiles_sql(res_lo=10, res_hi=10),
         "geo_knn": oracle.knn_sql(),
+        "geo_vector_raster": oracle.vector_raster_sql(),
+        "geo_raster_compact": oracle.raster_compact_sql(),
         "geo_extract_text": oracle.extract_text_sql(),
         "dedup_exact": oracle.dedup_exact_sql(),
         "dedup_jaccard": oracle.dedup_jaccard_sql(),

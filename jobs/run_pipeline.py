@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Flagship pipeline as a resumable spark-submit job.
+
+    spark-submit --py-files tscv_spark.zip jobs/run_pipeline.py \
+        --sf-dir /root/testdata/sf0.01 --checkpoint-root /tmp/tscv_ckpt \
+        --job-id demo1
+
+Stages (each checkpointed with per-partition lineage + metrics; rerunning
+the same job-id resumes, recomputing only missing stages/chunks):
+  1. pages      — synthesize/load the Common-Crawl-shaped pages table,
+                  z-order (Hilbert) repartitioned.
+  2. entities   — byte-identical text extraction -> geo-entity rows.
+  3. triples    — two-phase cell-cover + ray-cast PIP join -> (url, cell_id,
+                  polygon_id), chunked by coarse Hilbert range.
+  4. tiles      — per-tile counts rolled up the hierarchy res 10 -> 7.
+
+Build the --py-files zip with:  python -m zipfile -c tscv_spark.zip tree_sitter_codeviews_spark
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tree_sitter_codeviews_spark import layers, s2, skew
+from tree_sitter_codeviews_spark.checkpoint import Pipeline
+from tree_sitter_codeviews_spark.operators import extract, pip_join, tiles
+from tree_sitter_codeviews_spark.session import get_spark
+from tree_sitter_codeviews_spark.sources import pages as pages_src
+
+N_CHUNKS = 4  # coarse Hilbert ranges for the chunked join stage
+
+
+def main(argv: list[str] | None = None, spark=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--checkpoint-root", default="/tmp/tscv_ckpt")
+    ap.add_argument("--job-id", default="job1")
+    args = ap.parse_args(argv)
+
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark("tscv-pipeline")
+    pipe = Pipeline(spark, args.checkpoint_root, args.job_id)
+
+    pages = pipe.stage(
+        "pages",
+        lambda: skew.zorder_repartition(
+            pages_src.pages_df(spark, args.sf_dir).join(
+                pages_src.doc_points_df(spark, args.sf_dir).select("doc_id", "gx", "gy"),
+                "doc_id",
+            ),
+            grid_res=layers.GRID_RES,
+            keep_key=True,
+        ),
+    )
+
+    entities = pipe.stage(
+        "entities",
+        lambda: extract.page_entities(pages, pages_src.gazetteer_df(spark)),
+    )
+
+    # chunk by coarse Hilbert range of the entity location (level 2 => 16 cells)
+    def triples_chunk(c: str):
+        lo = int(c)
+        x2 = s2.upscale_grid_col(
+            F.floor((F.col("lon") + 180.0) / 360.0 * 4).cast("long"), 2, s2.S2_RES
+        )
+        y2 = s2.upscale_grid_col(
+            F.floor((F.col("lat") + 90.0) / 180.0 * 4).cast("long"), 2, s2.S2_RES
+        )
+        h2 = F.shiftright(s2.hilbert_udf(s2.S2_RES)(x2, y2), 2 * (s2.S2_RES - 2))
+        part = entities.withColumn("_h2", h2).filter(
+            F.pmod(F.col("_h2"), F.lit(N_CHUNKS)) == lo
+        ).drop("_h2")
+        return pip_join.pip_join(part, spark, keys=("url",)).select(
+            "url", "cell_id", "polygon_id"
+        ).distinct()
+
+    triples = pipe.chunked_stage(
+        "triples", [str(i) for i in range(N_CHUNKS)], triples_chunk
+    )
+
+    tile_out = pipe.stage(
+        "tiles",
+        lambda: tiles.tile_counts(
+            pages, res_lo=7, res_hi=10, grid_res=layers.GRID_RES
+        ),
+    )
+
+    print(
+        f"job={args.job_id} pages={pages.count()} entities={entities.count()} "
+        f"triples={triples.count()} tiles={tile_out.count()} "
+        f"recomputed={pipe.recomputed or ['<none — full resume>']}"
+    )
+    if owns_session:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Skew handling: hot-key detection, salting transparency, z-order layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tree_sitter_codeviews_spark import cells, layers, skew
+from tree_sitter_codeviews_spark.oracle import pip_docs_sql, tiles_sql
+from tree_sitter_codeviews_spark.queries import geo_pip_salted, geo_tiles_salted
+from tree_sitter_codeviews_spark.sources import pages as pages_src
+
+from oracle_util import assert_matches
+
+
+def _pts_with_cell(spark, sf_dir):
+    return pages_src.doc_points_df(spark, sf_dir).withColumn(
+        "cell", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+    )
+
+
+def test_hot_keys_finds_the_planted_hot_cells(spark, sf_tiny):
+    pts = _pts_with_cell(spark, sf_tiny)
+    hot = skew.hot_keys(pts, "cell", threshold_frac=0.02)
+    import numpy as np
+
+    expected = {
+        int(cells.morton_np(np.array([x]), np.array([y]), layers.GRID_RES)[0])
+        for x, y in layers.HOT_XY
+    }
+    assert expected.issubset(set(hot))
+    # non-hot cells hold ~1/1024^2 of rows each and must not appear
+    assert len(hot) <= 6
+
+
+def test_salted_join_is_value_transparent(spark, sf_tiny):
+    assert_matches(geo_pip_salted(spark, sf_tiny), sf_tiny, pip_docs_sql(), "geo_pip_salted")
+
+
+def test_salted_count_is_value_transparent(spark, sf_tiny):
+    assert_matches(
+        geo_tiles_salted(spark, sf_tiny), sf_tiny,
+        tiles_sql(res_lo=10, res_hi=10), "geo_tiles_salted",
+    )
+
+
+def test_salted_join_spreads_hot_key_over_salts(spark, sf_tiny):
+    """Physical property: with salting, a hot key's big-side rows carry
+    > 1 distinct salt, so no single downstream partition owns the key."""
+    pts = _pts_with_cell(spark, sf_tiny)
+    hot = skew.hot_keys(pts, "cell", threshold_frac=0.02)
+    hot_lit = F.array(*[F.lit(h) for h in hot])
+    salted = pts.withColumn(
+        "_salt",
+        F.when(F.array_contains(hot_lit, F.col("cell")),
+               F.pmod(F.xxhash64("doc_id"), F.lit(8))).otherwise(F.lit(0)),
+    )
+    per_key = (
+        salted.filter(F.array_contains(hot_lit, F.col("cell")))
+        .groupBy("cell").agg(F.countDistinct("_salt").alias("nsalt"))
+        .agg(F.min("nsalt").alias("m")).collect()[0]["m"]
+    )
+    assert per_key >= 2
+
+
+def test_zorder_repartition_partitions_are_contiguous(spark, sf_tiny):
+    """Each output partition covers a contiguous, non-overlapping Hilbert
+    range (spatial tiles) — the point of z-order layout."""
+    pts = pages_src.doc_points_df(spark, sf_tiny)
+    parts = skew.zorder_repartition(
+        pts, grid_res=layers.GRID_RES, num_partitions=8, keep_key=True
+    )
+    ranges = (
+        parts.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("_hilbert").alias("lo"), F.max("_hilbert").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    assert len(spans) >= 2
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert lo1 <= hi1 < lo2  # disjoint, ordered ranges

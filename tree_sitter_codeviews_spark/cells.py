@@ -183,6 +183,31 @@ def parent_col(cell: Column, steps: int = 1) -> Column:
     return F.shiftright(cell, 2 * steps)
 
 
+def x_from_cell_col(cell: Column, res: int) -> Column:
+    """De-interleave even bits (inverse of morton_col; JVM-side bit ops)."""
+    x = F.lit(0).cast("long")
+    for i in range(res):
+        x = x.bitwiseOR(F.shiftleft(F.shiftright(cell, 2 * i).bitwiseAND(F.lit(1)), i))
+    return x
+
+
+def y_from_cell_col(cell: Column, res: int) -> Column:
+    y = F.lit(0).cast("long")
+    for i in range(res):
+        y = y.bitwiseOR(F.shiftleft(F.shiftright(cell, 2 * i + 1).bitwiseAND(F.lit(1)), i))
+    return y
+
+
+def lon_center_col(x: Column, res: int) -> Column:
+    n = 1 << res
+    return F.lit(-180.0) + F.lit(360.0) * (x.cast("double") + F.lit(0.5)) / F.lit(float(n))
+
+
+def lat_center_col(y: Column, res: int) -> Column:
+    n = 1 << res
+    return F.lit(-90.0) + F.lit(180.0) * (y.cast("double") + F.lit(0.5)) / F.lit(float(n))
+
+
 # ---------------------------------------------------------------------------
 # ANSI-SQL generator (DuckDB oracle side)
 # ---------------------------------------------------------------------------
@@ -193,4 +218,14 @@ def morton_sql(x_expr: str, y_expr: str, res: int) -> str:
     for i in range(res):
         terms.append(f"((({x_expr} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({y_expr} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def x_from_cell_sql(cell_expr: str, res: int) -> str:
+    terms = [f"((({cell_expr} >> {2 * i}) & 1) << {i})" for i in range(res)]
+    return "(" + " | ".join(terms) + ")"
+
+
+def y_from_cell_sql(cell_expr: str, res: int) -> str:
+    terms = [f"((({cell_expr} >> {2 * i + 1}) & 1) << {i})" for i in range(res)]
     return "(" + " | ".join(terms) + ")"

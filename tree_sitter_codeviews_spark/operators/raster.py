@@ -1,0 +1,51 @@
+"""Raster <-> vector conversion over the cell hierarchy.
+
+Two directions (north rule: "raster<->vector conversion via per-tile pixel
+aggregation into compacted cell hierarchies"):
+
+- **vector -> raster** (``rasterize_polygons``): burn the polygon layer onto
+  the cell grid at a resolution — every cell whose center lies inside the
+  polygon gets a (res, cell_id, polygon_id) row. Same two-phase shape as the
+  containment join (cover-cell prefilter -> exact ray-cast refine); the
+  "points" are synthetic pixel centers generated JVM-side from
+  ``spark.range`` (no data read at all; embarrassingly parallel).
+- **raster -> vector** (``tiles.compact_tiles``): aggregate per-pixel counts
+  at the finest resolution, then fold complete 4-sibling sets into parents
+  recursively — the compacted hierarchy is the vector representation of the
+  raster (H3 ``compact`` analogue).
+
+At 10^12 rows, rasterize is O(cells x polygons-overlapping-the-cell) and
+never touches the pages table; compaction touches only tile rows (bounded by
+grid size, not data size) after the one groupBy of the raw points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import cells
+from .pip_join import COVER_RES, cover_df, pip_refine_udf
+
+
+def rasterize_polygons(
+    spark: SparkSession,
+    res: int = 7,
+    cover_res: int = COVER_RES,
+) -> DataFrame:
+    """(res, cell_id, polygon_id) for every res-cell whose center is inside
+    the polygon. Pixel centers are generated and decoded JVM-side; only the
+    exact refine crosses into the (Arrow-batched) Python UDF."""
+    n_cells = 1 << (2 * res)
+    grid = spark.range(n_cells).select(F.col("id").alias("cell_id"))
+    x = cells.x_from_cell_col(F.col("cell_id"), res)
+    y = cells.y_from_cell_col(F.col("cell_id"), res)
+    pix = grid.select(
+        "cell_id",
+        cells.lon_center_col(x, res).alias("lon"),
+        cells.lat_center_col(y, res).alias("lat"),
+        cells.parent_col(F.col("cell_id"), res - cover_res).alias("cover_cell"),
+    )
+    cand = pix.join(F.broadcast(cover_df(spark, cover_res)), "cover_cell", "inner")
+    hit = cand.filter(pip_refine_udf(F.col("lon"), F.col("lat"), F.col("polygon_id")))
+    return hit.select(F.lit(res).alias("res"), "cell_id", "polygon_id")

@@ -192,6 +192,55 @@ def tiles_sql(res_lo: int = 7, res_hi: int = 10) -> str:
     return f"WITH {_pts0_only()} " + " UNION ALL ".join(parts)
 
 
+def vector_raster_sql(res: int = 7) -> str:
+    """Rasterized polygon layer: every res-cell whose center is inside."""
+    xs = cells.x_from_cell_sql("cell_id", res)
+    ys = cells.y_from_cell_sql("cell_id", res)
+    n = 1 << res
+    return f"""
+WITH g AS (SELECT range AS cell_id FROM range({1 << (2 * res)})),
+pix AS (
+  SELECT cell_id,
+         -180.0 + 360.0 * ({xs} + 0.5) / {n} AS lon,
+         -90.0 + 180.0 * ({ys} + 0.5) / {n} AS lat
+  FROM g
+),
+{_edges_cte()}
+SELECT res, cell_id, polygon_id FROM (
+  SELECT {res} AS res, p.cell_id, e.polygon_id, count(*) AS c
+  FROM pix p JOIN edges e ON ({_CROSSING})
+  GROUP BY 1, 2, 3
+) WHERE c % 2 = 1
+"""
+
+
+def raster_compact_sql(res: int = layers.GRID_RES, min_res: int = 0) -> str:
+    """Compacted cell hierarchy of per-tile doc counts: fold complete
+    4-sibling sets into parents, level by level (unrolled CTE chain — the
+    SQL mirror of ``tiles.compact_tiles``)."""
+    parts = [
+        _pts0_only().strip(),
+        f"t{res} AS (SELECT {cells.morton_sql('gx', 'gy', res)} AS cell_id, "
+        f"count(*) AS n_docs FROM pts0 GROUP BY 1)",
+    ]
+    selects = []
+    for r in range(res, min_res, -1):
+        parts.append(
+            f"p{r} AS (SELECT cell_id >> 2 AS p, count(*) AS c, "
+            f"CAST(sum(n_docs) AS BIGINT) AS sn FROM t{r} GROUP BY 1)"
+        )
+        parts.append(
+            f"k{r} AS (SELECT {r} AS res, cell_id, n_docs FROM t{r} "
+            f"WHERE (cell_id >> 2) NOT IN (SELECT p FROM p{r} WHERE c = 4))"
+        )
+        parts.append(
+            f"t{r - 1} AS (SELECT p AS cell_id, sn AS n_docs FROM p{r} WHERE c = 4)"
+        )
+        selects.append(f"SELECT res, cell_id, n_docs FROM k{r}")
+    selects.append(f"SELECT {min_res} AS res, cell_id, n_docs FROM t{min_res}")
+    return "WITH " + ",\n".join(parts) + "\n" + " UNION ALL ".join(selects)
+
+
 def knn_sql(k: int = 5) -> str:
     return f"""
 WITH {_pts_cte()}

@@ -95,9 +95,70 @@ def geo_pip_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("url", "cell_id", "polygon_id").distinct()
 
 
+def geo_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result set as geo_pip_docs, through the explicit skew path:
+    hot-cover-cell pre-pass + salted broadcast candidate join (skew.py).
+    Correctness gate proves salting is value-transparent."""
+    from . import skew
+    from .operators.pip_join import COVER_RES, cover_df, pip_refine_udf
+
+    pts = pages_src.doc_points_df(spark, sf_dir).withColumn(
+        "cell", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+    ).withColumn(
+        "cover_cell", cells.parent_col(F.col("cell"), layers.GRID_RES - COVER_RES)
+    )
+    hot = skew.hot_keys(pts, "cover_cell", threshold_frac=0.01)
+    cand = skew.salted_join(
+        pts, cover_df(spark, COVER_RES), "cover_cell",
+        hot=hot, salt_col=F.xxhash64("doc_id"), n_salt=8,
+    )
+    refined = cand.filter(pip_refine_udf(F.col("lon"), F.col("lat"), F.col("polygon_id")))
+    return refined.select("doc_id", F.col("cell").alias("cell_id"), "polygon_id")
+
+
+def geo_tiles_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result set as geo_tiles at the finest res, through the two-stage
+    salted aggregation (skew.py) — no reducer owns a whole hot cell."""
+    from . import skew
+
+    pts = pages_src.doc_points_df(spark, sf_dir)
+    finest = skew.salted_count(
+        pts.withColumn(
+            "cell_id", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+        ),
+        keys=["cell_id"],
+        salt_col=F.xxhash64("doc_id"),
+    )
+    return finest.select(
+        F.lit(layers.GRID_RES).alias("res"), "cell_id", "n_docs"
+    )
+
+
 def geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pages_src.doc_points_df(spark, sf_dir)
     return tiles.tile_counts(pts, res_lo=7, res_hi=10, grid_res=layers.GRID_RES)
+
+
+def geo_vector_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector -> raster: burn the polygon layer onto the res-7 cell grid.
+    (sf_dir unused — the layer is data-independent; kept for the contract.)"""
+    from .operators import raster
+
+    return raster.rasterize_polygons(spark, res=7)
+
+
+def geo_raster_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector: per-tile doc counts at res 10, folded into the
+    compacted cell hierarchy (complete sibling sets -> parent)."""
+    pts = pages_src.doc_points_df(spark, sf_dir)
+    finest = (
+        pts.select(
+            cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES).alias("cell_id")
+        )
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return tiles.compact_tiles(finest, res=layers.GRID_RES, min_res=0)
 
 
 def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
