@@ -29,18 +29,21 @@ def pip_mask(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     ring = np.asarray(ring, dtype=np.float64)
-    x1 = ring[:, 0]
-    y1 = ring[:, 1]
-    x2 = np.roll(x1, -1)
-    y2 = np.roll(y1, -1)
-    # broadcast: (P, E)
-    PY = py[:, None]
-    PX = px[:, None]
-    straddle = (y1[None, :] > PY) != (y2[None, :] > PY)
+    # Per-edge 1-D streams, XOR-accumulated parity. A (P, E) broadcast matrix
+    # is ~E x more temp memory traffic; on bandwidth-limited hosts (measured:
+    # 4x procs -> only 1.6x numpy throughput on this box) the 1-D form keeps
+    # the refine compute-bound. E is tiny (<= 6 here), so the Python edge
+    # loop costs nothing.
+    inside = np.zeros(len(px), dtype=bool)
+    nv = len(ring)
     with np.errstate(divide="ignore", invalid="ignore"):
-        xint = (x2 - x1)[None, :] * (PY - y1[None, :]) / (y2 - y1)[None, :] + x1[None, :]
-    cross = straddle & (PX < xint)
-    return (cross.sum(axis=1) % 2).astype(bool)
+        for k in range(nv):
+            x1, y1 = ring[k, 0], ring[k, 1]
+            x2, y2 = ring[(k + 1) % nv, 0], ring[(k + 1) % nv, 1]
+            straddle = (y1 > py) != (y2 > py)
+            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            inside ^= straddle & (px < xint)
+    return inside
 
 
 def pip_crossing_sql(px: str, py: str, edges_rel: str) -> str:
@@ -73,6 +76,65 @@ def cover_cells(ring, res: int) -> np.ndarray:
     xs, ys = np.meshgrid(np.arange(x0, x1 + 1, dtype=np.int64),
                          np.arange(y0, y1 + 1, dtype=np.int64))
     return cells.morton_np(xs.ravel(), ys.ravel(), res)
+
+
+def _segment_intersects_rects(
+    x1: float, y1: float, x2: float, y2: float,
+    X0: np.ndarray, Y0: np.ndarray, X1: np.ndarray, Y1: np.ndarray,
+) -> np.ndarray:
+    """Liang-Barsky: does segment (x1,y1)-(x2,y2) intersect each axis-aligned
+    rect [X0,X1]x[Y0,Y1]? Vectorized over rects."""
+    n = len(X0)
+    t0 = np.zeros(n)
+    t1 = np.ones(n)
+    ok = np.ones(n, dtype=bool)
+    dx = x2 - x1
+    dy = y2 - y1
+    for p, q in ((-dx, x1 - X0), (dx, X1 - x1), (-dy, y1 - Y0), (dy, Y1 - y1)):
+        if p == 0.0:
+            ok &= q >= 0  # parallel and outside this boundary -> no hit
+        else:
+            t = q / p
+            if p < 0:
+                t0 = np.maximum(t0, t)
+            else:
+                t1 = np.minimum(t1, t)
+    return ok & (t0 <= t1)
+
+
+def cover_cells_classified(ring, res: int):
+    """Cover set split into (cells, full): ``full[i]`` is True iff the whole
+    cell lies inside the polygon — every one of its corners is inside and no
+    polygon edge intersects the cell rectangle.
+
+    The interior/boundary split is the scale lever of the containment join:
+    candidates landing in *full* cells need NO exact refine (cell ⊆ polygon
+    implies point ∈ polygon); only boundary cells — O(perimeter), not
+    O(area) — pay for ray-casting. Same idea as H3 polyfill's full-cell
+    optimization / prepared geometries in PostGIS."""
+    cells_ = cover_cells(ring, res)
+    r = np.asarray(ring, dtype=np.float64)
+    n = 1 << res
+    from .cells import morton_decode_np
+
+    cx, cy = morton_decode_np(cells_, res)
+    X0 = -180.0 + 360.0 * cx / n
+    X1 = -180.0 + 360.0 * (cx + 1) / n
+    Y0 = -90.0 + 180.0 * cy / n
+    Y1 = -90.0 + 180.0 * (cy + 1) / n
+
+    corners_inside = np.ones(len(cells_), dtype=bool)
+    for gx, gy in ((X0, Y0), (X0, Y1), (X1, Y0), (X1, Y1)):
+        corners_inside &= pip_mask(gx, gy, r)
+
+    edge_hits = np.zeros(len(cells_), dtype=bool)
+    nv = len(r)
+    for k in range(nv):
+        x1, y1 = r[k, 0], r[k, 1]
+        x2, y2 = r[(k + 1) % nv, 0], r[(k + 1) % nv, 1]
+        edge_hits |= _segment_intersects_rects(x1, y1, x2, y2, X0, Y0, X1, Y1)
+
+    return cells_, corners_inside & ~edge_hits
 
 
 def sq_dist(ax: np.ndarray, ay: np.ndarray, bx: np.ndarray, by: np.ndarray) -> np.ndarray:

@@ -47,5 +47,7 @@ def rasterize_polygons(
         cells.parent_col(F.col("cell_id"), res - cover_res).alias("cover_cell"),
     )
     cand = pix.join(F.broadcast(cover_df(spark, cover_res)), "cover_cell", "inner")
-    hit = cand.filter(pip_refine_udf(F.col("lon"), F.col("lat"), F.col("polygon_id")))
+    hit = cand.filter(
+        F.col("full") | pip_refine_udf(F.col("lon"), F.col("lat"), F.col("polygon_id"))
+    )
     return hit.select(F.lit(res).alias("res"), "cell_id", "polygon_id")

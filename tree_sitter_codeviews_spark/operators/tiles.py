@@ -1,10 +1,21 @@
 """Tile aggregation over the cell hierarchy (raster<->vector path).
 
-Per-tile counts at the finest resolution, then **rolled up the hierarchy by
-re-aggregating the aggregates** (parent = ``cell >> 2``): each coarser level
-is computed from the level below it, never from the raw points — at 10^12
-rows the raw table is touched exactly once (one shuffle at the finest res;
-the rollup shuffles only tile rows, which are bounded by the grid size).
+``tile_counts`` scans the raw table ONCE: a single map-side-combined groupBy
+at the finest resolution, whose output (bounded by live cells, never by row
+count) is materialized via ``localCheckpoint``; coarser levels are then
+rolled up *from the aggregates* (parent = ``cell >> 2``) — each level
+shuffles only tile rows.
+
+Two rejected plans, both measured on 5M rows:
+- roll up from the same lazy subplan per level: Spark has no common-subplan
+  reuse, so every level re-scans and re-shuffles the raw points (4 full
+  passes; 26 s vs 4 s at local[32]);
+- one-pass explode of per-level (res, cell) pairs: generators break
+  whole-stage codegen in this build (11-14 s vs 2 s at local[8]).
+The materialize-tiny-then-rollup plan is also the 100 TB-safe one: the
+checkpointed finest table is O(cells), and at that scale it becomes a real
+checkpoint-table stage (``checkpoint.Pipeline.stage``), which is where the
+resume boundary belongs anyway.
 
 Compaction (H3 ``compact`` analogue) folds complete sibling sets into their
 parent, the storage-side dual of the rollup.
@@ -27,7 +38,11 @@ def tile_counts(
     grid_res: int = 10,
     count_col: str = "n_docs",
 ) -> DataFrame:
-    """points(gx, gy at grid_res) -> (res, cell_id, n_docs) for res_lo..res_hi."""
+    """points(gx, gy at grid_res) -> (res, cell_id, n_docs) for res_lo..res_hi.
+
+    One scan + one shuffle of the raw points (finest-level groupBy); the
+    small finest tile table is materialized (localCheckpoint), then coarser
+    levels are re-aggregated from it. NOTE: eager (runs a job on call)."""
     base_cell = cells.morton_col(
         F.shiftright(F.col("gx"), grid_res - res_hi) if grid_res != res_hi else F.col("gx"),
         F.shiftright(F.col("gy"), grid_res - res_hi) if grid_res != res_hi else F.col("gy"),
@@ -37,10 +52,23 @@ def tile_counts(
         points.select(base_cell.alias("cell_id"))
         .groupBy("cell_id")
         .agg(F.count("*").alias(count_col))
-        .withColumn("res", F.lit(res_hi))
+        .localCheckpoint()
     )
-    levels = [finest]
-    cur = finest
+    return tile_rollup(finest, res_hi, res_lo, count_col)
+
+
+def tile_rollup(
+    finest: DataFrame,
+    res_hi: int,
+    res_lo: int,
+    count_col: str = "n_docs",
+) -> DataFrame:
+    """Roll an ALREADY-MATERIALIZED finest tile table (cell_id, n) up the
+    hierarchy by re-aggregating aggregates. Only correct-cost when ``finest``
+    is a checkpointed/persisted table — when handed a lazy subplan Spark
+    would recompute it once per level (no common-subplan reuse)."""
+    cur = finest.select("cell_id", count_col).withColumn("res", F.lit(res_hi))
+    levels = [cur]
     for r in range(res_hi - 1, res_lo - 1, -1):
         cur = (
             cur.select(cells.parent_col(F.col("cell_id")).alias("cell_id"), count_col)

@@ -39,14 +39,16 @@ def geo_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def geo_s2_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, level, cell_id) at S2-style Hilbert levels 12..16.
 
-    Finest level encoded once via the vectorized Arrow UDF; coarser levels by
-    truncation (the Hilbert curve is self-similar — ``s2.py``)."""
+    Finest level encoded once via the branchless JVM bit-parallel transform
+    (zero per-row Python); coarser levels by truncation (the Hilbert curve
+    is self-similar — ``s2.py``)."""
     from . import s2
 
-    pts = pages_src.doc_points_df(spark, sf_dir)
-    x16 = s2.upscale_grid_col(F.col("gx"), layers.GRID_RES, s2.S2_RES)
-    y16 = s2.upscale_grid_col(F.col("gy"), layers.GRID_RES, s2.S2_RES)
-    h = pts.withColumn("h16", s2.hilbert_udf(s2.S2_RES)(x16, y16))
+    pts = pages_src.doc_points_df(spark, sf_dir).withColumns({
+        "x16": s2.upscale_grid_col(F.col("gx"), layers.GRID_RES, s2.S2_RES),
+        "y16": s2.upscale_grid_col(F.col("gy"), layers.GRID_RES, s2.S2_RES),
+    })
+    h = s2.with_hilbert_col(pts, "x16", "y16", s2.S2_RES, out="h16")
     levels = F.array(*[
         F.struct(
             F.lit(lvl).alias("level"),
@@ -112,7 +114,9 @@ def geo_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, cover_df(spark, COVER_RES), "cover_cell",
         hot=hot, salt_col=F.xxhash64("doc_id"), n_salt=8,
     )
-    refined = cand.filter(pip_refine_udf(F.col("lon"), F.col("lat"), F.col("polygon_id")))
+    refined = cand.filter(
+        F.col("full") | pip_refine_udf(F.col("lon"), F.col("lat"), F.col("polygon_id"))
+    )
     return refined.select("doc_id", F.col("cell").alias("cell_id"), "polygon_id")
 
 

@@ -41,7 +41,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # -Xms pins the initial heap: incremental heap growth under load
+        # causes full-GC storms with multi-x wall-clock variance in local
+        # mode. -XX:-DontCompileHugeMethods lets HotSpot JIT whole-stage-
+        # codegen methods past the 8KB bytecode default; without it, wide
+        # generated predicates (e.g. the unrolled ray-cast refine) silently
+        # run in the bytecode interpreter (measured 24x slower).
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g')} "
+                "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

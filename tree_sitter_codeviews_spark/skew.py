@@ -125,10 +125,13 @@ def zorder_repartition(
 
     The north rule's layout step: after this, each partition covers a
     contiguous stretch of the Hilbert curve — a compact spatial tile.
+    The key is computed by the branchless JVM transform (no Python).
     """
-    x = s2.upscale_grid_col(F.col(gx_col), grid_res, s2.S2_RES)
-    y = s2.upscale_grid_col(F.col(gy_col), grid_res, s2.S2_RES)
-    keyed = df.withColumn("_hilbert", s2.hilbert_udf(s2.S2_RES)(x, y))
+    keyed = df.withColumns({
+        "_zx": s2.upscale_grid_col(F.col(gx_col), grid_res, s2.S2_RES),
+        "_zy": s2.upscale_grid_col(F.col(gy_col), grid_res, s2.S2_RES),
+    })
+    keyed = s2.with_hilbert_col(keyed, "_zx", "_zy", s2.S2_RES, out="_hilbert").drop("_zx", "_zy")
     out = (
         keyed.repartitionByRange(num_partitions, "_hilbert")
         if num_partitions

@@ -92,7 +92,12 @@ def doc_points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One deterministic point per document (with hot-cell skew), native ops.
 
     (doc_id, gx, gy, lon, lat) at the res-10 derivation grid (layers.py)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return points_from_ids(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+
+def points_from_ids(docs: DataFrame) -> DataFrame:
+    """Derive deterministic skewed points from any (doc_id) set — same
+    formulas as ``layers.doc_grid_xy_np`` / the DuckDB oracle CTEs."""
     hot = F.col("doc_id") % 5 == 0
     hidx = F.col("doc_id") % 3
     hx = F.array(*[F.lit(h[0]) for h in layers.HOT_XY])
