@@ -35,18 +35,24 @@ def tokens_df(docs: DataFrame) -> DataFrame:
 
 
 def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle). Native:
-    split -> slide via transform over index array -> explode -> distinct."""
-    w = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    posexplode -> window ``lead`` over token position -> concat — stays in
+    whole-stage codegen end to end. (A higher-order-function formulation
+    (transform/element_at lambdas) produced the same rows but HOF lambdas
+    are interpreted expression-eval: measured 30s vs ~2s on 2.5M tokens.)
+    The window shuffle is by doc_id — the same key later aggregations need,
+    so the exchange is reused."""
+    from pyspark.sql import Window
+
+    toks = tokens_df(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    last = F.lead("tok", n - 1).over(w)
     return (
-        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        toks.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"), last.alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .drop("_t")
         .distinct()
     )
 
@@ -69,7 +75,7 @@ def jaccard_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> 
     salted/pruned by document frequency (very common shingles carry no
     signal and explode the pair space) — here the frequency cut is a
     parameter with a conservative default of no cut at test scales."""
-    sh = shingles_df(docs, n)
+    sh = shingles_df(docs, n).localCheckpoint()  # 3 consumers, no subplan reuse
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
@@ -96,12 +102,19 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     Shingles hashed JVM-side with per-slot-salted xxhash64; 64 ``min``
     aggregates in a single groupBy — one shuffle, Catalyst fuses them into
     one hash-aggregate pass."""
-    sh = shingles_df(docs, n)
+    return minhash_signatures_from(shingles_df(docs, n))
+
+
+def minhash_signatures_from(sh: DataFrame) -> DataFrame:
+    """Signatures from a (doc_id, shingle) table (reuse a materialized one)."""
+    # hash the variable-length string ONCE, then salt the fixed-width int
+    # per slot — 64x less string hashing for identical independence
+    h0 = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("h0"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"sig_{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"sig_{i}")
         for i in range(MINHASH_PERMS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return h0.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -132,8 +145,11 @@ def minhash_lsh_dups(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> Dat
     """LSH candidates -> exact-Jaccard verify. Returns (doc_id_a, doc_id_b,
     jaccard >= threshold). Prefilter is probabilistic (recall < 1 for pairs
     barely above threshold — standard LSH contract); precision is exact."""
-    cand = lsh_candidate_pairs(minhash_signatures(docs, n))
-    sh = shingles_df(docs, n)
+    # the shingle table feeds three consumers (signatures + both sides of
+    # the verify join); materialize it once — Spark has no common-subplan
+    # reuse (at cluster scale this is a checkpoint stage table)
+    sh = shingles_df(docs, n).localCheckpoint()
+    cand = lsh_candidate_pairs(minhash_signatures_from(sh))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pa = cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a")
     inter = (
