@@ -37,6 +37,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_salted": q.geo_pip_salted,
         "geo_tiles_salted": q.geo_tiles_salted,
         "geo_knn": q.geo_knn,
+        "geo_tiles_distinct": q.geo_tiles_distinct,
+        "geo_tiles_approx": q.geo_tiles_approx,      # rows-only (HLL estimate)
+        "graph_collapse": q.graph_collapse,
+        "graph_minimize": q.graph_minimize,
         "geo_vector_raster": q.geo_vector_raster,
         "geo_raster_compact": q.geo_raster_compact,
         "geo_extract_text": q.geo_extract_text,
@@ -61,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": rel.q5_region_revenue,
         "events_running": rel.events_running,
         "events_asof": rel.events_asof,
+        "events_sessions": rel.events_sessions,
         "orders_rollup": rel.orders_rollup,
         "customers_no_orders": rel.customers_no_orders,
     }
@@ -78,6 +83,9 @@ def oracle_sql() -> dict[str, str]:
         "geo_pip_salted": oracle.pip_docs_sql(),
         "geo_tiles_salted": oracle.tiles_sql(res_lo=10, res_hi=10),
         "geo_knn": oracle.knn_sql(),
+        "geo_tiles_distinct": oracle.tiles_distinct_sql(),
+        "graph_collapse": oracle.graph_collapse_sql(),
+        "graph_minimize": oracle.graph_minimize_sql(),
         "geo_vector_raster": oracle.vector_raster_sql(),
         "geo_raster_compact": oracle.raster_compact_sql(),
         "geo_extract_text": oracle.extract_text_sql(),
@@ -94,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_region_revenue": oracle.q5_region_revenue_sql(),
         "events_running": oracle.events_running_sql(),
         "events_asof": oracle.events_asof_sql(),
+        "events_sessions": oracle.events_sessions_sql(),
         "orders_rollup": oracle.orders_rollup_sql(),
         "customers_no_orders": oracle.customers_no_orders_sql(),
         # intentionally no oracle (driver records rows-only):

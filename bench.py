@@ -58,8 +58,15 @@ def main() -> None:
     qmap = entry_mod.queries()
     spark = get_spark("bench")
 
-    # warm the JVM + parquet footers once so per-query times measure the work
+    # warm the JVM, parquet footers, and the Arrow/Python UDF workers once so
+    # per-query times measure the work, not process spin-up
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    from pyspark.sql import functions as F
+    from tree_sitter_codeviews_spark.operators.extract import extract_text_udf
+
+    spark.range(1000).select(
+        extract_text_udf(F.encode(F.lit("<p>warm</p>"), "UTF-8"))
+    ).count()
 
     times: dict[str, float] = {}
     total = 0.0

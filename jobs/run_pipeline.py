@@ -65,19 +65,24 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         lambda: extract.page_entities(pages, pages_src.gazetteer_df(spark)),
     )
 
-    # chunk by coarse Hilbert range of the entity location (level 2 => 16 cells)
+    # chunk by coarse Hilbert range of the entity location (level 2 => 16
+    # cells; branchless JVM encode — no Python in the router)
     def triples_chunk(c: str):
         lo = int(c)
-        x2 = s2.upscale_grid_col(
-            F.floor((F.col("lon") + 180.0) / 360.0 * 4).cast("long"), 2, s2.S2_RES
+        keyed = entities.withColumns({
+            "_x2": s2.upscale_grid_col(
+                F.floor((F.col("lon") + 180.0) / 360.0 * 4).cast("long"), 2, s2.S2_RES
+            ),
+            "_y2": s2.upscale_grid_col(
+                F.floor((F.col("lat") + 90.0) / 180.0 * 4).cast("long"), 2, s2.S2_RES
+            ),
+        })
+        keyed = s2.with_hilbert_col(keyed, "_x2", "_y2", s2.S2_RES, out="_h16")
+        part = (
+            keyed.withColumn("_h2", F.shiftright(F.col("_h16"), 2 * (s2.S2_RES - 2)))
+            .filter(F.pmod(F.col("_h2"), F.lit(N_CHUNKS)) == lo)
+            .drop("_x2", "_y2", "_h16", "_h2")
         )
-        y2 = s2.upscale_grid_col(
-            F.floor((F.col("lat") + 90.0) / 180.0 * 4).cast("long"), 2, s2.S2_RES
-        )
-        h2 = F.shiftright(s2.hilbert_udf(s2.S2_RES)(x2, y2), 2 * (s2.S2_RES - 2))
-        part = entities.withColumn("_h2", h2).filter(
-            F.pmod(F.col("_h2"), F.lit(N_CHUNKS)) == lo
-        ).drop("_h2")
         return pip_join.pip_join(part, spark, keys=("url",)).select(
             "url", "cell_id", "polygon_id"
         ).distinct()

@@ -103,6 +103,30 @@ def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30-min gap; emits
+    (event_id, user_id, session_id, n_in_session). lag -> gap flag ->
+    running sum = the standard one-shuffle sessionizer (the window-chaining
+    shape of the reference's static-init ordering, CFG_cpp.py:2178-2233)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch (UTC session)
+    gap = secs - F.lag(secs).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = ev.select(
+        "event_id", "user_id", "ts",
+        F.sum(new_sess).over(run).alias("session_id"),
+    )
+    wsz = Window.partitionBy("user_id", "session_id")
+    return sess.select(
+        "event_id", "user_id", "session_id",
+        F.count("*").over(wsz).alias("n_in_session"),
+    )
+
+
 def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(

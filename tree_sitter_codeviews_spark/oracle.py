@@ -241,6 +241,90 @@ def raster_compact_sql(res: int = layers.GRID_RES, min_res: int = 0) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + " UNION ALL ".join(selects)
 
 
+def tiles_distinct_sql() -> str:
+    return f"""
+WITH {_pts0_only()}
+SELECT {cells.morton_sql('(gx >> 3)', '(gy >> 3)', 7)} AS cell_id,
+       count(DISTINCT doc_id % 100) AS n_hosts,
+       count(*) AS n_docs
+FROM pts0 GROUP BY 1
+"""
+
+
+_GRAPH_CTE = None  # built lazily below
+
+
+def _graph_ctes() -> str:
+    """CTEs n (nodes) and e (chain edges) of the deterministic doc graph."""
+    cell5 = cells.morton_sql("(gx >> 5)", "(gy >> 5)", 5)
+    return f"""{_pts0_only()},
+n AS (
+  SELECT doc_id % 100 AS graph_id, doc_id AS node_id, {cell5} AS label,
+         CASE doc_id % 3 WHEN 0 THEN 'city' WHEN 1 THEN 'poi' ELSE 'region' END AS node_type
+  FROM pts0
+),
+e0 AS (
+  SELECT graph_id, node_id AS src,
+         lead(node_id) OVER (PARTITION BY graph_id ORDER BY node_id) AS dst
+  FROM n
+),
+e AS (SELECT graph_id, src, dst, 'next' AS edge_type FROM e0 WHERE dst IS NOT NULL)"""
+
+
+def graph_collapse_sql() -> str:
+    return f"""
+WITH {_graph_ctes()},
+m AS (SELECT graph_id, label, min(node_id) AS rep FROM n GROUP BY 1, 2),
+nm AS (SELECT n.graph_id, n.node_id, m.rep FROM n JOIN m USING (graph_id, label))
+SELECT DISTINCT e.graph_id, sa.rep AS src, sb.rep AS dst, e.edge_type
+FROM e
+JOIN nm sa ON e.graph_id = sa.graph_id AND e.src = sa.node_id
+JOIN nm sb ON e.graph_id = sb.graph_id AND e.dst = sb.node_id
+"""
+
+
+def graph_minimize_sql() -> str:
+    return f"""
+WITH {_graph_ctes()},
+dead AS (SELECT graph_id, node_id FROM n WHERE node_type = 'poi'),
+kept AS (
+  SELECT e.* FROM e
+  WHERE NOT EXISTS (SELECT 1 FROM dead d WHERE d.graph_id = e.graph_id AND d.node_id = e.src)
+    AND NOT EXISTS (SELECT 1 FROM dead d WHERE d.graph_id = e.graph_id AND d.node_id = e.dst)
+),
+bypass AS (
+  SELECT a.graph_id, a.src, b.dst, a.edge_type
+  FROM e a
+  JOIN dead d ON a.graph_id = d.graph_id AND a.dst = d.node_id
+  JOIN e b ON b.graph_id = a.graph_id AND b.src = a.dst
+)
+SELECT DISTINCT graph_id, src, dst, edge_type FROM (
+  SELECT * FROM kept UNION ALL SELECT * FROM bypass
+)
+"""
+
+
+def events_sessions_sql() -> str:
+    return """
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT event_id, user_id,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM s
+)
+SELECT event_id, user_id, session_id,
+       count(*) OVER (PARTITION BY user_id, session_id) AS n_in_session
+FROM s2
+"""
+
+
 def knn_sql(k: int = 5) -> str:
     return f"""
 WITH {_pts_cte()}

@@ -143,6 +143,44 @@ def geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.tile_counts(pts, res_lo=7, res_hi=10, grid_res=layers.GRID_RES)
 
 
+def geo_tiles_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile EXACT distinct-host counts at res 7 (the per-tile
+    distinct-url metric; SURVEY.md §2.4). Exact count_distinct is the
+    oracle-checked path; ``geo_tiles_approx`` is the approx variant."""
+    pts = pages_src.doc_points_df(spark, sf_dir)
+    host = (F.col("doc_id") % 100).alias("host_id")
+    cell7 = cells.morton_col(
+        F.shiftright(F.col("gx"), layers.GRID_RES - 7),
+        F.shiftright(F.col("gy"), layers.GRID_RES - 7),
+        7,
+    )
+    return (
+        pts.select(cell7.alias("cell_id"), host)
+        .groupBy("cell_id")
+        .agg(
+            F.countDistinct("host_id").alias("n_hosts"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def geo_tiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) per tile — the 10^12-row path where exact
+    distinct would shuffle every (cell, host) pair. Rows-only check (HLL
+    estimates are engine-specific by design)."""
+    pts = pages_src.doc_points_df(spark, sf_dir)
+    cell7 = cells.morton_col(
+        F.shiftright(F.col("gx"), layers.GRID_RES - 7),
+        F.shiftright(F.col("gy"), layers.GRID_RES - 7),
+        7,
+    )
+    return (
+        pts.select(cell7.alias("cell_id"), (F.col("doc_id") % 100).alias("host_id"))
+        .groupBy("cell_id")
+        .agg(F.approx_count_distinct("host_id", 0.02).alias("n_hosts_approx"))
+    )
+
+
 def geo_vector_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector -> raster: burn the polygon layer onto the res-7 cell grid.
     (sf_dir unused — the layer is data-independent; kept for the contract.)"""
@@ -175,6 +213,66 @@ def geo_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value against an oracle that reconstructs the text directly."""
     pages = pages_src.pages_df(spark, sf_dir)
     return extract.extract_pages(pages).select("url", "text_out")
+
+
+# ---------------------------------------------------------------------------
+# graph-view transforms (the reference's combine/collapse/minimize,
+# SURVEY.md §2.2/§2.3, in relational form — operators/views.py)
+# ---------------------------------------------------------------------------
+
+def _doc_graph(spark: SparkSession, sf_dir: str):
+    """Deterministic per-host graph: nodes = docs (label = res-5 cell,
+    node_type cycles city/poi/region); edges = the doc_id-ordered chain
+    within each host. Shapes mirror the reference's per-document
+    node/edge lists (CFG_c.py:540-939) as DataFrames."""
+    from pyspark.sql import Window
+
+    pts = pages_src.doc_points_df(spark, sf_dir)
+    cell5 = cells.morton_col(
+        F.shiftright(F.col("gx"), layers.GRID_RES - 5),
+        F.shiftright(F.col("gy"), layers.GRID_RES - 5),
+        5,
+    )
+    ntype = F.element_at(
+        F.array(F.lit("city"), F.lit("poi"), F.lit("region")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    nodes = pts.select(
+        (F.col("doc_id") % 100).alias("graph_id"),
+        F.col("doc_id").alias("node_id"),
+        cell5.alias("label"),
+        ntype.alias("node_type"),
+    )
+    w = Window.partitionBy("graph_id").orderBy("node_id")
+    edges = (
+        nodes.select(
+            "graph_id", F.col("node_id").alias("src"),
+            F.lead("node_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .withColumn("edge_type", F.lit("next"))
+    )
+    return nodes, edges
+
+
+def graph_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapsed edge table: same-label nodes merged to min node_id per
+    graph (reference AST.py:49-86)."""
+    from .operators import views
+
+    nodes, edges = _doc_graph(spark, sf_dir)
+    _, new_edges = views.collapse_nodes(nodes, edges)
+    return new_edges
+
+
+def graph_minimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimized edge table: 'poi' nodes removed, pred→succ rewired
+    (reference AST.py:88-107; one transitive step)."""
+    from .operators import views
+
+    nodes, edges = _doc_graph(spark, sf_dir)
+    _, new_edges = views.minimize_nodes(nodes, edges, blacklist=["poi"])
+    return new_edges
 
 
 # ---------------------------------------------------------------------------
