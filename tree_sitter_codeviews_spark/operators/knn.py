@@ -129,7 +129,8 @@ def knn_ring(
         prev_t = t
 
     if best is not None:
-        # brute-force the stragglers (few: empty-region queries)
+        # brute-force the stragglers (few: empty-region queries);
+        # materialized so the index cache can be released below
         all_pairs = (
             unresolved.crossJoin(idx.drop("cell"))
             .filter(F.col("qid") != F.col("nid"))
@@ -142,7 +143,11 @@ def knn_ring(
             all_pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "nid", "rank", "dist_sq")
+            .localCheckpoint()
         )
+    # every resolved part is materialized (localCheckpoint) — release the
+    # index cache instead of leaking it into the session's block manager
+    idx.unpersist()
 
     out = resolved_parts[0]
     for part in resolved_parts[1:]:
