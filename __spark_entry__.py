@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q.dedup_embedding,
         "ann_topk_quantized": q.ann_topk_quantized,
         "ann_cosine_topk": q.ann_cosine_topk,          # rows-only (float ULP)
+        "ann_lsh_topk": q.ann_lsh_topk,                # rows-only (LSH recall)
         "text_tokens": q.text_tokens,
         "text_quality": q.text_quality,
         "lang_stats": q.lang_stats,

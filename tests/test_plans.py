@@ -1,0 +1,41 @@
+"""Physical-plan regression tests: the scale-critical plan properties.
+
+A refactor that silently turns a broadcast join into a sort-merge join, or
+widens a parquet scan, should fail HERE — not as a 10x regression on the
+next scale-up.
+"""
+
+from __future__ import annotations
+
+from tree_sitter_codeviews_spark import plans
+from tree_sitter_codeviews_spark.operators.relational import q1_pricing, q5_region_revenue
+from tree_sitter_codeviews_spark.queries import geo_pip_docs, geo_tiles
+from tree_sitter_codeviews_spark.sources.pages import doc_points_df
+
+
+def test_pip_join_is_broadcast_not_sort_merge(spark, sf_tiny):
+    df = geo_pip_docs(spark, sf_tiny)
+    assert plans.uses_broadcast_join(df)
+    assert not plans.uses_sort_merge_join(df)
+
+
+def test_doc_points_scan_prunes_to_doc_id(spark, sf_tiny):
+    schemas = plans.scan_read_schemas(doc_points_df(spark, sf_tiny))
+    assert schemas, "expected a parquet scan"
+    for s in schemas:
+        assert "doc_id" in s
+        assert "text" not in s and "lang" not in s, f"unpruned scan: {s}"
+
+
+def test_tiles_scan_prunes_document_payload(spark, sf_tiny):
+    for s in plans.scan_read_schemas(geo_tiles(spark, sf_tiny)):
+        assert "text" not in s, f"tile rollup reads document text: {s}"
+
+
+def test_q1_pushes_shipdate_filter_to_scan(spark, sf_tiny):
+    pushed = plans.pushed_filters(q1_pricing(spark, sf_tiny))
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_q5_broadcasts_the_region_nation_dim(spark, sf_tiny):
+    assert plans.uses_broadcast_join(q5_region_revenue(spark, sf_tiny))

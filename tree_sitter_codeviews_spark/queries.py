@@ -333,6 +333,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.topk_cosine_pandas(_embs(spark, sf_dir), k=10, every=50)
 
 
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (the 10^12-row path; recall<1 by
+    contract, multi-probe at hamming-1). Rows-only check."""
+    from .operators import ann
+
+    return ann.lsh_bucketed_topk(_embs(spark, sf_dir), k=10, every=50)
+
+
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textstats
 
