@@ -41,6 +41,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tiles_approx": q.geo_tiles_approx,      # rows-only (HLL estimate)
         "graph_collapse": q.graph_collapse,
         "graph_minimize": q.graph_minimize,
+        "graph_combine": q.graph_combine,
+        # iterative graph operators (components / BFS / alias chains)
+        "graph_components": q.graph_components,
+        "graph_reach": q.graph_reach,
+        "dedup_groups": q.dedup_groups,
+        "alias_resolve": q.alias_resolve,
+        "geo_cascade_resolve": q.geo_cascade_resolve,
+        "graph_grouped_metrics": q.graph_grouped_metrics,
         "geo_vector_raster": q.geo_vector_raster,
         "geo_raster_compact": q.geo_raster_compact,
         "geo_extract_text": q.geo_extract_text,
@@ -57,9 +65,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q.text_quality,
         "lang_stats": q.lang_stats,
         "text_langid": q.text_langid,                  # rows-only (heuristic UDF)
-        "text_fingerprint": q.text_fingerprint,        # rows-only (rolling hash UDF)
+        "text_fingerprint": q.text_fingerprint,        # oracle-green since r2 (native fold)
         "multimodal_meta": q.multimodal_meta,
-        "multimodal_frames": q.multimodal_frames,      # rows-only (frame hash UDF)
+        "multimodal_frames": q.multimodal_frames,      # oracle-green since r2 (ASCII windows)
         # relational coverage (joins/windows/rollup/anti/as-of)
         "q1_pricing": rel.q1_pricing,
         "q3_top_orders": rel.q3_top_orders,
@@ -87,17 +95,26 @@ def oracle_sql() -> dict[str, str]:
         "geo_tiles_distinct": oracle.tiles_distinct_sql(),
         "graph_collapse": oracle.graph_collapse_sql(),
         "graph_minimize": oracle.graph_minimize_sql(),
+        "graph_combine": oracle.graph_combine_sql(),
+        "graph_components": oracle.graph_components_sql(),
+        "graph_reach": oracle.graph_reach_sql(),
+        "dedup_groups": oracle.dedup_groups_sql(),
+        "alias_resolve": oracle.alias_resolve_sql(),
+        "geo_cascade_resolve": oracle.cascade_resolve_sql(),
+        "graph_grouped_metrics": oracle.graph_grouped_metrics_sql(),
         "geo_vector_raster": oracle.vector_raster_sql(),
         "geo_raster_compact": oracle.raster_compact_sql(),
         "geo_extract_text": oracle.extract_text_sql(),
         "dedup_exact": oracle.dedup_exact_sql(),
         "dedup_jaccard": oracle.dedup_jaccard_sql(),
-        "dedup_embedding": oracle.dedup_embedding_sql(),
+        "dedup_embedding": oracle.dedup_embedding_sql(threshold=0.45),
         "ann_topk_quantized": oracle.ann_topk_quantized_sql(),
         "text_tokens": oracle.text_tokens_sql(),
         "text_quality": oracle.text_quality_sql(),
         "lang_stats": oracle.lang_stats_sql(),
+        "text_fingerprint": oracle.text_fingerprint_sql(),
         "multimodal_meta": oracle.multimodal_meta_sql(),
+        "multimodal_frames": oracle.multimodal_frames_sql(),
         "q1_pricing": oracle.q1_pricing_sql(),
         "q3_top_orders": oracle.q3_top_orders_sql(),
         "q5_region_revenue": oracle.q5_region_revenue_sql(),
@@ -107,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": oracle.orders_rollup_sql(),
         "customers_no_orders": oracle.customers_no_orders_sql(),
         # intentionally no oracle (driver records rows-only):
-        # dedup_minhash_lsh, dedup_simhash, ann_cosine_topk, text_langid,
-        # text_fingerprint, multimodal_frames
+        # dedup_minhash_lsh + ann_lsh_topk (LSH recall), dedup_simhash
+        # (engine-specific xxhash64), ann_cosine_topk (float ULP),
+        # text_langid (heuristic UDF), geo_tiles_approx (HLL estimate)
     }

@@ -43,6 +43,11 @@ HEADLINE = [
     "text_quality",
     "q1_pricing",
     "q5_region_revenue",
+    # round-2 additions
+    "graph_components",   # iterative min-label propagation + pointer jumping
+    "dedup_groups",       # pair graph -> duplicate clusters (CC composition)
+    "text_fingerprint",   # JVM-native rolling hash (was per-char Python)
+    "graph_grouped_metrics",  # applyInPandas per-graph analytics
 ]
 
 

@@ -41,11 +41,31 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--checkpoint-root", default="/tmp/tscv_ckpt")
     ap.add_argument("--job-id", default="job1")
+    ap.add_argument(
+        "--dry-run", action="store_true",
+        help="validate + print the flagship physical plan without running "
+        "any stage (the reference's CI guard, utils/postprocessor.py:20)",
+    )
     args = ap.parse_args(argv)
 
     owns_session = spark is None
     if owns_session:
         spark = get_spark("tscv-pipeline")
+
+    if args.dry_run:
+        # analyze + optimize the flagship plan end-to-end (catches schema /
+        # resolution errors) but execute nothing
+        pages = pages_src.pages_df(spark, args.sf_dir)
+        ents = extract.page_entities(pages, pages_src.gazetteer_df(spark))
+        plan = pip_join.pip_join(ents, spark, keys=("url",)).select(
+            "url", "cell_id", "polygon_id"
+        ).distinct()
+        plan.explain("formatted")
+        print(f"dry-run OK: schema={plan.schema.simpleString()}")
+        if owns_session:
+            spark.stop()
+        return
+
     pipe = Pipeline(spark, args.checkpoint_root, args.job_id)
 
     pages = pipe.stage(

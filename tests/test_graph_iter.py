@@ -1,0 +1,89 @@
+"""Unit tests for the iterative graph operators (graph_iter.py), the cascade
+join, and the grouped-map metrics — hand-built graphs with known answers,
+plus convergence/boundedness properties the gate queries can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tree_sitter_codeviews_spark.operators import cascade, graph_iter, graphstats
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_components_two_comps_and_cycle(spark):
+    # comp {1,2,3,4} (with a cycle), comp {10,11}
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11)])
+    got = {r.node: r.component for r in graph_iter.connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_components_long_chain_converges_logarithmically(spark):
+    # a 64-node path: plain min-propagation needs 63 rounds; pointer jumping
+    # must finish well within max_iter=10
+    e = _edges(spark, [(i, i + 1) for i in range(63)])
+    got = {r.node: r.component for r in
+           graph_iter.connected_components(e, max_iter=10).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 64
+
+
+def test_reach_min_hops_diamond(spark):
+    # 1->2->4 and 1->3->5->4: node 4 reachable in 2 (not 3); 9 unreachable
+    e = _edges(spark, [(1, 2), (2, 4), (1, 3), (3, 5), (5, 4), (9, 9)])
+    seeds = e.sparkSession.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hops for r in graph_iter.reach(e, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
+def test_resolve_chains_depth_five(spark):
+    # a->b->c->d->e->T : depth 5 needs 3 doubling rounds
+    m = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "T")],
+        "alias string, target string",
+    )
+    got = {r.alias: (r.target, r.depth) for r in
+           graph_iter.resolve_chains(m).collect()}
+    assert got == {"a": ("T", 5), "b": ("T", 4), "c": ("T", 3),
+                   "d": ("T", 2), "e": ("T", 1)}
+
+
+def test_resolve_chains_cycle_bounded(spark):
+    # x->y->x cycle must terminate via max_iter (no hang), others unaffected
+    m = spark.createDataFrame(
+        [("x", "y"), ("y", "x"), ("a", "T")], "alias string, target string"
+    )
+    rows = graph_iter.resolve_chains(m, max_iter=4).collect()
+    got = {r.alias: r.target for r in rows}
+    assert got["a"] == "T"
+    assert got["x"] in ("x", "y") and got["y"] in ("x", "y")
+
+
+def test_cascade_join_priority_and_via(spark):
+    big = spark.createDataFrame(
+        [(1, "k1"), (2, "k2"), (3, "k3")], "id long, key string"
+    )
+    d1 = spark.createDataFrame([("k1", 100)], "key string, v1 long")
+    d2 = spark.createDataFrame([("k1", 200), ("k2", 201)], "key string, v2 long")
+    out = cascade.cascade_join(
+        big,
+        [("first", d1, "key", "v1"), ("second", d2, "key", "v2")],
+        default=F.lit(-1).cast("long"),
+    )
+    got = {r.id: (r.resolved, r.via) for r in out.collect()}
+    # k1 matches both dims: the higher-priority dim wins
+    assert got == {1: (100, "first"), 2: (201, "second"), 3: (-1, "none")}
+
+
+def test_grouped_metrics_hand_graph(spark):
+    # graph 7: path 1-2-3 + isolated edge 10-11 => 5 nodes, 3 edges,
+    # 2 components, diameter 2; graph 8: single edge
+    e = spark.createDataFrame(
+        [(7, 1, 2), (7, 2, 3), (7, 10, 11), (8, 5, 6)],
+        "graph_id long, src long, dst long",
+    )
+    got = {r.graph_id: (r.n_nodes, r.n_edges, r.n_components, r.diameter)
+           for r in graphstats.graph_metrics(e).collect()}
+    assert got == {7: (5, 3, 2, 2), 8: (2, 1, 1, 1)}

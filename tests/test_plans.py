@@ -39,3 +39,25 @@ def test_q1_pushes_shipdate_filter_to_scan(spark, sf_tiny):
 
 def test_q5_broadcasts_the_region_nation_dim(spark, sf_tiny):
     assert plans.uses_broadcast_join(q5_region_revenue(spark, sf_tiny))
+
+
+def test_cascade_join_is_all_broadcast(spark, sf_tiny):
+    # every fallback level must stay a broadcast left join — a sort-merge
+    # here would shuffle the big mention table once per level
+    from tree_sitter_codeviews_spark.queries import geo_cascade_resolve
+
+    df = geo_cascade_resolve(spark, sf_tiny)
+    assert plans.uses_broadcast_join(df)
+    assert not plans.uses_sort_merge_join(df)
+
+
+def test_fingerprint_is_jvm_native(spark, sf_tiny):
+    # the rolling hash must stay a JVM expression (no BatchEvalPython /
+    # ArrowEvalPython nodes) and prune the scan to doc_id+text
+    from tree_sitter_codeviews_spark.queries import text_fingerprint
+
+    df = text_fingerprint(spark, sf_tiny)
+    plan = plans.explain_str(df)
+    assert "EvalPython" not in plan, "fingerprint fell back to a Python UDF"
+    for s in plans.scan_read_schemas(df):
+        assert "lang" not in s and "source" not in s, f"unpruned scan: {s}"

@@ -1,0 +1,116 @@
+"""Round-2 kernel rewrites: every vectorized/native kernel is pinned to its
+scalar Python reference (byte-for-byte), and the dedup max_df cut is proven
+to bound the pair space without touching informative pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tree_sitter_codeviews_spark.operators import dedup, extract, multimodal, textstats
+from tree_sitter_codeviews_spark.sources.testdata import load_table
+
+
+def test_extract_text_vectorized_matches_scalar(spark, sf_tiny):
+    from tree_sitter_codeviews_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, sf_tiny).limit(100)
+    rows = pages.select("html", extract.extract_text_udf("html").alias("out")).collect()
+    for r in rows:
+        assert r.out == extract.extract_text_py(bytes(r.html))
+
+
+def test_extract_text_fallback_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"<div>no p tag</div> tail")), (2, None)],
+        "id long, html binary",
+    )
+    got = {r.id: r.out for r in
+           df.select("id", extract.extract_text_udf("html").alias("out")).collect()}
+    assert got[1] == "no p tag tail"  # tag-strip fallback
+    assert got[2] is None
+
+
+def test_langid_vectorized_matches_scalar(spark, sf_tiny):
+    docs = load_table(spark, sf_tiny, "documents").limit(100)
+    got = {r.doc_id: r.pred_lang for r in textstats.langid(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r.doc_id] == textstats.langid_py(r.text)
+
+
+def test_langid_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "这是中文文本"), (3, "der ein sch und"),
+         (4, "xyzzy qwfp"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred_lang for r in df.select(
+        "doc_id", textstats.langid_udf(F.col("text")).alias("pred_lang")
+    ).collect()}
+    assert got[1] == "und" and got[5] == "und"
+    assert got[2] == "zh"
+    assert got[3] == "de"
+    assert got[4] == "und"
+    for r in df.collect():
+        assert got[r.doc_id] == textstats.langid_py(r.text)
+
+
+def test_frame_hash_vectorized_matches_scalar():
+    wins = [b"", b"a", b"hello world", bytes(range(64)), b"x" * 64, b"q" * 37]
+    got = multimodal._hash_windows_np(wins)
+    for h, w in zip(got, wins):
+        assert int(h) == multimodal.frame_hash_py(w)
+
+
+def test_frame_sample_matches_scalar(spark, sf_tiny):
+    docs = load_table(spark, sf_tiny, "documents").limit(30)
+    pay = multimodal.payloads_df(docs)
+    got = {(r.doc_id, r.frame_idx): r.frame_hash
+           for r in multimodal.frame_sample(pay).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        b = r.text.encode("utf-8")
+        step = max(1, len(b) // 4)
+        for i in range(4):
+            assert got[(r.doc_id, i)] == multimodal.frame_hash_py(b[i * step: i * step + 64])
+
+
+def test_fingerprint_native_matches_scalar_handcases(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta alpha gamma"), (3, "a"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.fingerprint for r in textstats.fingerprints(df).collect()}
+    for r in df.collect():
+        assert got[r.doc_id] == textstats.fingerprint_py(r.text)
+    assert got[1] != got[2]  # order-sensitive
+
+
+def test_max_df_bounds_pair_space_keeps_informative_pairs(spark):
+    # 20 docs share one stop-shingle ("the big stop"); docs 0/1 and 2/3 are
+    # real near-dups through informative shingles
+    rows = []
+    for i in range(20):
+        filler = f"u{i} v{i} w{i} x{i}"
+        rows.append((i, f"the big stop {filler}"))
+    rows[1] = (1, rows[0][1].replace("u0 v0", "u0 v0"))  # doc1 == doc0 body
+    rows[0] = (0, "the big stop u0 v0 w0 x0 y z")
+    rows[1] = (1, "the big stop u0 v0 w0 x0 y q")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = dedup.shingles_df(docs, 3)
+    # stop-shingle blows up the uncut join: every doc pairs with every doc
+    uncut_pairs = dedup.jaccard_pairs_exact(docs, 3, threshold=0.0)
+    cut_pairs = dedup.jaccard_pairs_exact(docs, 3, threshold=0.0, max_df=5)
+    assert uncut_pairs.count() == 20 * 19 // 2  # all pairs share "the big stop"
+    cut = {(r.doc_id_a, r.doc_id_b) for r in cut_pairs.collect()}
+    # only genuinely-overlapping docs survive the cut
+    assert (0, 1) in cut
+    assert all(a == 0 and b == 1 for a, b in cut)
+    # the pruned shingle table is bounded by max_df per shingle
+    pruned = dedup.prune_stop_shingles(sh, 5)
+    dfreq = pruned.groupBy("shingle").count().agg({"count": "max"}).collect()[0][0]
+    assert dfreq <= 5
+    # minhash path accepts the same parameter
+    assert dedup.minhash_lsh_dups(docs, 3, threshold=0.3, max_df=5).count() >= 1

