@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q.dedup_minhash_lsh,      # rows-only (LSH recall)
         "dedup_simhash": q.dedup_simhash,              # rows-only (xxhash64 JVM-side)
         "dedup_embedding": q.dedup_embedding,
+        "dedup_embedding_lsh": q.dedup_embedding_lsh,  # bucketed scale path, still oracle-green
         "ann_topk_quantized": q.ann_topk_quantized,
         "ann_cosine_topk": q.ann_cosine_topk,          # rows-only (float ULP)
         "ann_lsh_topk": q.ann_lsh_topk,                # rows-only (LSH recall)
@@ -108,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracle.dedup_exact_sql(),
         "dedup_jaccard": oracle.dedup_jaccard_sql(),
         "dedup_embedding": oracle.dedup_embedding_sql(threshold=0.45),
+        "dedup_embedding_lsh": oracle.dedup_embedding_lsh_sql(),
         "ann_topk_quantized": oracle.ann_topk_quantized_sql(),
         "text_tokens": oracle.text_tokens_sql(),
         "text_quality": oracle.text_quality_sql(),

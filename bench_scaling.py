@@ -70,7 +70,7 @@ def scaling_job(spark, sf_dir: str, repl: int, n_parts: int) -> dict:
     return {"pages": n_docs * repl, "triples": n_triples, "tiles": n_tiles}
 
 
-def run_child(cores: int, sf_dir: str, repl: int, reps: int = 3) -> None:
+def run_child(cores: int, sf_dir: str, repl: int, reps: int = 4) -> None:
     from tree_sitter_codeviews_spark.session import get_spark
 
     spark = get_spark(f"scaling-{cores}", cores=cores,
@@ -79,8 +79,11 @@ def run_child(cores: int, sf_dir: str, repl: int, reps: int = 3) -> None:
     # shuffles are tiny and fixed-shape, so it only adds constant overhead
     # that distorts the N-vs-4N comparison
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    # warm up: JVM, codegen, parquet footers — excluded from timing
-    scaling_job(spark, sf_dir, repl=1, n_parts=cores)
+    # warm up: JVM, codegen, parquet footers — excluded from timing. repl
+    # matters: with a near-empty warmup (repl=1) HotSpot keeps compiling
+    # through the first 1-2 timed reps (measured 1.7-2.5x inflated first
+    # rep at 2B-page scale), so warm with enough volume to finish tiering
+    scaling_job(spark, sf_dir, repl=1000, n_parts=cores)
     walls = []
     out = {}
     for _ in range(reps):
@@ -98,9 +101,9 @@ def run_child(cores: int, sf_dir: str, repl: int, reps: int = 3) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--lo", type=int, default=8)
-    ap.add_argument("--hi", type=int, default=32)
-    ap.add_argument("--repl", type=int, default=5)
+    ap.add_argument("--lo", type=int, default=2)
+    ap.add_argument("--hi", type=int, default=8)
+    ap.add_argument("--repl", type=int, default=400000)
     ap.add_argument("--child", type=int, default=0, help="internal: run one level")
     args = ap.parse_args()
 

@@ -87,6 +87,22 @@ def test_fingerprint_native_matches_scalar_handcases(spark):
     assert got[1] != got[2]  # order-sensitive
 
 
+def test_embedding_lsh_subset_of_exact_and_no_crossjoin(spark, sf_tiny):
+    from tree_sitter_codeviews_spark import plans
+
+    embs = load_table(spark, sf_tiny, "embeddings")
+    lsh = dedup.embedding_lsh_dups(embs, threshold=0.4)
+    exact = dedup.embedding_near_dups(embs, threshold=0.4)
+    lsh_pairs = {(r.vec_id_a, r.vec_id_b, r.cos_q) for r in lsh.collect()}
+    exact_pairs = {(r.vec_id_a, r.vec_id_b, r.cos_q) for r in exact.collect()}
+    assert lsh_pairs, "bucketed path must be non-vacuous on the fixture"
+    assert lsh_pairs <= exact_pairs  # exact verify => perfect precision
+    # the scale property: candidates come from an equi-join on the probe
+    # bucket, never an all-pairs nested loop
+    plan = plans.explain_str(lsh)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_max_df_bounds_pair_space_keeps_informative_pairs(spark):
     # 20 docs share one stop-shingle ("the big stop"); docs 0/1 and 2/3 are
     # real near-dups through informative shingles

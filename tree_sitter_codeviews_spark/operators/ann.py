@@ -62,8 +62,24 @@ def topk_cosine_pandas(embs: DataFrame, k: int = 10, every: int = 50) -> DataFra
 
     Queries are collected once (tiny), L2-normalized, and captured in the
     UDF closure (broadcast-equivalent). Per batch: normalize rows, matmul,
-    argpartition local top-k; the global top-k is a final window."""
-    qrows = _query_set(embs, every).select("vec_id", "embedding").collect()
+    argpartition local top-k; the global top-k is a final window.
+
+    Driver-safety guard (round-1 finding): the collect is bounded only by
+    the ``every`` sampling contract, so an explicit cap fails fast if a
+    caller reuses this with a dense query set — switch to lsh_bucketed_topk
+    (bucketed join, no driver materialization) for large query sides."""
+    max_queries = 200_000  # ~100 MB of float64[64] on the driver
+    qrows = (
+        _query_set(embs, every)
+        .select("vec_id", "embedding")
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"topk_cosine_pandas: query set exceeds {max_queries} rows; "
+            "use lsh_bucketed_topk for dense query sides"
+        )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)

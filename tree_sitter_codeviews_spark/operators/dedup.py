@@ -258,6 +258,86 @@ def quantize_col(emb: F.Column) -> F.Column:
     return F.transform(emb, lambda x: F.round(x.cast("double") * 1000, 0).cast("long"))
 
 
+# --- bucketed embedding near-dup (the 10^12-row path) -----------------------
+#
+# Deterministic integer hyperplanes shared with the DuckDB oracle:
+#   plane(p, d) = ((p*dim + d) * 48271) % 1021 - 510      (all operands > 0)
+# bucket = sign-bit vector of the 8 plane dots (exact int64 arithmetic, so
+# Spark and DuckDB agree bit-for-bit); candidates = pairs whose buckets
+# differ in <= max_hamming bits, realized ENGINE-side as a multi-probe
+# equi-join (explode the 37 masks with popcount <= 2 — never an all-pairs
+# scan) and ORACLE-side as the naive quadratic mirror. Verify = the same
+# exact quantized cosine as ``embedding_near_dups``.
+
+EMB_PLANES = 8
+
+
+def _plane_coeff(p: int, d: int, dim: int) -> int:
+    return ((p * dim + d) * 48271) % 1021 - 510
+
+
+def embedding_bucket_col(q: F.Column, dim: int, n_planes: int = EMB_PLANES) -> F.Column:
+    """array<long> quantized embedding -> int64 hyperplane sign bucket."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(_plane_coeff(p, d, dim)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(q, plane, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def embedding_lsh_dups(
+    embs: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = EMB_PLANES,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Bucketed embedding near-dup: multi-probe hyperplane LSH candidates ->
+    exact quantized-cosine verify. Same output contract as
+    ``embedding_near_dups`` restricted to bucket-hamming <= max_hamming
+    candidates — deterministic (fixed integer planes), so oracle-checkable,
+    unlike recall-probabilistic LSH. One equi-join shuffle, no crossJoin."""
+    qn = embs.select(
+        "vec_id", quantize_col(F.col("embedding")).alias("q")
+    ).withColumn(
+        "norm",
+        F.aggregate(F.transform("q", lambda x: x * x), F.lit(0).cast("long"),
+                    lambda acc, v: acc + v),
+    ).withColumn("bucket", embedding_bucket_col(F.col("q"), dim, n_planes))
+    masks = [m for m in range(1 << n_planes) if bin(m).count("1") <= max_hamming]
+    probe = F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask")
+    a = qn.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("q").alias("qa"),
+        F.col("norm").alias("norm_a"), "bucket", probe,
+    ).withColumn("probe", F.col("bucket").bitwiseXOR(F.col("mask")).cast("long"))
+    b = qn.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("q").alias("qb"),
+        F.col("norm").alias("norm_b"), F.col("bucket").alias("probe"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("norm_a").cast("double") * F.col("norm_b").cast("double")
+    )
+    return (
+        a.join(b, "probe")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", "qa", "qb", "norm_a", "norm_b")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+        .withColumn("dot", dot)
+        .withColumn("cos_q", F.round(cos, 6))
+        .filter(F.col("cos_q") >= threshold)
+        .select("vec_id_a", "vec_id_b", "cos_q")
+    )
+
+
 def embedding_near_dups(embs: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Pairs with quantized-cosine >= threshold: (vec_id_a, vec_id_b, cos_q).
 

@@ -581,6 +581,38 @@ SELECT vec_id_a, vec_id_b, cos_q FROM (
 """
 
 
+def dedup_embedding_lsh_sql(
+    threshold: float = 0.4, dim: int = 64, n_planes: int = 8,
+    max_hamming: int = 2,
+) -> str:
+    """Naive quadratic mirror of the multi-probe hyperplane LSH near-dup:
+    identical integer planes/buckets (exact arithmetic), candidate predicate
+    bit_count(xor(buckets)) <= max_hamming, identical cosine verify."""
+    return f"""
+WITH {_QUANT_CTE},
+planes AS (
+  SELECT p, list_transform(range({dim}),
+                           d -> ((p * {dim} + d) * 48271) % 1021 - 510) AS pl
+  FROM range({n_planes}) t(p)
+),
+b AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN list_dot_product(qn.qv::DOUBLE[], pl::DOUBLE[]) >= 0
+                       THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM qn, planes GROUP BY vec_id
+)
+SELECT vec_id_a, vec_id_b, cos_q FROM (
+  SELECT a.vec_id AS vec_id_a, bb.vec_id AS vec_id_b,
+         round(list_dot_product(a.qv::DOUBLE[], bb.qv::DOUBLE[])
+               / sqrt(a.norm * bb.norm), 6) AS cos_q
+  FROM qn a JOIN b ba ON a.vec_id = ba.vec_id
+  JOIN qn bb ON a.vec_id < bb.vec_id
+  JOIN b bbb ON bb.vec_id = bbb.vec_id
+  WHERE bit_count(xor(ba.bucket, bbb.bucket)) <= {max_hamming}
+) WHERE cos_q >= {threshold}
+"""
+
+
 def ann_topk_quantized_sql(k: int = 10, every: int = 50) -> str:
     return f"""
 WITH {_QUANT_CTE}

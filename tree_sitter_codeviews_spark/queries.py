@@ -468,6 +468,16 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dups(_embs(spark, sf_dir), threshold=0.45)
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-row embedding near-dup path: multi-probe hyperplane LSH
+    bucket equi-join (never all-pairs) with exact-cosine verify — and still
+    oracle-green, because the integer planes make the whole pipeline
+    deterministic on both engines."""
+    from .operators import dedup
+
+    return dedup.embedding_lsh_dups(_embs(spark, sf_dir), threshold=0.4)
+
+
 def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import ann
 

@@ -43,14 +43,19 @@ def hot_keys(
     max_keys: int = 64,
 ) -> list:
     """Keys holding more than ``threshold_frac`` of all rows (driver-side
-    list, bounded by ``max_keys`` — a broadcast-sized artifact by design)."""
-    total = df.count()
-    if total == 0:
-        return []
+    list, bounded by ``max_keys`` — a broadcast-sized artifact by design).
+
+    Single pass over the big table: the total is the sum of the per-key
+    counts (a window over the already-aggregated key table), not a second
+    full scan (round-1 finding: ``df.count()`` + ``groupBy().count()`` read
+    the data twice)."""
+    from pyspark.sql import Window
+
+    per_key = df.groupBy(key_col).count()
+    total_w = F.sum("count").over(Window.partitionBy())
     rows = (
-        df.groupBy(key_col)
-        .count()
-        .filter(F.col("count") > threshold_frac * total)
+        per_key.withColumn("_total", total_w)
+        .filter(F.col("count") > threshold_frac * F.col("_total"))
         .orderBy(F.col("count").desc())
         .limit(max_keys)
         .collect()
