@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative graph operators (components / BFS / alias chains)
         "graph_components": q.graph_components,
         "graph_reach": q.graph_reach,
+        "graph_closure": q.graph_closure,
+        "geo_entities_typed": q.geo_entities_typed,
+        "events_stream_windows": q.events_stream_windows,  # Structured Streaming, drained
         "dedup_groups": q.dedup_groups,
         "alias_resolve": q.alias_resolve,
         "geo_cascade_resolve": q.geo_cascade_resolve,
@@ -99,6 +102,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_combine": oracle.graph_combine_sql(),
         "graph_components": oracle.graph_components_sql(),
         "graph_reach": oracle.graph_reach_sql(),
+        "graph_closure": oracle.graph_closure_sql(),
+        "geo_entities_typed": oracle.entities_typed_sql(),
+        "events_stream_windows": oracle.events_stream_windows_sql(),
         "dedup_groups": oracle.dedup_groups_sql(),
         "alias_resolve": oracle.alias_resolve_sql(),
         "geo_cascade_resolve": oracle.cascade_resolve_sql(),

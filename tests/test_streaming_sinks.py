@@ -1,0 +1,75 @@
+"""Structured Streaming operators + DOT/JSON sinks."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from tree_sitter_codeviews_spark import streaming
+from tree_sitter_codeviews_spark.operators.relational import events_sessions
+from tree_sitter_codeviews_spark.sources import sinks
+from tree_sitter_codeviews_spark.sources.testdata import load_table
+
+
+def test_stream_windows_equals_batch(spark, sf_tiny):
+    got = streaming.run_available_now(
+        streaming.windowed_event_counts(streaming.stream_events(spark, sf_tiny))
+    )
+    ev = load_table(spark, sf_tiny, "events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_stream_sessionize_matches_batch(spark, sf_tiny):
+    # single bounded batch => the stateful operator's per-user totals equal
+    # the batch sessionizer's
+    out = streaming.run_available_now(
+        streaming.sessionize_stream(streaming.stream_events(spark, sf_tiny)),
+        mode="update",
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in out.collect()}
+    batch = events_sessions(spark, sf_tiny)
+    want = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in batch.groupBy("user_id").agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        ).collect()
+    }
+    assert got == want
+
+
+def _tiny_graph(spark):
+    nodes = spark.createDataFrame(
+        [(1, 10, "a"), (1, 11, "b"), (2, 20, "c")],
+        "graph_id long, node_id long, label string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10, 11, "next")], "graph_id long, src long, dst long, edge_type string"
+    )
+    return nodes, edges
+
+
+def test_dot_sink(spark):
+    nodes, edges = _tiny_graph(spark)
+    out = {r.graph_id: r.dot for r in sinks.graph_to_dot(nodes, edges).collect()}
+    assert out[1] == (
+        'digraph g1 {\n  n10 [label="a"];\n  n11 [label="b"];\n'
+        '  n10 -> n11 [label="next"];\n}'
+    )
+    assert 'n20 [label="c"]' in out[2] and "->" not in out[2]
+
+
+def test_json_sink_roundtrips(spark):
+    nodes, edges = _tiny_graph(spark)
+    out = {r.graph_id: json.loads(r.json) for r in sinks.graph_to_json(nodes, edges).collect()}
+    assert out[1]["nodes"] == [{"node_id": 10, "label": "a"}, {"node_id": 11, "label": "b"}]
+    assert out[1]["links"] == [{"src": 10, "dst": 11, "edge_type": "next"}]
+    assert "links" not in out[2] or not out[2].get("links")

@@ -134,6 +134,34 @@ def reach(
     return visited
 
 
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """All (src, dst) pairs connected by a directed path: the reference's
+    inheritance/overload closure (``codeviews/CFG/CFG_cpp.py:407-438``
+    closes the derived-class hierarchy; ``:2426-2534`` the overload set).
+
+    Path doubling: P_{k+1} = P_k ∪ (P_k ∘ P_k), so paths up to length
+    2^max_iter close in max_iter rounds — log(longest path) shuffles, the
+    right shape for deep hierarchies on a cluster. Output excludes the
+    trivial (v, v) pairs unless the input has cycles through v."""
+    paths = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct().localCheckpoint()
+    for _ in range(max_iter):
+        before = paths.count()
+        comp = (
+            paths.alias("p")
+            .join(paths.alias("q"), F.col("p.b") == F.col("q.a"))
+            .select(F.col("p.a").alias("a"), F.col("q.b").alias("b"))
+        )
+        paths = paths.unionByName(comp).distinct().localCheckpoint()
+        if paths.count() == before:
+            break
+    return paths.select(F.col("a").alias(src), F.col("b").alias(dst))
+
+
 def resolve_chains(
     mapping: DataFrame,
     alias_col: str = "alias",

@@ -340,6 +340,37 @@ SELECT node AS node_id, CAST(min(hops) AS BIGINT) AS hops FROM r GROUP BY 1
 """
 
 
+def graph_closure_sql() -> str:
+    """Directed transitive closure of the broken chain edges."""
+    return f"""
+WITH RECURSIVE {_graph_ctes()},
+{_BROKEN_EDGES},
+r(a, b) AS (
+  SELECT src, dst FROM be
+  UNION
+  SELECT r.a, be.dst FROM r JOIN be ON be.src = r.b
+)
+SELECT a AS ancestor, b AS descendant FROM r
+"""
+
+
+def entities_typed_sql() -> str:
+    """Typed entity rows: kind = gaz_idx % 3 cycle, data_type from kind."""
+    gi = layers.MENTION_IDX_SQL.format(j="j")
+    return f"""
+WITH ment AS (
+  SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS j FROM documents
+)
+SELECT
+  printf('https://host%04d.example/doc/%d', (doc_id % 100)::int, doc_id) AS url,
+  j::int AS entity_id,
+  printf('GEO_%05d', {gi}) AS surface,
+  CASE ({gi}) % 3 WHEN 0 THEN 'city' WHEN 1 THEN 'poi' ELSE 'region' END AS entity_kind,
+  CASE ({gi}) % 3 WHEN 2 THEN 'polygon' ELSE 'point' END AS data_type
+FROM ment
+"""
+
+
 def dedup_groups_sql(threshold: float = 0.5) -> str:
     """Components over the exact-Jaccard pair graph; singletons keep their
     own id."""
@@ -462,6 +493,18 @@ SELECT DISTINCT graph_id, src, dst, edge_type FROM (
   SELECT graph_id, src, dst, edge_type FROM e
   UNION ALL SELECT graph_id, src, dst, edge_type FROM skip
 )
+"""
+
+
+def events_stream_windows_sql() -> str:
+    """Batch mirror of the drained streaming windowed aggregation: tumbling
+    1h event-time buckets (epoch-aligned, same origin as Spark's window)."""
+    return """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
 """
 
 

@@ -290,6 +290,33 @@ def graph_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed transitive closure of the broken chain (the reference's
+    derived-class / overload-set closure, CFG_cpp.py:407-438): every
+    (ancestor, descendant) pair, path doubling in O(log pathlen) rounds."""
+    from .operators import graph_iter
+
+    return graph_iter.transitive_closure(_broken_edges(spark, sf_dir)).select(
+        F.col("src").alias("ancestor"), F.col("dst").alias("descendant")
+    )
+
+
+def geo_entities_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity rows with the typed-declaration columns (reference rows
+    §2.2 declaration predicate + type-of-declarator): entity_kind from the
+    gazetteer dim and a kind-dependent data_type derivation."""
+    pages = pages_src.pages_df(spark, sf_dir)
+    gaz = pages_src.gazetteer_df(spark)
+    ents = extract.page_entities(pages, gaz)
+    data_type = F.when(F.col("entity_kind") == "city", F.lit("point"))\
+        .when(F.col("entity_kind") == "poi", F.lit("point"))\
+        .otherwise(F.lit("polygon"))
+    return ents.select(
+        "url", "entity_id", "surface", "entity_kind",
+        data_type.alias("data_type"),
+    )
+
+
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup group formation: connected components over the exact-Jaccard
     pair graph; every doc gets a group (singletons map to themselves) and
@@ -537,6 +564,17 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textstats
 
     return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+def events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming gate row: watermarked tumbling-window counts
+    over the events file stream, drained with availableNow — deterministic
+    on bounded input, so the oracle is a plain GROUP BY on the hour
+    bucket."""
+    from . import streaming
+
+    ev = streaming.stream_events(spark, sf_dir)
+    return streaming.run_available_now(streaming.windowed_event_counts(ev))
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,132 @@
+"""Structured Streaming operators (SURVEY §2.9).
+
+The reference is a batch per-file tool, so round 1 mapped §2.9 to batch
+checkpoint/resume (``checkpoint.py``). This module adds the genuine
+streaming surface a web-scale ingest needs on top of that:
+
+- **stream_events** — file-source stream over the events table (at
+  production: a Kafka/file drop directory; schema pinned explicitly, as
+  file streams require).
+- **windowed_event_counts** — event-time tumbling windows + watermark: the
+  standard late-data-tolerant streaming aggregation.
+- **run_available_now** — drain the stream with the ``availableNow``
+  trigger into a memory sink and return the result as a plain DataFrame.
+  On bounded input this is deterministic, which makes the streaming path
+  ORACLE-CHECKABLE: the driver gate compares the drained stream against a
+  plain GROUP BY in DuckDB (gate query ``events_stream_windows``).
+- **sessionize_stream** — custom stateful operator via
+  ``applyInPandasWithState`` (SURVEY §2.10 / the task's stateful-stream
+  row): per-user session counting with a gap timeout carried in state.
+
+Scale notes: the windowed aggregation shuffles on (window, event_type) with
+map-side partial aggregation; the watermark bounds state size (windows
+older than watermark are evicted). The stateful sessionizer partitions by
+user_id — state per key is O(1) (last ts + counter), the shape that holds
+at 10^9 users.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_sink_counter = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DataFrame over the events parquet (file source)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source needs a directory basePath: glob the single parquet
+    # (at production this is the ingest drop directory and the glob is moot)
+    path = f"{sf_dir}/events.parquet*"
+    # watermarks require TIMESTAMP (LTZ); the table stores NTZ. Session TZ
+    # is pinned UTC (session.py), so the cast is wall-clock identity.
+    return (
+        spark.readStream.schema(schema).parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time windows with late-data watermark:
+    (window_start, event_type, n_events, sum_value)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            # back to NTZ: the stored type, and what the DuckDB oracle emits
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drain a streaming DataFrame (availableNow trigger -> memory sink);
+    returns the sink contents as a batch DataFrame. Bounded input =>
+    deterministic output => gate-comparable."""
+    name = f"tscv_stream_sink_{next(_sink_counter)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user session count with a >gap_s inactivity boundary. State per
+    user = (last event ts, sessions so far) — O(1) per key. Emits one
+    (user_id, n_sessions, n_events) row per user per micro-batch (update
+    mode); on a single bounded batch the emission equals the batch
+    sessionizer's per-user totals (pinned by tests/test_streaming.py)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+
+    def fn(key, pdf_iter, state: GroupState):
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        for pdf in pdf_iter:
+            ts = pd.to_datetime(pdf["ts"]).astype("int64").to_numpy() / 1e9
+            order = ts.argsort(kind="stable")
+            for t in ts[order]:
+                if last_ts is None or t - last_ts > gap_s:
+                    n_sessions += 1
+                last_ts = float(t)
+                n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_sessions": [n_sessions],
+            "n_events": [n_events],
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
