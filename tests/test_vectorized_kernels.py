@@ -31,6 +31,23 @@ def test_extract_text_fallback_and_null(spark):
     assert got[2] is None
 
 
+def test_fused_entities_equals_two_step(spark, sf_tiny):
+    # the single-round-trip UDF must produce exactly the two-step rows
+    from pyspark.sql import functions as F
+    from tree_sitter_codeviews_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, sf_tiny).limit(200)
+    fused = pages.select(
+        "url", F.explode(extract.extract_entities_fused_udf("html")).alias("e")
+    ).select("url", "e.entity_id", "e.surface", "e.char_offset")
+    two_step = pages.select(
+        "url", extract.extract_text_udf("html").alias("t")
+    ).select(
+        "url", F.explode(extract.extract_entities_udf("t")).alias("e")
+    ).select("url", "e.entity_id", "e.surface", "e.char_offset")
+    assert {tuple(r) for r in fused.collect()} == {tuple(r) for r in two_step.collect()}
+
+
 def test_langid_vectorized_matches_scalar(spark, sf_tiny):
     docs = load_table(spark, sf_tiny, "documents").limit(100)
     got = {r.doc_id: r.pred_lang for r in textstats.langid(docs).collect()}

@@ -625,7 +625,7 @@ SELECT vec_id_a, vec_id_b, cos_q FROM (
 
 
 def dedup_embedding_lsh_sql(
-    threshold: float = 0.4, dim: int = 64, n_planes: int = 8,
+    threshold: float = 0.4, dim: int = 64, n_planes: int = 12,
     max_hamming: int = 2,
 ) -> str:
     """Naive quadratic mirror of the multi-probe hyperplane LSH near-dup:
