@@ -341,11 +341,14 @@ def embedding_lsh_dups(
     cos = F.col("dot").cast("double") / F.sqrt(
         F.col("norm_a").cast("double") * F.col("norm_b").cast("double")
     )
+    # no pair dedupe needed: a pair (a,b) matches via exactly ONE mask
+    # (mask == bucket_a XOR bucket_b), so the probe join emits each
+    # candidate once — skipping dropDuplicates saves a full shuffle of
+    # array-laden rows
     return (
         a.join(b, "probe")
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b", "qa", "qb", "norm_a", "norm_b")
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
         .withColumn("dot", int_dot_udf(F.col("qa"), F.col("qb")))
         .withColumn("cos_q", F.round(cos, 6))
         .filter(F.col("cos_q") >= threshold)
