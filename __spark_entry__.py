@@ -18,6 +18,12 @@ from tree_sitter_codeviews_spark import oracle, queries as q
 from tree_sitter_codeviews_spark.operators import relational as rel
 
 
+def _sql_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tree_sitter_codeviews_spark import sqlapi
+
+    return sqlapi.sql_tiles(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> byte-identical extract -> entities -> cell encode ->
     two-phase PIP join -> (url, cell_id, polygon_id) triples."""
@@ -34,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_entities": q.geo_entities,
         "geo_pip_entities": q.geo_pip_entities,
         "geo_tiles": q.geo_tiles,
+        "sql_geo_tiles": _sql_geo_tiles,   # same result via the pure-SQL surface
         "geo_pip_salted": q.geo_pip_salted,
         "geo_tiles_salted": q.geo_tiles_salted,
         "geo_knn": q.geo_knn,
@@ -93,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_entities": oracle.entities_sql(),
         "geo_pip_entities": oracle.pip_entities_sql(),
         "geo_tiles": oracle.tiles_sql(),
+        "sql_geo_tiles": oracle.tiles_sql(),
         "geo_pip_salted": oracle.pip_docs_sql(),
         "geo_tiles_salted": oracle.tiles_sql(res_lo=10, res_hi=10),
         "geo_knn": oracle.knn_sql(),

@@ -77,6 +77,70 @@ def test_cascade_join_priority_and_via(spark):
     assert got == {1: (100, "first"), 2: (201, "second"), 3: (-1, "none")}
 
 
+def _uf_components(pairs):
+    """Union-find reference: node -> min node id in component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_components_random_graphs_match_union_find(spark):
+    # hypothesis-style sweep without per-example Spark jobs (too slow):
+    # several seeded random graphs incl. dense, sparse, and multi-component
+    import random
+
+    for seed, n_nodes, n_edges in [(1, 20, 10), (2, 40, 60), (3, 60, 25), (4, 8, 30)]:
+        rng = random.Random(seed)
+        pairs = [(rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        e = _edges(spark, pairs)
+        got = {r.node: r.component for r in graph_iter.connected_components(e).collect()}
+        assert got == _uf_components(pairs), f"seed={seed}"
+
+
+def test_closure_random_dags_match_reference(spark):
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        # DAG edges (a < b) keep the reference reachability simple
+        pairs = sorted({(a, a + 1 + rng.randrange(5)) for a in range(15)
+                        for _ in range(2) if rng.random() < 0.6})
+        pairs = [(a, b) for a, b in pairs if b < 20]
+        if not pairs:
+            continue
+        # reference: DFS reachability
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+        want = set()
+        for s in adj:
+            stack, seen = [s], set()
+            while stack:
+                u = stack.pop()
+                for v in adj.get(u, ()):
+                    if v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            want |= {(s, v) for v in seen}
+        got = {(r.src, r.dst) for r in
+               graph_iter.transitive_closure(_edges(spark, pairs)).collect()}
+        assert got == want, f"seed={seed}"
+
+
 def test_grouped_metrics_hand_graph(spark):
     # graph 7: path 1-2-3 + isolated edge 10-11 => 5 nodes, 3 edges,
     # 2 components, diameter 2; graph 8: single edge
