@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_entities_typed": q.geo_entities_typed,
         "events_stream_windows": q.events_stream_windows,  # Structured Streaming, drained
         "dedup_groups": q.dedup_groups,
+        "dedup_groups_lsh": q.dedup_groups_lsh,  # rows-only (LSH recall); exact twin above
         "alias_resolve": q.alias_resolve,
         "geo_cascade_resolve": q.geo_cascade_resolve,
         "graph_grouped_metrics": q.graph_grouped_metrics,
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running": rel.events_running,
         "events_asof": rel.events_asof,
         "events_sessions": rel.events_sessions,
+        "events_percentiles": rel.events_percentiles,
         "orders_rollup": rel.orders_rollup,
         "customers_no_orders": rel.customers_no_orders,
     }
@@ -137,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "events_running": oracle.events_running_sql(),
         "events_asof": oracle.events_asof_sql(),
         "events_sessions": oracle.events_sessions_sql(),
+        "events_percentiles": oracle.events_percentiles_sql(),
         "orders_rollup": oracle.orders_rollup_sql(),
         "customers_no_orders": oracle.customers_no_orders_sql(),
         # intentionally no oracle (driver records rows-only):

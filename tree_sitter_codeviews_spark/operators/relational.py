@@ -127,6 +127,22 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exact percentiles of the value column (continuous
+    interpolation — Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    the definition, so the gate hashes match bit-for-bit after 6dp
+    rounding). At 10^12 rows swap for ``approx_percentile`` (t-digest) —
+    exact percentile needs a per-group sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(

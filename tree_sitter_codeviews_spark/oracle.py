@@ -822,6 +822,18 @@ FROM events e WHERE e.event_type = 'click'
 """
 
 
+def events_percentiles_sql() -> str:
+    return """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def orders_rollup_sql() -> str:
     return """
 SELECT o_orderstatus, o_orderpriority,

@@ -335,6 +335,23 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group formation over the MinHash-LSH pair graph with the stop-shingle
+    cut — the composition an actual 100 TB dedup pipeline runs (candidates
+    are probabilistic, so rows-only; the exact-pair variant ``dedup_groups``
+    is the oracle-green twin)."""
+    from .operators import dedup, graph_iter
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dups(docs, n=3, threshold=0.5, max_df=200)
+    comp = graph_iter.connected_components(
+        pairs, src="doc_id_a", dst="doc_id_b"
+    ).select(F.col("node").alias("doc_id"), "component")
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id")
+    )
+
+
 def alias_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded alias-chain expansion (the reference's typedef expansion,
     c_parser.py:444-463): ALT_i -> ALT_{i-1} -> ... -> GEO_j terminal.
