@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_closure": q.graph_closure,
         "geo_entities_typed": q.geo_entities_typed,
         "events_stream_windows": q.events_stream_windows,  # Structured Streaming, drained
+        "dedup_stream_exact": q.dedup_stream_exact,        # streaming dropDuplicates, drained
         "dedup_groups": q.dedup_groups,
         "dedup_groups_lsh": q.dedup_groups_lsh,  # rows-only (LSH recall); exact twin above
         "alias_resolve": q.alias_resolve,
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_closure": oracle.graph_closure_sql(),
         "geo_entities_typed": oracle.entities_typed_sql(),
         "events_stream_windows": oracle.events_stream_windows_sql(),
+        "dedup_stream_exact": "SELECT DISTINCT md5(text) AS text_hash FROM documents",
         "dedup_groups": oracle.dedup_groups_sql(),
         "alias_resolve": oracle.alias_resolve_sql(),
         "geo_cascade_resolve": oracle.cascade_resolve_sql(),
@@ -143,7 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": oracle.orders_rollup_sql(),
         "customers_no_orders": oracle.customers_no_orders_sql(),
         # intentionally no oracle (driver records rows-only):
-        # dedup_minhash_lsh + ann_lsh_topk (LSH recall), dedup_simhash
-        # (engine-specific xxhash64), ann_cosine_topk (float ULP),
-        # text_langid (heuristic UDF), geo_tiles_approx (HLL estimate)
+        # dedup_minhash_lsh + ann_lsh_topk + dedup_groups_lsh (LSH recall),
+        # dedup_simhash (engine-specific xxhash64), ann_cosine_topk (float
+        # ULP), text_langid (heuristic UDF), geo_tiles_approx (HLL estimate)
     }

@@ -594,6 +594,17 @@ def events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(streaming.windowed_event_counts(ev))
 
 
+def dedup_stream_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup drained with availableNow: the distinct
+    md5(text) set — oracle = SELECT DISTINCT md5(text)."""
+    from . import streaming
+
+    return streaming.run_available_now(
+        streaming.stream_dedup_hashes(streaming.stream_documents(spark, sf_dir)),
+        mode="append",
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal
 

@@ -87,6 +87,24 @@ def run_available_now(df: DataFrame, mode: str = "complete") -> DataFrame:
     return df.sparkSession.table(name)
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DataFrame over the documents parquet (file source)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.parquet*")
+
+
+def stream_dedup_hashes(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup: the first-seen row per md5(text) survives
+    (stateful ``dropDuplicates`` — state = one hash per distinct document,
+    the canonical streaming-ingest dedup at web scale). Projected to the
+    hash column so the bounded-input drain is deterministic (which doc_id
+    survives a same-batch tie is not)."""
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_hash"))
+        .dropDuplicates(["text_hash"])
+    )
+
+
 def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     per-user session count with a >gap_s inactivity boundary. State per
