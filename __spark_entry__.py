@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running": rel.events_running,
         "events_asof": rel.events_asof,
         "events_sessions": rel.events_sessions,
+        "q14_promo_revenue": rel.q14_promo_revenue,
+        "supplier_balance_tiers": rel.supplier_balance_tiers,
         "events_percentiles": rel.events_percentiles,
         "orders_rollup": rel.orders_rollup,
         "customers_no_orders": rel.customers_no_orders,
@@ -141,6 +143,8 @@ def oracle_sql() -> dict[str, str]:
         "events_running": oracle.events_running_sql(),
         "events_asof": oracle.events_asof_sql(),
         "events_sessions": oracle.events_sessions_sql(),
+        "q14_promo_revenue": oracle.q14_promo_revenue_sql(),
+        "supplier_balance_tiers": oracle.supplier_balance_tiers_sql(),
         "events_percentiles": oracle.events_percentiles_sql(),
         "orders_rollup": oracle.orders_rollup_sql(),
         "customers_no_orders": oracle.customers_no_orders_sql(),

@@ -127,6 +127,44 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share per month. Broadcast the
+    part dim; one shuffle for the month rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.round(F.sum(promo) * 100.0 / F.sum(rev), 6).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def supplier_balance_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier rollup by nation + account-balance tier (CASE bucketing +
+    two-key agg; exercises the supplier dim)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    tier = (
+        F.when(F.col("s_acctbal") < 0, "debt")
+        .when(F.col("s_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", tier.alias("bal_tier"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
 def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type exact percentiles of the value column (continuous
     interpolation — Spark ``percentile`` and DuckDB ``quantile_cont`` share

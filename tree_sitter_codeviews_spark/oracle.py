@@ -822,6 +822,31 @@ FROM events e WHERE e.event_type = 'click'
 """
 
 
+def q14_promo_revenue_sql() -> str:
+    return """
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+       round(sum(CASE WHEN p_type = 'ECONOMY'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def supplier_balance_tiers_sql() -> str:
+    return """
+SELECT n_name,
+       CASE WHEN s_acctbal < 0 THEN 'debt'
+            WHEN s_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_tier,
+       count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
 def events_percentiles_sql() -> str:
     return """
 SELECT event_type,
