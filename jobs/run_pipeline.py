@@ -86,23 +86,18 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     )
 
     # chunk by coarse Hilbert range of the entity location (level 2 => 16
-    # cells; branchless JVM encode — no Python in the router)
+    # cells). The route key is the COARSE iterative encode — a bounded
+    # expression safe to put under a pushed-down filter; the level-16
+    # branchless chain here cost ~4 min/chunk of pure codegen once predicate
+    # pushdown substituted it into the filter (see s2.hilbert_coarse_col).
     def triples_chunk(c: str):
         lo = int(c)
-        keyed = entities.withColumns({
-            "_x2": s2.upscale_grid_col(
-                F.floor((F.col("lon") + 180.0) / 360.0 * 4).cast("long"), 2, s2.S2_RES
-            ),
-            "_y2": s2.upscale_grid_col(
-                F.floor((F.col("lat") + 90.0) / 180.0 * 4).cast("long"), 2, s2.S2_RES
-            ),
-        })
-        keyed = s2.with_hilbert_col(keyed, "_x2", "_y2", s2.S2_RES, out="_h16")
-        part = (
-            keyed.withColumn("_h2", F.shiftright(F.col("_h16"), 2 * (s2.S2_RES - 2)))
-            .filter(F.pmod(F.col("_h2"), F.lit(N_CHUNKS)) == lo)
-            .drop("_x2", "_y2", "_h16", "_h2")
+        h2 = s2.hilbert_coarse_col(
+            F.floor((F.col("lon") + 180.0) / 360.0 * 4),
+            F.floor((F.col("lat") + 90.0) / 180.0 * 4),
+            res=2,
         )
+        part = entities.filter(F.pmod(h2, F.lit(N_CHUNKS)) == lo)
         return pip_join.pip_join(part, spark, keys=("url",)).select(
             "url", "cell_id", "polygon_id"
         ).distinct()
@@ -118,9 +113,28 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         ),
     )
 
+    # stage 5: near-dup group formation over the extracted page text —
+    # Jaccard pair graph (stop-shingle cut) -> connected components ->
+    # (doc_id, group_id) survivor table (the training-data dedup step)
+    def dedup_stage():
+        from tree_sitter_codeviews_spark.operators import dedup, graph_iter
+
+        docs = pages.select("doc_id", F.col("text"))
+        pairs = dedup.jaccard_pairs_exact(docs, n=3, threshold=0.5, max_df=1000)
+        comp = graph_iter.connected_components(
+            pairs, src="doc_id_a", dst="doc_id_b"
+        ).select(F.col("node").alias("doc_id"), "component")
+        return docs.select("doc_id").join(comp, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id"),
+        )
+
+    groups = pipe.stage("dedup_groups", dedup_stage)
+
     print(
         f"job={args.job_id} pages={pages.count()} entities={entities.count()} "
         f"triples={triples.count()} tiles={tile_out.count()} "
+        f"dedup_groups={groups.count()} "
         f"recomputed={pipe.recomputed or ['<none — full resume>']}"
     )
     if owns_session:

@@ -53,3 +53,38 @@ def test_upscale_center_consistent():
 
 def test_s2_encode_matches_oracle(spark, sf_tiny):
     assert_matches(geo_s2_encode(spark, sf_tiny), sf_tiny, s2_encode_sql(), "geo_s2_encode")
+
+
+def test_hilbert_coarse_col_matches_numpy_and_truncation(spark):
+    """The route-key encode: hilbert_coarse_col == hilbert_np at the coarse
+    res, and (self-similarity) == the level-16 branchless encode of the
+    upscaled center coords truncated back down."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    res = 2
+    n = 1 << res
+    pdf = pd.DataFrame({
+        "x": rng.integers(0, n, size=200), "y": rng.integers(0, n, size=200)
+    })
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.withColumn("d", s2.hilbert_coarse_col(F.col("x"), F.col("y"), res))
+        .orderBy("x", "y").select("x", "y", "d").toPandas()
+    )
+    want = s2.hilbert_np(
+        got["x"].to_numpy(), got["y"].to_numpy(), res
+    )
+    np.testing.assert_array_equal(got["d"].to_numpy(), want)
+
+    up = df.withColumns({
+        "x16": s2.upscale_grid_col(F.col("x").cast("long"), res, s2.S2_RES),
+        "y16": s2.upscale_grid_col(F.col("y").cast("long"), res, s2.S2_RES),
+    })
+    up = s2.with_hilbert_col(up, "x16", "y16", s2.S2_RES, out="h16")
+    trunc = (
+        up.withColumn("d2", s2.hilbert_at_level_col(F.col("h16"), res))
+        .orderBy("x", "y").select("d2").toPandas()["d2"].to_numpy()
+    )
+    np.testing.assert_array_equal(trunc, want)

@@ -225,6 +225,39 @@ def hilbert_at_level_col(h_finest: Column, level: int, finest: int = S2_RES) -> 
     return F.shiftright(h_finest, 2 * (finest - level))
 
 
+def hilbert_coarse_col(x: Column, y: Column, res: int) -> Column:
+    """Hilbert index of (x, y) on the tiny 2^res x 2^res grid as ONE bounded
+    column expression — the *route-key* encode.
+
+    Use this (not ``with_hilbert_col``) wherever the Hilbert value feeds a
+    **filter or join condition**: Catalyst's predicate pushdown substitutes
+    alias chains into the condition wholesale, and the branchless level-16
+    chain has multi-referenced aliases at ~10 depths, so substitution
+    duplicates subtrees multiplicatively — measured ~4 min of pure optimizer/
+    codegen time per query (data-independent) before this existed. The
+    iterative xy->d transform here has fan-out ~4 per level, fine for
+    res <= 4 (the routing use case: 4^res chunks), and by Hilbert
+    self-similarity equals ``with_hilbert_col`` at level 16 truncated to
+    ``res`` — asserted in tests/test_s2.py."""
+    if res > 4:
+        raise ValueError("hilbert_coarse_col is for coarse route keys (res <= 4)")
+    n = 1 << res
+    x = x.cast("long")
+    y = y.cast("long")
+    d = F.lit(0).cast("long")
+    for i in range(res - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        d = d + F.lit(s * s).cast("long") * (F.lit(3).cast("long") * rx).bitwiseXOR(ry)
+        flip = ry.eqNullSafe(F.lit(0)) & rx.eqNullSafe(F.lit(1))
+        xf = F.when(flip, F.lit(n - 1) - x).otherwise(x)
+        yf = F.when(flip, F.lit(n - 1) - y).otherwise(y)
+        swap = ry.eqNullSafe(F.lit(0))
+        x, y = F.when(swap, yf).otherwise(xf), F.when(swap, xf).otherwise(yf)
+    return d
+
+
 def upscale_grid_col(g: Column, from_res: int, to_res: int) -> Column:
     """Grid coord of the *center* of a from_res cell on the to_res grid —
     exact int arithmetic (matches the SQL oracle bit-for-bit)."""
