@@ -53,8 +53,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q.graph_components,
         "graph_reach": q.graph_reach,
         "graph_closure": q.graph_closure,
+        "graph_rda": q.graph_rda,
         "geo_entities_typed": q.geo_entities_typed,
         "events_stream_windows": q.events_stream_windows,  # Structured Streaming, drained
+        "events_stream_sessions": q.events_stream_sessions,  # applyInPandasWithState, drained
         "dedup_stream_exact": q.dedup_stream_exact,        # streaming dropDuplicates, drained
         "dedup_groups": q.dedup_groups,
         "dedup_groups_lsh": q.dedup_groups_lsh,  # rows-only (LSH recall); exact twin above
@@ -74,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_quantized": q.ann_topk_quantized,
         "ann_cosine_topk": q.ann_cosine_topk,          # rows-only (float ULP)
         "ann_lsh_topk": q.ann_lsh_topk,                # rows-only (LSH recall)
+        "ann_ivf_topk": q.ann_ivf_topk,                # IVF scale path, oracle-mirrored
         "text_tokens": q.text_tokens,
         "text_quality": q.text_quality,
         "lang_stats": q.lang_stats,
@@ -116,8 +119,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": oracle.graph_components_sql(),
         "graph_reach": oracle.graph_reach_sql(),
         "graph_closure": oracle.graph_closure_sql(),
+        "graph_rda": oracle.graph_rda_sql(),
         "geo_entities_typed": oracle.entities_typed_sql(),
         "events_stream_windows": oracle.events_stream_windows_sql(),
+        "events_stream_sessions": oracle.events_stream_sessions_sql(),
         "dedup_stream_exact": "SELECT DISTINCT md5(text) AS text_hash FROM documents",
         "dedup_groups": oracle.dedup_groups_sql(),
         "alias_resolve": oracle.alias_resolve_sql(),
@@ -131,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracle.dedup_embedding_sql(threshold=0.45),
         "dedup_embedding_lsh": oracle.dedup_embedding_lsh_sql(),
         "ann_topk_quantized": oracle.ann_topk_quantized_sql(),
+        "ann_ivf_topk": oracle.ann_ivf_sql(),
         "text_tokens": oracle.text_tokens_sql(),
         "text_quality": oracle.text_quality_sql(),
         "lang_stats": oracle.lang_stats_sql(),

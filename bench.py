@@ -50,6 +50,8 @@ HEADLINE = [
     "graph_grouped_metrics",  # applyInPandas per-graph analytics
     "dedup_embedding_lsh",    # bucketed embedding near-dup (multi-probe LSH)
     "events_stream_windows",  # Structured Streaming drain (availableNow)
+    "ann_ivf_topk",           # IVF inverted-file ANN (sampled centroids)
+    "events_stream_sessions", # applyInPandasWithState stateful sessionizer
 ]
 
 

@@ -112,3 +112,36 @@ def test_exact_dedup_finds_planted_dups(spark):
     )
     rows = {r.text_hash: (r.n_dups, r.keep_doc_id) for r in dedup.exact_dup_groups(df).collect()}
     assert sorted(v for v in rows.values()) == [(1, 3), (2, 1)]
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_tiny):
+    """IVF lists are the brute-force cosine top-k restricted to probed
+    cells (the oracle proves that exactly); here: recall vs UNRESTRICTED
+    brute force stays above a floor, and ranks are consecutive from 1."""
+    embs = load_table(spark, sf_tiny, "embeddings")
+    got = ann.ivf_topk(embs, k=10, every=50).toPandas()
+
+    # consecutive ranks per query
+    for _, g in got.groupby("query_id"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+
+    # brute-force cos_q top-k (same quantized metric, same tie-break)
+    from tree_sitter_codeviews_spark.operators.dedup import quantize_col
+    q = embs.select("vec_id", quantize_col(F.col("embedding")).alias("qv"))
+    pdf = q.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+    norms = (m * m).sum(axis=1)
+    hits = tot = 0
+    for qid in np.unique(got["query_id"]):
+        qi = np.where(ids == qid)[0][0]
+        cos = np.round((m @ m[qi]) / np.sqrt(norms * norms[qi]), 6)
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qid),
+            key=lambda i: (-cos[i], ids[i]),
+        )
+        want = {ids[i] for i in order[:10]}
+        have = set(got[got["query_id"] == qid]["neighbor_id"])
+        hits += len(want & have)
+        tot += len(want)
+    assert tot > 0 and hits / tot >= 0.5, f"IVF recall {hits}/{tot}"

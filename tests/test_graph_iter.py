@@ -151,3 +151,55 @@ def test_grouped_metrics_hand_graph(spark):
     got = {r.graph_id: (r.n_nodes, r.n_edges, r.n_components, r.diameter)
            for r in graphstats.graph_metrics(e).collect()}
     assert got == {7: (5, 3, 2, 2), 8: (2, 1, 1, 1)}
+
+
+def test_rda_hand_graph(spark):
+    # chain 1->2->3->4 plus branch 2->5. defs: (1,v0), (3,v0), (2,v1).
+    # (1,v0) reaches 2,5,3 (killed AT 3's exit: reaches 3's entry, not 4).
+    # (3,v0) reaches 4. (2,v1) reaches 3,4,5? 5 is successor of 2 -> yes;
+    # and propagates 3->4 (3 defines v0, not v1).
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (2, 5)])
+    defs = spark.createDataFrame([(1, 0), (3, 0), (2, 1)], "node long, var long")
+    got = {(r.node, r.var, r.def_node)
+           for r in graph_iter.reaching_definitions(e, defs).collect()}
+    assert got == {
+        (2, 0, 1), (3, 0, 1), (5, 0, 1),
+        (4, 0, 3),
+        (3, 1, 2), (4, 1, 2), (5, 1, 2),
+    }
+
+
+def test_rda_cycle_terminates_and_matches_reference(spark):
+    # random graphs WITH cycles vs a Python fixpoint reference
+    import random
+
+    rng = random.Random(20260816)
+    for trial in range(3):
+        n = 30
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(60)}
+        defs = {(v, v % 3) for v in range(n) if rng.random() < 0.4}
+        e = _edges(spark, sorted(edges))
+        d = spark.createDataFrame(sorted(defs), "node long, var long")
+        got = {(r.node, r.var, r.def_node)
+               for r in graph_iter.reaching_definitions(e, d).collect()}
+
+        # reference: BFS per def with kill blocking
+        want = set()
+        succ = {}
+        for a, b in edges:
+            succ.setdefault(a, []).append(b)
+        kills = defs
+        for dnode, var in defs:
+            seen = set()
+            frontier = [m for m in succ.get(dnode, [])]
+            while frontier:
+                nxt = []
+                for m in frontier:
+                    if (m, var, dnode) in seen:
+                        continue
+                    seen.add((m, var, dnode))
+                    if (m, var) not in kills:
+                        nxt.extend(succ.get(m, []))
+                frontier = nxt
+            want |= seen
+        assert got == want, f"trial {trial}"

@@ -116,6 +116,93 @@ def topk_cosine_pandas(embs: DataFrame, k: int = 10, every: int = 50) -> DataFra
     )
 
 
+def ivf_topk(
+    embs: DataFrame,
+    k: int = 10,
+    every: int = 50,
+    centroid_every: int = 40,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into cells, score
+    each query only against its ``nprobe`` nearest cells' vectors.
+
+    Centroids are a deterministic 1/``centroid_every`` sample of the corpus
+    itself (no iterative k-means — a fixed, oracle-reproducible coarse
+    quantizer). Build: one broadcast of the centroid table, map-side scoring,
+    ``max_by`` assignment (partial-aggregated, so the pre-shuffle width is one
+    row per vector). Read: queries probe their nprobe nearest cells and
+    equi-join the cell's inverted list — shuffle bounded by cell sizes, never
+    all-pairs. Recall < 1 when a true neighbor's cell isn't probed (the IVF
+    contract); the output itself is deterministic, so the gate oracle mirrors
+    it exactly (quantized integer dots, round-6 cosine, id tie-breaks).
+
+    At 10^12 rows: |C| = N/centroid_every overflows a broadcast — swap the
+    sampled centroids for trained ones (fixed |C| ~ sqrt(N)) and the same
+    plan holds; nothing else changes shape.
+    """
+    q = embs.select("vec_id", quantize_col(F.col("embedding")).alias("qv"))
+    qn = q.withColumn(
+        "norm",
+        F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0).cast("long"),
+                    lambda acc, v: acc + v),
+    )
+    cents = qn.filter(F.col("vec_id") % centroid_every == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    dotc = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    scored = (
+        qn.crossJoin(F.broadcast(cents))
+        .withColumn("dotc", dotc)
+        .withColumn(
+            "cosc",
+            F.round(F.col("dotc").cast("double")
+                    / F.sqrt(F.col("norm").cast("double") * F.col("cnorm").cast("double")), 6),
+        )
+        .select("vec_id", "cent_id", "cosc")
+    )
+    # nearest centroid per vector; ties broken to the smallest cent_id
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("cosc"), (-F.col("cent_id")).alias("_n"))).alias("cent_id")
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.col("cosc").desc(), F.col("cent_id").asc())
+    qprobe = (
+        scored.filter(F.col("vec_id") % every == 0)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    nbrs = assign.join(qn, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), "cent_id",
+        F.col("qv").alias("qb"), F.col("norm").alias("norm_b"),
+    )
+    qvecs = qn.select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"),
+        F.col("norm").alias("norm_a"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_q").desc(), F.col("neighbor_id").asc())
+    return (
+        F.broadcast(qprobe.join(qvecs, "query_id")).join(nbrs, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", dot)
+        .withColumn(
+            "cos_q",
+            F.round(F.col("dot").cast("double")
+                    / F.sqrt(F.col("norm_a").cast("double") * F.col("norm_b").cast("double")), 6),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_q")
+    )
+
+
 N_PLANES = 12  # 4096 buckets
 
 

@@ -134,6 +134,57 @@ def reach(
     return visited
 
 
+def reaching_definitions(
+    edges: DataFrame,
+    defs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    var_col: str = "var",
+    max_iter: int = 60,
+) -> DataFrame:
+    """(node, var, def_node): definitions live at each node's entry — the
+    reference's core analysis (``codeviews/DFG/DFG_RDA.py`` via
+    ``SDFG_c.py``'s gen/kill propagation): def d of ``var`` reaches node n
+    iff a directed path d -> ... -> n exists with no intermediate
+    redefinition of ``var``.
+
+    Gen/kill frontier BFS: seed = each def pushed to its successors; a fact
+    at node n propagates onward only if n does not itself define the var
+    (the kill anti-join IS the def-kill set difference, realized as one
+    distributed anti-join per round instead of per-node bitsets). Work per
+    round is proportional to the frontier; facts are deduped against the
+    visited set so each (node, var, def_node) is expanded once — termination
+    in <= |V| rounds regardless of cycles."""
+    d = defs.select(F.col(node_col).alias("node"), F.col(var_col).alias("var")).distinct()
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
+    visited = (
+        d.withColumnRenamed("node", "_def_as_node")
+        .join(e.withColumnRenamed("node", "_def_as_node"), "_def_as_node")
+        .select(
+            F.col("_dst").alias("node"), "var",
+            F.col("_def_as_node").alias("def_node"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    frontier = visited
+    for _ in range(max_iter):
+        nxt = (
+            frontier.join(d, ["node", "var"], "left_anti")  # kill at node
+            .join(e, "node")
+            .select(F.col("_dst").alias("node"), "var", "def_node")
+            .distinct()
+            .join(visited, ["node", "var", "def_node"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def transitive_closure(
     edges: DataFrame,
     src: str = "src",

@@ -340,6 +340,26 @@ SELECT node AS node_id, CAST(min(hops) AS BIGINT) AS hops FROM r GROUP BY 1
 """
 
 
+def graph_rda_sql() -> str:
+    """Reaching definitions via recursive CTE: propagate (var, def_node)
+    facts along the broken chain, blocked at nodes that redefine the var
+    (left-join kill check in the recursive term)."""
+    return f"""
+WITH RECURSIVE {_graph_ctes()},
+{_BROKEN_EDGES},
+defs AS (SELECT node_id AS d, node_id % 3 AS var FROM n WHERE node_id % 4 = 1),
+r(node, var, def_node) AS (
+  SELECT be.dst, defs.var, defs.d FROM defs JOIN be ON be.src = defs.d
+  UNION
+  SELECT be.dst, r.var, r.def_node
+  FROM r JOIN be ON be.src = r.node
+  LEFT JOIN defs k ON k.d = r.node AND k.var = r.var
+  WHERE k.d IS NULL
+)
+SELECT node AS node_id, var, def_node FROM r
+"""
+
+
 def graph_closure_sql() -> str:
     """Directed transitive closure of the broken chain edges."""
     return f"""
@@ -508,6 +528,23 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_stream_sessions_sql() -> str:
+    """Batch mirror of the drained stateful streaming sessionizer: per-user
+    session/event totals under the same >30-min-gap rule."""
+    return """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
 def events_sessions_sql() -> str:
     return """
 WITH s AS (
@@ -668,6 +705,59 @@ SELECT query_id, neighbor_id, rank, dot_q FROM (
          ) AS rank
   FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
   WHERE a.vec_id % {every} = 0
+) WHERE rank <= {k}
+"""
+
+
+def ann_ivf_sql(
+    k: int = 10, every: int = 50, centroid_every: int = 40, nprobe: int = 4,
+) -> str:
+    """Exact mirror of the IVF ANN plan: sampled centroids, round-6 cosine
+    assignment with smallest-cent_id tie-break, nprobe probing, top-k over
+    the probed cells only."""
+    return f"""
+WITH {_QUANT_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, qv AS cv, norm AS cnorm FROM qn
+  WHERE vec_id % {centroid_every} = 0
+),
+scored AS (
+  SELECT qn.vec_id, cent_id,
+         round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[])
+               / sqrt(norm * cnorm), 6) AS cosc
+  FROM qn, cents
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cent_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cent_id ASC) AS rn
+    FROM scored WHERE vec_id % {every} = 0
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT qprobe.query_id, assign.vec_id AS neighbor_id
+  FROM qprobe JOIN assign USING (cent_id)
+  WHERE assign.vec_id <> qprobe.query_id
+)
+SELECT query_id, neighbor_id, rank, cos_q FROM (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+               / sqrt(a.norm * b.norm), 6) AS cos_q,
+         row_number() OVER (
+           PARTITION BY c.query_id
+           ORDER BY round(list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+                          / sqrt(a.norm * b.norm), 6) DESC, c.neighbor_id ASC
+         ) AS rank
+  FROM cand c
+  JOIN qn a ON a.vec_id = c.query_id
+  JOIN qn b ON b.vec_id = c.neighbor_id
 ) WHERE rank <= {k}
 """
 

@@ -290,6 +290,24 @@ def graph_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_rda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reaching-definitions over the broken doc chain — the reference's
+    central dataflow analysis (DFG_RDA / SDFG gen-kill propagation) as a
+    distributed gen/kill frontier BFS. Defs: every node with node_id%4==1
+    defines var node_id%3; a def reaches downstream nodes until another
+    def of the same var intervenes."""
+    from .operators import graph_iter
+
+    nodes, _ = _doc_graph(spark, sf_dir)
+    edges = _broken_edges(spark, sf_dir)
+    defs = nodes.filter(F.col("node_id") % 4 == 1).select(
+        F.col("node_id").alias("node"), (F.col("node_id") % 3).alias("var")
+    )
+    return graph_iter.reaching_definitions(edges, defs).select(
+        F.col("node").alias("node_id"), "var", "def_node"
+    )
+
+
 def graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed transitive closure of the broken chain (the reference's
     derived-class / overload-set closure, CFG_cpp.py:407-438): every
@@ -542,6 +560,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_bucketed_topk(_embs(spark, sf_dir), k=10, every=50)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic sampled-centroid coarse quantizer, nprobe cell
+    probing, exact quantized-cosine ranking inside the probed cells — the
+    inverted-file scale path, oracle-mirrored exactly (unlike the
+    recall-probabilistic hyperplane LSH row above)."""
+    from .operators import ann
+
+    return ann.ivf_topk(_embs(spark, sf_dir), k=10, every=50)
+
+
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textstats
 
@@ -592,6 +620,20 @@ def events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = streaming.stream_events(spark, sf_dir)
     return streaming.run_available_now(streaming.windowed_event_counts(ev))
+
+
+def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator gate row: per-user session totals
+    via ``applyInPandasWithState`` (state = last ts + counters, O(1)/key),
+    drained with availableNow. On bounded single-batch input the update-mode
+    emission is one deterministic row per user, so the oracle is the batch
+    lag-gap sessionizer aggregated per user."""
+    from . import streaming
+
+    ev = streaming.stream_events(spark, sf_dir)
+    return streaming.run_available_now(
+        streaming.sessionize_stream(ev), mode="update"
+    )
 
 
 def dedup_stream_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
