@@ -92,6 +92,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": rel.events_asof,
         "events_sessions": rel.events_sessions,
         "q14_promo_revenue": rel.q14_promo_revenue,
+        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
+        "q18_large_orders": rel.q18_large_orders,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "top_suppliers_per_nation": rel.top_suppliers_per_nation,
         "supplier_balance_tiers": rel.supplier_balance_tiers,
         "events_percentiles": rel.events_percentiles,
         "orders_rollup": rel.orders_rollup,
@@ -150,6 +154,10 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": oracle.events_asof_sql(),
         "events_sessions": oracle.events_sessions_sql(),
         "q14_promo_revenue": oracle.q14_promo_revenue_sql(),
+        "q17_small_qty_revenue": oracle.q17_small_qty_revenue_sql(),
+        "q18_large_orders": oracle.q18_large_orders_sql(),
+        "q19_disjunctive_revenue": oracle.q19_disjunctive_revenue_sql(),
+        "top_suppliers_per_nation": oracle.top_suppliers_per_nation_sql(),
         "supplier_balance_tiers": oracle.supplier_balance_tiers_sql(),
         "events_percentiles": oracle.events_percentiles_sql(),
         "orders_rollup": oracle.orders_rollup_sql(),

@@ -145,3 +145,17 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_tiny):
         hits += len(want & have)
         tot += len(want)
     assert tot > 0 and hits / tot >= 0.5, f"IVF recall {hits}/{tot}"
+
+
+def test_embedding_bucket_udf_equals_column_expr(spark, sf_tiny):
+    """The numpy GEMM bucketizer is bit-identical to the interpreted
+    column-expression fold (exact int64 arithmetic both ways)."""
+    embs = load_table(spark, sf_tiny, "embeddings")
+    q = embs.select("vec_id", dedup.quantize_col(F.col("embedding")).alias("q"))
+    both = q.select(
+        "vec_id",
+        dedup.embedding_bucket_col(F.col("q"), 64).alias("b_expr"),
+        dedup.embedding_bucket_udf(64)(F.col("q")).alias("b_udf"),
+    )
+    assert both.filter(F.col("b_expr") != F.col("b_udf")).count() == 0
+    assert both.count() > 0

@@ -200,3 +200,83 @@ def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar-subquery: revenue from lineitems
+    below 50% of their part's average quantity, per brand. Engine form: the
+    per-part average is a groupBy re-joined to the fact (Catalyst's own
+    decorrelation target); at 10^12 rows the agg side is tiny (one row per
+    part) and broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    avg_q = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_q), li.l_partkey == F.col("_pk"))
+        # threshold rounded to 6dp on BOTH engine and oracle sides: the raw
+        # avg differs in the last ULP across summation orders, which could
+        # flip the strict < at an exact-tie boundary
+        .filter(F.col("l_quantity") < F.round(0.5 * F.col("_avg_qty"), 6))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-subquery: orders whose total lineitem
+    quantity exceeds 150, joined back to customer/order attributes. The
+    groupBy-then-semi-join-back is one shuffle on orderkey each way."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — disjunctive multi-predicate join: revenue over
+    part x lineitem where any of three brand/size/quantity conjunctions
+    holds. One equi-join on partkey with the OR evaluated post-join (the
+    planner can't split an OR across join keys); part side broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    c1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+    c2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 30)
+    c3 = (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40)
+    return j.filter(c1 | c2 | c3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shape correlated max: suppliers whose account balance equals the
+    maximum within their nation — window max vs self, zero extra joins."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        sup.withColumn("_mx", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_mx"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("n_name", "s_name", F.round(F.col("s_acctbal"), 2).alias("s_acctbal"))
+    )

@@ -912,6 +912,52 @@ FROM events e WHERE e.event_type = 'click'
 """
 
 
+def q17_small_qty_revenue_sql() -> str:
+    return """
+SELECT p_brand,
+       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem l JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < (
+  SELECT round(0.5 * avg(l2.l_quantity), 6) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey)
+GROUP BY 1
+"""
+
+
+def q18_large_orders_sql() -> str:
+    return """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 150
+)
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_disjunctive_revenue_sql() -> str:
+    return """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 5 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 40)
+"""
+
+
+def top_suppliers_per_nation_sql() -> str:
+    return """
+SELECT n_name, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (
+  SELECT max(s2.s_acctbal) FROM supplier s2
+  WHERE s2.s_nationkey = supplier.s_nationkey)
+"""
+
+
 def q14_promo_revenue_sql() -> str:
     return """
 SELECT date_trunc('month', l_shipdate) AS ship_month,
