@@ -61,3 +61,20 @@ def test_fingerprint_is_jvm_native(spark, sf_tiny):
     assert "EvalPython" not in plan, "fingerprint fell back to a Python UDF"
     for s in plans.scan_read_schemas(df):
         assert "lang" not in s and "source" not in s, f"unpruned scan: {s}"
+
+
+def test_round2_relational_queries_broadcast_dims(spark, sf_tiny):
+    # part/centroid/dim sides must broadcast; a sort-merge join in any of
+    # these shuffles the fact table for a dim-sized right side
+    from tree_sitter_codeviews_spark.operators.relational import (
+        q17_small_qty_revenue, q18_large_orders, q19_disjunctive_revenue,
+        top_suppliers_per_nation,
+    )
+    from tree_sitter_codeviews_spark.queries import ann_ivf_topk
+
+    for fn in (q17_small_qty_revenue, q18_large_orders,
+               q19_disjunctive_revenue, top_suppliers_per_nation,
+               ann_ivf_topk):
+        df = fn(spark, sf_tiny)
+        assert plans.uses_broadcast_join(df), fn.__name__
+        assert not plans.uses_sort_merge_join(df), fn.__name__

@@ -73,3 +73,65 @@ def test_json_sink_roundtrips(spark):
     assert out[1]["nodes"] == [{"node_id": 10, "label": "a"}, {"node_id": 11, "label": "b"}]
     assert out[1]["links"] == [{"src": 10, "dst": 11, "edge_type": "next"}]
     assert "links" not in out[2] or not out[2].get("links")
+
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Real late-data semantics, not just a bounded drain: an event older
+    than the committed watermark arriving in a later run must NOT be added
+    to its (already finalized) window in append mode. Two availableNow
+    drains sharing one checkpoint = two deterministic micro-batches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "ts timestamp, event_type string, value double"
+
+    def drain(name):
+        # file sink (not memory): it supports checkpoint recovery, and its
+        # commit log makes the cumulative output exactly-once across runs
+        src = (
+            spark.readStream.schema(schema).parquet(str(d) + "/*")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = streaming.windowed_event_counts(src, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out).collect()
+        got = {}
+        for r in rows:
+            got[str(r.window_start)] = got.get(str(r.window_start), 0) + r.n_events
+        return got
+
+    batch1 = spark.createDataFrame(pd.DataFrame({
+        "ts": pd.to_datetime(["2026-01-01 10:10:00", "2026-01-01 10:20:00",
+                              "2026-01-01 14:00:00"]),
+        "event_type": ["a", "a", "a"],
+        "value": [1.0, 1.0, 1.0],
+    }))
+    batch1.coalesce(1).write.parquet(str(d / "f1.parquet"))
+    got1 = drain("wm_run1")
+    # watermark committed after run 1 = 14:00 - 2h = 12:00 > the 10:00
+    # window's end, so it is finalized and emitted with the 2 on-time rows
+    assert got1.get("2026-01-01 10:00:00") == 2, got1
+
+    batch2 = spark.createDataFrame(pd.DataFrame({
+        # 10:30 is behind the committed 12:00 watermark => dropped;
+        # 15:00 advances the stream
+        "ts": pd.to_datetime(["2026-01-01 10:30:00", "2026-01-01 15:00:00"]),
+        "event_type": ["a", "a"],
+        "value": [1.0, 1.0],
+    }))
+    batch2.coalesce(1).write.parquet(str(d / "f2.parquet"))
+    got2 = drain("wm_run2")
+    # the cumulative output still counts exactly the 2 on-time rows for the
+    # finalized 10:00 window: the late row was discarded, not appended as a
+    # correction (and no duplicate emission happened across runs)
+    assert got2.get("2026-01-01 10:00:00") == 2, got2
