@@ -80,7 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q.text_tokens,
         "text_quality": q.text_quality,
         "lang_stats": q.lang_stats,
-        "text_langid": q.text_langid,                  # rows-only (heuristic UDF)
+        "text_langid": q.text_langid,                  # oracle-green since r2 (profile-generated SQL)
         "text_fingerprint": q.text_fingerprint,        # oracle-green since r2 (native fold)
         "multimodal_meta": q.multimodal_meta,
         "multimodal_frames": q.multimodal_frames,      # oracle-green since r2 (ASCII windows)
@@ -145,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oracle.text_quality_sql(),
         "lang_stats": oracle.lang_stats_sql(),
         "text_fingerprint": oracle.text_fingerprint_sql(),
+        "text_langid": oracle.text_langid_sql(),
         "multimodal_meta": oracle.multimodal_meta_sql(),
         "multimodal_frames": oracle.multimodal_frames_sql(),
         "q1_pricing": oracle.q1_pricing_sql(),
@@ -165,5 +166,5 @@ def oracle_sql() -> dict[str, str]:
         # intentionally no oracle (driver records rows-only):
         # dedup_minhash_lsh + ann_lsh_topk + dedup_groups_lsh (LSH recall),
         # dedup_simhash (engine-specific xxhash64), ann_cosine_topk (float
-        # ULP), text_langid (heuristic UDF), geo_tiles_approx (HLL estimate)
+        # ULP), geo_tiles_approx (HLL estimate)
     }

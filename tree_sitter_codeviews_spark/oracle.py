@@ -762,6 +762,50 @@ SELECT query_id, neighbor_id, rank, cos_q FROM (
 """
 
 
+def text_langid_sql() -> str:
+    """Mirror of the vectorized langid heuristic, generated from the SAME
+    trigram profile table (operators/textstats._PROFILES) so the two can't
+    drift. Counting: non-overlapping occurrences — Python ``str.count`` and
+    the replace-length trick agree (both greedy left-to-right). Tie-break:
+    (score DESC, lang DESC); empty text overrides CJK overrides scores."""
+    from .operators.textstats import _PROFILES
+
+    def cnt(g: str) -> str:
+        esc = g.replace("'", "''")
+        return f"(length(text) - length(replace(text, '{esc}', ''))) / {len(g)}"
+
+    arms = []
+    for lang, grams in sorted(_PROFILES.items()):
+        if not grams:
+            continue
+        score = " + ".join(cnt(g) for g in grams)
+        arms.append(
+            f"SELECT doc_id, lang, cjk, tlen, '{lang}' AS l, ({score}) AS s FROM sc"
+        )
+    union = "\n  UNION ALL ".join(arms)
+    return f"""
+WITH sc AS (
+  SELECT doc_id, lang, text,
+         regexp_matches(substr(text, 1, 200), '[一-鿿]') AS cjk,
+         length(text) AS tlen
+  FROM documents
+),
+u AS (
+  {union}
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l DESC) AS rn
+  FROM u
+)
+SELECT doc_id, lang,
+       CASE WHEN tlen IS NULL OR tlen = 0 THEN 'und'
+            WHEN cjk THEN 'zh'
+            WHEN s > 0 THEN l
+            ELSE 'und' END AS pred_lang
+FROM r WHERE rn = 1
+"""
+
+
 def text_tokens_sql() -> str:
     return """
 SELECT doc_id,
