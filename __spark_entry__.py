@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_geo_tiles": _sql_geo_tiles,   # same result via the pure-SQL surface
         "geo_pip_salted": q.geo_pip_salted,
         "geo_tiles_salted": q.geo_tiles_salted,
+        "geo_tiles_stream": q.geo_tiles_stream,   # streaming continuous aggregate twin
         "geo_knn": q.geo_knn,
         "geo_tiles_distinct": q.geo_tiles_distinct,
         "geo_tiles_approx": q.geo_tiles_approx,      # rows-only (HLL estimate)
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q.ann_lsh_topk,                # rows-only (LSH recall)
         "ann_ivf_topk": q.ann_ivf_topk,                # IVF scale path, oracle-mirrored
         "text_tokens": q.text_tokens,
+        "text_tokens_bpe": q.text_tokens_bpe,
         "text_quality": q.text_quality,
         "lang_stats": q.lang_stats,
         "text_langid": q.text_langid,                  # oracle-green since r2 (profile-generated SQL)
@@ -115,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_geo_tiles": oracle.tiles_sql(),
         "geo_pip_salted": oracle.pip_docs_sql(),
         "geo_tiles_salted": oracle.tiles_sql(res_lo=10, res_hi=10),
+        "geo_tiles_stream": oracle.tiles_sql(res_lo=10, res_hi=10),
         "geo_knn": oracle.knn_sql(),
         "geo_tiles_distinct": oracle.tiles_distinct_sql(),
         "graph_collapse": oracle.graph_collapse_sql(),
@@ -142,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_quantized": oracle.ann_topk_quantized_sql(),
         "ann_ivf_topk": oracle.ann_ivf_sql(),
         "text_tokens": oracle.text_tokens_sql(),
+        "text_tokens_bpe": oracle.text_tokens_bpe_sql(),
         "text_quality": oracle.text_quality_sql(),
         "lang_stats": oracle.lang_stats_sql(),
         "text_fingerprint": oracle.text_fingerprint_sql(),

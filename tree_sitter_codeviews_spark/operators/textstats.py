@@ -24,6 +24,25 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs, the
+# lookahead-free core of the GPT-2 split regex — RE2-compatible, so the
+# DuckDB oracle runs the identical pattern.
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_bpe_distinct, n_alpha_tokens): counts over
+    the BPE-ish regex split — the token-budget estimator a training-data
+    pipeline runs per document. Native regexp_extract_all, zero shuffle."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))).alias("n_alpha_tokens"),
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, n_chars_out, n_tokens, avg_token_len, stopword_ratio,
     distinct_ratio) — the usual cheap quality heuristics, all native."""

@@ -815,6 +815,22 @@ FROM documents
 """
 
 
+def text_tokens_bpe_sql() -> str:
+    """Identical RE2 pattern as operators/textstats.BPE_SPLIT_RE."""
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_bpe_distinct,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS BIGINT) AS n_alpha_tokens
+FROM t
+"""
+
+
 def text_quality_sql() -> str:
     return """
 WITH w AS (SELECT doc_id, length(text) AS n_chars_out, string_split(text, ' ') AS toks FROM documents)

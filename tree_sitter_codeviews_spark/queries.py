@@ -138,6 +138,28 @@ def geo_tiles_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geo_tiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous tile aggregate: the document stream is encoded
+    (deterministic point derivation + Morton, all pure projections — fully
+    streamable) and rolled up per finest-res cell in complete mode, drained
+    with availableNow. The streaming twin of ``geo_tiles_salted``: same
+    result set, maintained incrementally as pages arrive — the hypertable-
+    rollup shape for a live ingest."""
+    from . import streaming
+
+    docs = streaming.stream_documents(spark, sf_dir).select("doc_id")
+    pts = pages_src.points_from_ids(docs)
+    agg = (
+        pts.withColumn(
+            "cell_id", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+        )
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.lit(layers.GRID_RES).alias("res"), "cell_id", "n_docs")
+    )
+    return streaming.run_available_now(agg, mode="complete")
+
+
 def geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pages_src.doc_points_df(spark, sf_dir)
     return tiles.tile_counts(pts, res_lo=7, res_hi=10, grid_res=layers.GRID_RES)
@@ -579,6 +601,12 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
     )
+
+
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textstats
+
+    return textstats.bpe_token_stats(_docs(spark, sf_dir))
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
