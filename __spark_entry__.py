@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q.text_fingerprint,        # oracle-green since r2 (native fold)
         "multimodal_meta": q.multimodal_meta,
         "multimodal_frames": q.multimodal_frames,      # oracle-green since r2 (ASCII windows)
+        "multimodal_features": q.multimodal_features,  # byte-histogram feature extraction
+        "multimodal_resample": q.multimodal_resample,  # nearest-neighbor byte resize
         # relational coverage (joins/windows/rollup/anti/as-of)
         "q1_pricing": rel.q1_pricing,
         "q3_top_orders": rel.q3_top_orders,
@@ -152,6 +154,8 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": oracle.text_langid_sql(),
         "multimodal_meta": oracle.multimodal_meta_sql(),
         "multimodal_frames": oracle.multimodal_frames_sql(),
+        "multimodal_features": oracle.multimodal_features_sql(),
+        "multimodal_resample": oracle.multimodal_resample_sql(),
         "q1_pricing": oracle.q1_pricing_sql(),
         "q3_top_orders": oracle.q3_top_orders_sql(),
         "q5_region_revenue": oracle.q5_region_revenue_sql(),

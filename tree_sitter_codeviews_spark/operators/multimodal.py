@@ -126,3 +126,72 @@ def frame_sample(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
             })
 
     return payloads.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("bin", T.IntegerType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def feature_extract(payloads: DataFrame, bins: int = 64) -> DataFrame:
+    """Fake feature extraction: per-payload byte histogram (byte % bins),
+    emitted as (doc_id, bin, n) rows — the plumbing a real embedding
+    extractor uses (mapInPandas over binary, one numpy pass per batch; the
+    real thing swaps the histogram for a model forward). Fully vectorized:
+    one concatenated frombuffer + bincount per Arrow batch."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bs = [bytes(p) for p in pdf["payload"]]
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+            if lens.sum() == 0:
+                yield pd.DataFrame({"doc_id": [], "bin": [], "n": []})
+                continue
+            owner = np.repeat(np.arange(len(bs), dtype=np.int64), lens)
+            vals = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.int64) % bins
+            counts = np.bincount(owner * bins + vals, minlength=len(bs) * bins)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame({
+                "doc_id": ids[nz // bins],
+                "bin": (nz % bins).astype("int32"),
+                "n": counts[nz].astype("int64"),
+            })
+
+    return payloads.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESAMPLE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("pos", T.IntegerType()),
+    T.StructField("byte", T.IntegerType()),
+])
+
+
+def resample(payloads: DataFrame, out_len: int = 128) -> DataFrame:
+    """Fake resize: nearest-neighbor resample of each payload to a fixed
+    ``out_len`` byte sequence (the image-resize analogue for opaque media),
+    emitted as (doc_id, pos, byte) rows. src index = floor(pos * len /
+    out_len) — exact integer arithmetic, mirrored by the SQL oracle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = np.arange(out_len, dtype=np.int64)
+        for pdf in batches:
+            bs = [bytes(p) for p in pdf["payload"] if len(p) > 0]
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)[
+                [i for i, p in enumerate(pdf["payload"]) if len(p) > 0]
+            ]
+            if not bs:
+                yield pd.DataFrame({"doc_id": [], "pos": [], "byte": []})
+                continue
+            out = np.empty((len(bs), out_len), dtype=np.int64)
+            for r, b in enumerate(bs):  # per-payload gather, vectorized inside
+                arr = np.frombuffer(b, dtype=np.uint8)
+                out[r] = arr[(pos * len(b)) // out_len]
+            yield pd.DataFrame({
+                "doc_id": np.repeat(ids, out_len),
+                "pos": np.tile(pos, len(bs)).astype("int32"),
+                "byte": out.ravel().astype("int32"),
+            })
+
+    return payloads.select("doc_id", "payload").mapInPandas(run, RESAMPLE_SCHEMA)

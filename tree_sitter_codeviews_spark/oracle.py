@@ -860,6 +860,32 @@ FROM documents
 """
 
 
+def multimodal_features_sql(bins: int = 64) -> str:
+    """Byte-histogram features. ASCII text => char positions == bytes."""
+    return f"""
+WITH u AS (
+  SELECT doc_id, unnest(range(length(text))) AS i, text FROM documents
+)
+SELECT doc_id,
+       (unicode(substr(text, (i + 1)::INT, 1)) % {bins})::INT AS bin,
+       count(*) AS n
+FROM u GROUP BY 1, 2
+"""
+
+
+def multimodal_resample_sql(out_len: int = 128) -> str:
+    """Nearest-neighbor byte resample: src = floor(pos * len / out_len)."""
+    return f"""
+WITH u AS (
+  SELECT doc_id, unnest(range({out_len})) AS pos, text FROM documents
+  WHERE length(text) > 0
+)
+SELECT doc_id, pos::INT AS pos,
+       unicode(substr(text, ((pos * length(text)) // {out_len} + 1)::INT, 1))::INT AS byte
+FROM u
+"""
+
+
 def multimodal_frames_sql(n_frames: int = 4) -> str:
     """Frame-window rolling hashes. The documents' text is pure ASCII
     (verified at every sf), so char positions == byte offsets and

@@ -685,3 +685,19 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal
 
     return multimodal.frame_sample(multimodal.payloads_df(_docs(spark, sf_dir)))
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake feature extraction over binary payloads (byte histogram — the
+    embedding-extractor plumbing; mapInPandas, one numpy pass per batch)."""
+    from .operators import multimodal
+
+    return multimodal.feature_extract(multimodal.payloads_df(_docs(spark, sf_dir)))
+
+
+def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake resize: nearest-neighbor byte resample to a fixed length (the
+    image-resize analogue for opaque media)."""
+    from .operators import multimodal
+
+    return multimodal.resample(multimodal.payloads_df(_docs(spark, sf_dir)))
