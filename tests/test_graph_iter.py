@@ -203,3 +203,19 @@ def test_rda_cycle_terminates_and_matches_reference(spark):
                 frontier = nxt
             want |= seen
         assert got == want, f"trial {trial}"
+
+
+def test_iterative_ops_handle_empty_inputs(spark):
+    """Empty edge/def/seed tables must yield empty results, not crash —
+    the zero-partition case every production run eventually hits."""
+    e = _edges(spark, []).filter("src > 0")  # empty with schema
+    seeds = spark.createDataFrame([(1,)], "node long")
+    assert graph_iter.connected_components(e).count() == 0
+    assert graph_iter.transitive_closure(e).count() == 0
+    # reach with no edges: only the seed itself at hop 0
+    got = {(r.node, r.hops) for r in graph_iter.reach(e, seeds).collect()}
+    assert got == {(1, 0)}
+    d = spark.createDataFrame([], "node long, var long")
+    assert graph_iter.reaching_definitions(e, d).count() == 0
+    full_edges = _edges(spark, [(1, 2), (2, 3)])
+    assert graph_iter.reaching_definitions(full_edges, d).count() == 0
