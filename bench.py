@@ -94,11 +94,12 @@ def main() -> None:
         fn = qmap.get(name)
         if fn is None:
             continue
-        # min of 2 runs: this shared host shows intermittent multi-x
+        # min of 3 runs: this shared host shows intermittent multi-x
         # throughput dips from co-tenants (load observed 4-8 with zero
-        # in-container CPU users); the min is the uncontended estimate
+        # in-container CPU users; a dip spanning both of 2 reps was observed
+        # on the flagship — 7.9s vs 2.0s steady-state); min = uncontended
         dt = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             fn(spark, sf_dir).count()
             dt = min(dt, time.monotonic() - t0)
