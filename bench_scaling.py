@@ -70,7 +70,55 @@ def scaling_job(spark, sf_dir: str, repl: int, n_parts: int) -> dict:
     return {"pages": n_docs * repl, "triples": n_triples, "tiles": n_tiles}
 
 
-def run_child(cores: int, sf_dir: str, repl: int, reps: int = 4) -> None:
+def dedup_scaling_job(spark, sf_dir: str, repl: int, n_parts: int) -> dict:
+    """The training-data dedup core as a scaling workload: replicate the
+    documents table ``repl``x with per-replica text perturbation, then run
+    the MinHash pipeline's heavy half — shingle window, per-shingle hash,
+    64-min signature aggregate, band hashing — and force it with a distinct-
+    bucket count. This is the shuffle-bound shape that dominates a 100 TB
+    dedup run; the pair-verify tail is deliberately excluded (its cost is a
+    function of planted duplicate structure, not corpus size, so it would
+    measure the fixture instead of the engine)."""
+    from pyspark.sql import functions as F
+
+    from tree_sitter_codeviews_spark.operators import dedup
+    from tree_sitter_codeviews_spark.sources.testdata import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = base.count()
+    docs = (
+        base.repartition(n_parts, "doc_id")  # parallelize BEFORE the explode
+        .select(
+            F.explode(
+                F.sequence(F.col("doc_id") * repl,
+                           F.col("doc_id") * repl + (repl - 1))
+            ).alias("doc_id"),
+            "text",
+        )
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" r"), (F.col("doc_id") % 97).cast("string")),
+        )
+    )
+    sh = dedup.shingles_df(docs, n=3)
+    sigs = dedup.minhash_signatures_from(sh)
+    bands = sigs.select(*[
+        F.xxhash64(*[F.col(f"sig_{bi * dedup.LSH_ROWS + r}")
+                     for r in range(dedup.LSH_ROWS)]).alias(f"b_{bi}")
+        for bi in range(dedup.LSH_BANDS)
+    ])
+    n_buckets = bands.agg(*[
+        F.approx_count_distinct(f"b_{bi}").alias(f"n_{bi}")
+        for bi in range(dedup.LSH_BANDS)
+    ]).collect()[0][0]
+    return {"pages": n_docs * repl, "buckets": int(n_buckets)}
+
+
+JOBS = {"geo": scaling_job, "dedup": dedup_scaling_job}
+
+
+def run_child(cores: int, sf_dir: str, repl: int, reps: int = 4,
+              job: str = "geo") -> None:
     from tree_sitter_codeviews_spark.session import get_spark
 
     spark = get_spark(f"scaling-{cores}", cores=cores,
@@ -83,12 +131,13 @@ def run_child(cores: int, sf_dir: str, repl: int, reps: int = 4) -> None:
     # matters: with a near-empty warmup (repl=1) HotSpot keeps compiling
     # through the first 1-2 timed reps (measured 1.7-2.5x inflated first
     # rep at 2B-page scale), so warm with enough volume to finish tiering
-    scaling_job(spark, sf_dir, repl=1000, n_parts=cores)
+    jb = JOBS[job]
+    jb(spark, sf_dir, repl=1000 if job == "geo" else 4, n_parts=cores)
     walls = []
     out = {}
     for _ in range(reps):
         t0 = time.monotonic()
-        out = scaling_job(spark, sf_dir, repl=repl, n_parts=4 * cores)
+        out = jb(spark, sf_dir, repl=repl, n_parts=4 * cores)
         walls.append(round(time.monotonic() - t0, 3))
     # this sandbox host shows intermittent multi-x throughput dips (external
     # interference; measured 4-6x outliers on identical back-to-back runs),
@@ -104,18 +153,20 @@ def main() -> None:
     ap.add_argument("--lo", type=int, default=2)
     ap.add_argument("--hi", type=int, default=8)
     ap.add_argument("--repl", type=int, default=400000)
+    ap.add_argument("--job", choices=sorted(JOBS), default="geo")
     ap.add_argument("--child", type=int, default=0, help="internal: run one level")
     args = ap.parse_args()
 
     if args.child:
-        run_child(args.child, args.sf_dir, args.repl)
+        run_child(args.child, args.sf_dir, args.repl, job=args.job)
         return
 
     results = {}
     for cores in (args.lo, args.hi):
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(cores),
-             "--sf-dir", args.sf_dir, "--repl", str(args.repl)],
+             "--sf-dir", args.sf_dir, "--repl", str(args.repl),
+             "--job", args.job],
             capture_output=True, text=True, timeout=3600,
         )
         line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]

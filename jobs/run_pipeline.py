@@ -13,6 +13,9 @@ the same job-id resumes, recomputing only missing stages/chunks):
   3. triples    — two-phase cell-cover + ray-cast PIP join -> (url, cell_id,
                   polygon_id), chunked by coarse Hilbert range.
   4. tiles      — per-tile counts rolled up the hierarchy res 10 -> 7.
+  5. dedup_groups — near-dup group formation over the page text: Jaccard
+                  pair graph (stop-shingle cut) -> connected components ->
+                  (doc_id, group_id) survivors.
 
 Build the --py-files zip with:  python -m zipfile -c tscv_spark.zip tree_sitter_codeviews_spark
 """
