@@ -184,10 +184,13 @@ def resample(payloads: DataFrame, out_len: int = 128) -> DataFrame:
             if not bs:
                 yield pd.DataFrame({"doc_id": [], "pos": [], "byte": []})
                 continue
-            out = np.empty((len(bs), out_len), dtype=np.int64)
-            for r, b in enumerate(bs):  # per-payload gather, vectorized inside
-                arr = np.frombuffer(b, dtype=np.uint8)
-                out[r] = arr[(pos * len(b)) // out_len]
+            # one global gather per batch: concatenate all payloads, compute
+            # every (payload, pos) source index as offsets + pos*len//out_len
+            lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+            idx = starts[:, None] + (pos[None, :] * lens[:, None]) // out_len
+            out = flat[idx]
             yield pd.DataFrame({
                 "doc_id": np.repeat(ids, out_len),
                 "pos": np.tile(pos, len(bs)).astype("int32"),
