@@ -147,3 +147,45 @@ def test_max_df_bounds_pair_space_keeps_informative_pairs(spark):
     assert dfreq <= 5
     # minhash path accepts the same parameter
     assert dedup.minhash_lsh_dups(docs, 3, threshold=0.3, max_df=5).count() >= 1
+
+
+def test_feature_extract_matches_scalar(spark, sf_tiny):
+    """Byte-histogram features: the batch bincount kernel vs a per-doc
+    Python reference on real fixture payloads."""
+    import numpy as np
+    from collections import Counter
+
+    from tree_sitter_codeviews_spark.operators import multimodal
+    from tree_sitter_codeviews_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_tiny, "documents").limit(50)
+    pay = multimodal.payloads_df(docs)
+    got = {
+        (r.doc_id, r.bin): r.n
+        for r in multimodal.feature_extract(pay).collect()
+    }
+    want = {}
+    for r in pay.collect():
+        for b, n in Counter(v % 64 for v in bytes(r.payload)).items():
+            want[(r.doc_id, b)] = n
+    assert got == want and len(got) > 0
+
+
+def test_resample_matches_scalar(spark, sf_tiny):
+    """Nearest-neighbor byte resample: global-gather kernel vs scalar ref."""
+    from tree_sitter_codeviews_spark.operators import multimodal
+    from tree_sitter_codeviews_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_tiny, "documents").limit(20)
+    pay = multimodal.payloads_df(docs)
+    out_len = 128
+    got = {
+        (r.doc_id, r.pos): r.byte
+        for r in multimodal.resample(pay, out_len=out_len).collect()
+    }
+    want = {}
+    for r in pay.collect():
+        b = bytes(r.payload)
+        for j in range(out_len):
+            want[(r.doc_id, j)] = b[(j * len(b)) // out_len]
+    assert got == want and len(got) == 20 * out_len
