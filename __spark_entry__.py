@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_tiers": rel.supplier_balance_tiers,
         "events_percentiles": rel.events_percentiles,
         "orders_rollup": rel.orders_rollup,
+        "orders_cube": rel.orders_cube,
         "customers_no_orders": rel.customers_no_orders,
     }
 
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_balance_tiers": oracle.supplier_balance_tiers_sql(),
         "events_percentiles": oracle.events_percentiles_sql(),
         "orders_rollup": oracle.orders_rollup_sql(),
+        "orders_cube": oracle.orders_cube_sql(),
         "customers_no_orders": oracle.customers_no_orders_sql(),
         # intentionally no oracle (driver records rows-only):
         # dedup_minhash_lsh + ann_lsh_topk + dedup_groups_lsh (LSH recall),

@@ -189,6 +189,15 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all four aggregation granularities in one pass —
+    one shuffle, Spark expands the grouping sets map-side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
 def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with no completed ('F') orders. The unrestricted anti-join
     is vacuous on this testdata (every customer has orders), so the gate row

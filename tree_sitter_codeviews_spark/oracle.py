@@ -1090,6 +1090,15 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def orders_cube_sql() -> str:
+    return """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def customers_no_orders_sql() -> str:
     """Anti-join: customers with no completed ('F') orders. The unrestricted
     variant is vacuous on this testdata (every customer has orders — verified
