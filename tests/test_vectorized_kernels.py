@@ -189,3 +189,24 @@ def test_resample_matches_scalar(spark, sf_tiny):
         for j in range(out_len):
             want[(r.doc_id, j)] = b[(j * len(b)) // out_len]
     assert got == want and len(got) == 20 * out_len
+
+
+def test_stratified_sample_is_partitioning_independent(spark, sf_tiny):
+    """The content-hash sample must be byte-identical across partitionings
+    (the property rand()-based sample() lacks), and respect the rates."""
+    docs = load_table(spark, sf_tiny, "documents")
+    a = {tuple(r) for r in textstats.stratified_sample(docs).collect()}
+    b = {tuple(r) for r in
+         textstats.stratified_sample(docs.repartition(7, "lang")).collect()}
+    assert a == b and len(a) > 0
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    kept = {}
+    for lang in langs:
+        n_all = docs.filter(docs.lang == lang).count()
+        n_kept = sum(1 for t in a if t[1] == lang)
+        kept[lang] = n_kept / n_all
+    # en kept at ~0.5, unlisted langs at ~0.1 (loose bounds, n is small)
+    assert 0.3 < kept.get("en", 0.5) < 0.7
+    for lang, frac in kept.items():
+        if lang not in textstats.SAMPLE_RATES:
+            assert frac < 0.25, (lang, frac)

@@ -166,3 +166,46 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
     )
+
+
+# --- deterministic sampling / split (training-data curation) ----------------
+#
+# Content-hash sampling, NOT rand()/sample(): the decision for a document is
+# a pure function of its id, so it is identical across partitionings, retries
+# and engines (rand-based sample() is partitioning-dependent and can't be
+# oracle-checked). u(doc) = first 7 md5 hex digits of the id string -> uniform
+# int in [0, 16^7); the same idiom the fingerprint column uses.
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.3, "fr": 0.3}   # per-language keep rates
+SAMPLE_DEFAULT_RATE = 0.1
+HOLDOUT_FRAC = 0.1                                  # of kept docs
+
+_U_MAX = 16 ** 7
+
+
+def _uniform_col(key: F.Column, salt: str) -> F.Column:
+    """Deterministic uniform int in [0, 16^7) from (salt, key)."""
+    s = F.concat(F.lit(salt), key.cast("string"))
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 7), 16, 10).cast("long")
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, split): per-language keep rates + train/heldout split,
+    all decided by content hash. The standard curation step before training:
+    downsample over-represented languages, carve out a holdout — with
+    end-to-end reproducibility (re-running on re-partitioned data yields the
+    byte-identical sample)."""
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    u_keep = _uniform_col(F.col("doc_id"), "keep:")
+    u_split = _uniform_col(F.col("doc_id"), "split:")
+    return (
+        docs.select("doc_id", "lang")
+        .filter(u_keep < (rate * _U_MAX).cast("long"))
+        .withColumn(
+            "split",
+            F.when(u_split < int(HOLDOUT_FRAC * _U_MAX), F.lit("heldout"))
+            .otherwise(F.lit("train")),
+        )
+    )

@@ -860,6 +860,31 @@ FROM documents
 """
 
 
+def text_sample_sql() -> str:
+    """Mirror of the deterministic stratified sample, generated from the
+    SAME rate constants (operators/textstats) — thresholds computed with
+    identical double->int truncation on both sides."""
+    from .operators.textstats import (
+        HOLDOUT_FRAC, SAMPLE_DEFAULT_RATE, SAMPLE_RATES, _U_MAX,
+    )
+
+    def u(salt: str) -> str:
+        return (f"('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT")
+
+    arms = " ".join(
+        f"WHEN '{lang}' THEN {int(r * _U_MAX)}"
+        for lang, r in sorted(SAMPLE_RATES.items())
+    )
+    rate = f"CASE lang {arms} ELSE {int(SAMPLE_DEFAULT_RATE * _U_MAX)} END"
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {u('split:')} < {int(HOLDOUT_FRAC * _U_MAX)}
+            THEN 'heldout' ELSE 'train' END AS split
+FROM documents
+WHERE {u('keep:')} < {rate}
+"""
+
+
 def multimodal_features_sql(bins: int = 64) -> str:
     """Byte-histogram features. ASCII text => char positions == bytes."""
     return f"""

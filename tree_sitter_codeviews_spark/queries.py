@@ -609,6 +609,15 @@ def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_token_stats(_docs(spark, sf_dir))
 
 
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling + train/heldout split by content
+    hash (partitioning/retry/engine-independent, unlike rand()-based
+    sample()) — the curation step before training."""
+    from .operators import textstats
+
+    return textstats.stratified_sample(_docs(spark, sf_dir))
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textstats
 
