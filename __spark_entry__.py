@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": rel.events_percentiles,
         "orders_rollup": rel.orders_rollup,
         "orders_cube": rel.orders_cube,
+        "events_pivot": rel.events_pivot,
+        "events_geomean": rel.events_geomean,   # GROUPED_AGG pandas UDAF
         "customers_no_orders": rel.customers_no_orders,
     }
 
@@ -174,6 +176,8 @@ def oracle_sql() -> dict[str, str]:
         "events_percentiles": oracle.events_percentiles_sql(),
         "orders_rollup": oracle.orders_rollup_sql(),
         "orders_cube": oracle.orders_cube_sql(),
+        "events_pivot": oracle.events_pivot_sql(),
+        "events_geomean": oracle.events_geomean_sql(),
         "customers_no_orders": oracle.customers_no_orders_sql(),
         # intentionally no oracle (driver records rows-only):
         # dedup_minhash_lsh + ann_lsh_topk + dedup_groups_lsh (LSH recall),

@@ -189,6 +189,48 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (explicit value list, so
+    the single-shuffle two-phase pivot plan applies and the output schema is
+    static — the form that scales; an unlisted-values pivot needs an extra
+    distinct pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .select("user_id", *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES])
+    )
+
+
+def events_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (UDAF surface): geometric mean of |value|+1 per
+    event type via a GROUPED_AGG pandas UDF — the Arrow-batched custom-
+    aggregate shape (SURVEY §2.10). exp(mean(log1p(|v|))) is computed in
+    float64 on both engines and rounded far above summation-order ULP."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log1p(np.abs(v.to_numpy())).mean()))
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v: pd.Series) -> int:
+        # grouped-agg UDFs can't mix with built-in aggregates in one agg()
+        return int(len(v))
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(geomean(F.col("value")), 4).alias("geomean_abs1p"),
+        n_rows(F.col("value")).alias("n_events"),
+    )
+
 def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (all four aggregation granularities in one pass —
     one shuffle, Spark expands the grouping sets map-side)."""

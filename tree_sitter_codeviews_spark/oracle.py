@@ -1134,3 +1134,26 @@ SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
 """
+
+
+def events_pivot_sql() -> str:
+    from .operators.relational import EVENT_TYPES
+
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id
+"""
+
+
+def events_geomean_sql() -> str:
+    return """
+SELECT event_type,
+       round(exp(avg(ln(1 + abs(value)))), 4) AS geomean_abs1p,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
