@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": rel.orders_cube,
         "events_pivot": rel.events_pivot,
         "events_geomean": rel.events_geomean,   # GROUPED_AGG pandas UDAF
+        "events_json_stats": rel.events_json_stats,
         "customers_no_orders": rel.customers_no_orders,
     }
 
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cube": oracle.orders_cube_sql(),
         "events_pivot": oracle.events_pivot_sql(),
         "events_geomean": oracle.events_geomean_sql(),
+        "events_json_stats": oracle.events_json_stats_sql(),
         "customers_no_orders": oracle.customers_no_orders_sql(),
         # intentionally no oracle (driver records rows-only):
         # dedup_minhash_lsh + ann_lsh_topk + dedup_groups_lsh (LSH recall),

@@ -331,3 +331,20 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select("n_name", "s_name", F.round(F.col("s_acctbal"), 2).alias("s_acctbal"))
     )
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function surface (SURVEY §2.8): parse the props JSON
+    column with a declared schema (from_json — no schema inference pass,
+    the only scalable form) and aggregate the extracted field."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_big_k"),
+        )
+    )

@@ -1157,3 +1157,13 @@ SELECT event_type,
        count(*) AS n_events
 FROM events GROUP BY event_type
 """
+
+
+def events_json_stats_sql() -> str:
+    return """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       count(*) FILTER (CAST(json_extract(props, '$.k') AS BIGINT) > 50) AS n_big_k
+FROM events GROUP BY event_type
+"""
