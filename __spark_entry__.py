@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_grouped_metrics": q.graph_grouped_metrics,
         "geo_vector_raster": q.geo_vector_raster,
         "geo_raster_compact": q.geo_raster_compact,
+        "geo_overlay_stats": q.geo_overlay_stats,  # polygon-overlay pairs via raster intersection
         "geo_extract_text": q.geo_extract_text,
         # training-data pipeline: dedup / similarity / text / multimodal
         "dedup_exact": q.dedup_exact,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_grouped_metrics": oracle.graph_grouped_metrics_sql(),
         "geo_vector_raster": oracle.vector_raster_sql(),
         "geo_raster_compact": oracle.raster_compact_sql(),
+        "geo_overlay_stats": oracle.overlay_stats_sql(),
         "geo_extract_text": oracle.extract_text_sql(),
         "dedup_exact": oracle.dedup_exact_sql(),
         "dedup_jaccard": oracle.dedup_jaccard_sql(),

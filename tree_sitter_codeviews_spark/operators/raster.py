@@ -51,3 +51,31 @@ def rasterize_polygons(
         F.col("full") | pip_refine_udf(F.col("lon"), F.col("lat"), F.col("polygon_id"))
     )
     return hit.select(F.lit(res).alias("res"), "cell_id", "polygon_id")
+
+
+def overlay_stats(spark: SparkSession, res: int = 7) -> DataFrame:
+    """Pairwise polygon-overlay statistics via raster intersection:
+    (polygon_a, polygon_b, n_shared_cells, overlap_deg2) for every polygon
+    pair sharing at least one res-cell (center-inside semantics, so a shared
+    cell is a witness point in BOTH interiors — the pair provably overlaps).
+    overlap_deg2 = shared-cell count x cell area: the raster-GIS overlay
+    estimate, exact-arithmetic reproducible against the SQL oracle.
+
+    Scale shape: self-join of the rasterized layer on cell_id — shuffle
+    bounded by raster size (grid x polygons), never by the data tables; the
+    same plan runs the 10^12-page case unchanged because no page row is
+    involved at all."""
+    r = rasterize_polygons(spark, res=res).select("cell_id", "polygon_id")
+    a = r.select("cell_id", F.col("polygon_id").alias("polygon_a"))
+    b = r.select("cell_id", F.col("polygon_id").alias("polygon_b"))
+    cell_area = (360.0 / (1 << res)) * (180.0 / (1 << res))
+    return (
+        a.join(b, "cell_id")
+        .filter(F.col("polygon_a") < F.col("polygon_b"))
+        .groupBy("polygon_a", "polygon_b")
+        .agg(F.count("*").alias("n_shared_cells"))
+        .withColumn(
+            "overlap_deg2",
+            F.round(F.col("n_shared_cells") * F.lit(cell_area), 6),
+        )
+    )

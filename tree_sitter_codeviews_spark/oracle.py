@@ -1167,3 +1167,33 @@ SELECT event_type,
        count(*) FILTER (CAST(json_extract(props, '$.k') AS BIGINT) > 50) AS n_big_k
 FROM events GROUP BY event_type
 """
+
+
+def overlay_stats_sql(res: int = 7) -> str:
+    """Raster-overlay pair statistics: self-join of the rasterized layer."""
+    cell_area = (360.0 / (1 << res)) * (180.0 / (1 << res))
+    xs = cells.x_from_cell_sql("cell_id", res)
+    ys = cells.y_from_cell_sql("cell_id", res)
+    n = 1 << res
+    return f"""
+WITH g AS (SELECT range AS cell_id FROM range({1 << (2 * res)})),
+pix AS (
+  SELECT cell_id,
+         -180.0 + 360.0 * ({xs} + 0.5) / {n} AS lon,
+         -90.0 + 180.0 * ({ys} + 0.5) / {n} AS lat
+  FROM g
+),
+{_edges_cte()},
+r AS (
+  SELECT cell_id, polygon_id FROM (
+    SELECT p.cell_id, e.polygon_id, count(*) AS c
+    FROM pix p JOIN edges e ON ({_CROSSING})
+    GROUP BY 1, 2
+  ) WHERE c % 2 = 1
+)
+SELECT a.polygon_id AS polygon_a, b.polygon_id AS polygon_b,
+       count(*) AS n_shared_cells,
+       round(count(*) * {cell_area!r}, 6) AS overlap_deg2
+FROM r a JOIN r b ON a.cell_id = b.cell_id AND a.polygon_id < b.polygon_id
+GROUP BY 1, 2
+"""

@@ -230,6 +230,14 @@ def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.knn_ring(pts, spark, k=5, res=5)
 
 
+def geo_overlay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-overlay statistics via raster intersection (raster-GIS
+    overlay): pairs of polygons sharing res-7 cells + the estimated overlap
+    area. Touches no data table at all — pure grid x layer work."""
+    from .operators import raster
+
+    return raster.overlay_stats(spark, res=7)
+
 def geo_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(url, text_out) — the byte-identical extraction invariant, checked
     value-for-value against an oracle that reconstructs the text directly."""
