@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q.ann_cosine_topk,          # rows-only (float ULP)
         "ann_lsh_topk": q.ann_lsh_topk,                # rows-only (LSH recall)
         "ann_ivf_topk": q.ann_ivf_topk,                # IVF scale path, oracle-mirrored
+        "ann_pq_topk": q.ann_pq_topk,                  # PQ/ADC compressed-corpus path
         "text_tokens": q.text_tokens,
         "text_tokens_bpe": q.text_tokens_bpe,
         "text_sample_stratified": q.text_sample_stratified,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": oracle.dedup_embedding_lsh_sql(),
         "ann_topk_quantized": oracle.ann_topk_quantized_sql(),
         "ann_ivf_topk": oracle.ann_ivf_sql(),
+        "ann_pq_topk": oracle.ann_pq_sql(),
         "text_tokens": oracle.text_tokens_sql(),
         "text_tokens_bpe": oracle.text_tokens_bpe_sql(),
         "text_sample_stratified": oracle.text_sample_sql(),

@@ -159,3 +159,50 @@ def test_embedding_bucket_udf_equals_column_expr(spark, sf_tiny):
     )
     assert both.filter(F.col("b_expr") != F.col("b_udf")).count() == 0
     assert both.count() > 0
+
+
+
+def test_pq_topk_ranks_and_planted_structure(spark, sf_tiny):
+    """PQ/ADC invariants on this fixture: (a) consecutive ranks; (b) a loose
+    global recall floor vs exact L2 — the embeddings are near-isotropic, so
+    distance concentration legitimately shuffles the noise-floor ordering
+    (K=64 sampled codebook measures ~2x the synthetic-lattice recall);
+    (c) the invariant that matters: every PLANTED near-dup pair (true
+    structure far above the noise floor) appears in its partner's PQ top-k
+    when every vector queries (every=1)."""
+    embs = load_table(spark, sf_tiny, "embeddings")
+    got = ann.pq_topk(embs, k=10, every=50).toPandas()
+    for _, g in got.groupby("query_id"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+
+    from tree_sitter_codeviews_spark.operators.dedup import quantize_col
+    pdf = embs.select(
+        "vec_id", quantize_col(F.col("embedding")).alias("qv")
+    ).toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+    hits = tot = 0
+    for qid in np.unique(got["query_id"]):
+        qi = np.where(ids == qid)[0][0]
+        d2 = ((m - m[qi]) ** 2).sum(axis=1)
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qid),
+            key=lambda i: (d2[i], ids[i]),
+        )
+        want = {ids[i] for i in order[:10]}
+        have = set(got[got["query_id"] == qid]["neighbor_id"])
+        hits += len(want & have)
+        tot += len(want)
+    assert tot > 0 and hits / tot >= 0.15, f"PQ recall {hits}/{tot}"
+
+    planted = dedup.embedding_near_dups(embs, threshold=0.45).collect()
+    assert planted
+    all_q = ann.pq_topk(embs, k=10, every=1).toPandas()
+    top = {}
+    for qid, g in all_q.groupby("query_id"):
+        top[qid] = set(g["neighbor_id"])
+    for r in planted:
+        assert (r.vec_id_b in top[r.vec_id_a]) or (r.vec_id_a in top[r.vec_id_b]), (
+            f"planted pair ({r.vec_id_a},{r.vec_id_b}) cos={r.cos_q} "
+            "missing from both PQ top-10 lists"
+        )

@@ -1,6 +1,5 @@
-"""Similarity search over embedding columns.
+"""Similarity search over embedding columns — five families:
 
-Three tiers:
 - ``topk_quantized``: exact top-k by integer-quantized dot product — fully
   native (zip_with/aggregate, JVM codegen), bit-reproducible vs the SQL
   oracle. The correctness baseline.
@@ -11,6 +10,11 @@ Three tiers:
 - ``lsh_bucketed_topk``: random-hyperplane LSH pre-bucketing so each query
   only scores its bucket's candidates — the 10^12-row path; recall<1 by
   contract, rescued by multi-probe (neighbor buckets at hamming 1).
+- ``ivf_topk``: inverted-file ANN — sampled-centroid coarse quantizer, GEMM
+  build, nprobe cell probing; oracle-mirrored exactly.
+- ``pq_topk``: product quantization + asymmetric-distance (ADC) scoring —
+  the memory-bound family (one packed long per corpus vector in the join);
+  oracle-mirrored exactly.
 """
 
 from __future__ import annotations
@@ -299,4 +303,106 @@ def lsh_bucketed_topk(embs: DataFrame, k: int = 10, every: int = 50) -> DataFram
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round(F.col("cos"), 6).alias("cos"))
+    )
+
+
+# --- product quantization (PQ / ADC) ----------------------------------------
+#
+# The third ANN family next to IVF and hyperplane LSH: compress each vector
+# to M=8 6-bit codes (one per 8-dim subspace, K=64 centroids each) and score
+# queries against the compressed corpus with an asymmetric-distance lookup
+# table — faiss's PQ/ADC shape. The codebook is "trained" the deterministic
+# way the IVF centroids are: per subspace, the subvectors of a fixed corpus
+# sample (a synthetic LCG lattice measured 12% recall vs exact L2 — off the
+# data manifold; the sampled codebook measures ~5x better on the fixture).
+# Everything is exact int64 arithmetic, so the DuckDB oracle mirrors the
+# sample, the encode, the LUT and the ranking bit-for-bit.
+
+PQ_M, PQ_DSUB, PQ_K = 8, 8, 64  # M * DSUB == dim; 8x6-bit codes pack in a long
+PQ_SAMPLE_MOD = 3               # codebook sample: vec_id % MOD == 1, first K
+
+
+def _pq_codebook_from(sample: np.ndarray) -> np.ndarray:
+    """(M, K, DSUB) centroids: subvectors of the K sampled corpus rows."""
+    k = sample.shape[0]
+    return sample.reshape(k, PQ_M, PQ_DSUB).transpose(1, 0, 2).copy()
+
+
+def _pq_sample(q: DataFrame) -> np.ndarray:
+    rows = (
+        q.filter(F.col("vec_id") % PQ_SAMPLE_MOD == 1)
+        .orderBy("vec_id").limit(PQ_K).collect()
+    )
+    if len(rows) < 2:
+        raise ValueError("pq_topk: corpus too small to sample a codebook")
+    return np.array([r["qv"] for r in rows], dtype=np.int64)
+
+
+def pq_encode_udf(cb: np.ndarray):
+
+    @F.pandas_udf(T.LongType())
+    def encode(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.stack(qv.to_numpy()).astype(np.int64)  # (B, 64)
+        packed = np.zeros(len(x), dtype=np.int64)
+        for m in range(PQ_M):
+            sub = x[:, m * PQ_DSUB:(m + 1) * PQ_DSUB]          # (B, DSUB)
+            d2 = ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(-1)  # (B, K)
+            codes = d2.argmin(axis=1)  # first occurrence == smallest k on ties
+            packed |= codes << (6 * m)
+        return pd.Series(packed, dtype="int64")
+
+    return encode
+
+
+def pq_lut_udf(cb: np.ndarray):
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def lut(qv: pd.Series) -> pd.Series:
+        out = []
+        for v in qv:
+            x = np.asarray(v, dtype=np.int64)
+            rows = []
+            for m in range(PQ_M):
+                sub = x[m * PQ_DSUB:(m + 1) * PQ_DSUB]
+                rows.append(((sub[None, :] - cb[m]) ** 2).sum(-1))  # (K,)
+            out.append(np.concatenate(rows))
+        return pd.Series(out)
+
+    return lut
+
+
+def pq_topk(embs: DataFrame, k: int = 10, every: int = 50) -> DataFrame:
+    """(query_id, neighbor_id, rank, adist): ADC top-k over the PQ-compressed
+    corpus. The corpus carries ONE long per vector (8 packed 6-bit codes);
+    scoring is a pure JVM expression — 8 array lookups + adds per pair, no
+    Python and no arrays on the corpus side of the join. At 10^12 rows this
+    is the memory-bound shape PQ exists for: 8 bytes/vector instead of 512."""
+    q = embs.select("vec_id", quantize_col(F.col("embedding")).alias("qv"))
+    cb = _pq_codebook_from(_pq_sample(q))
+    n_codes = cb.shape[1]
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        pq_encode_udf(cb)(F.col("qv")).alias("pqcode"),
+    )
+    queries = _query_set(q, every).select(
+        F.col("vec_id").alias("query_id"),
+        pq_lut_udf(cb)(F.col("qv")).alias("lut"),
+    )
+    adist = None
+    for m in range(PQ_M):
+        code_m = F.shiftright(F.col("pqcode"), 6 * m).bitwiseAND(F.lit(63))
+        term = F.element_at(
+            F.col("lut"), (code_m + F.lit(m * n_codes) + F.lit(1)).cast("int")
+        )
+        adist = term if adist is None else adist + term
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adist", adist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
     )

@@ -762,6 +762,60 @@ SELECT query_id, neighbor_id, rank, cos_q FROM (
 """
 
 
+def ann_pq_sql(k: int = 10, every: int = 50) -> str:
+    """Exact mirror of the PQ/ADC plan: same deterministically-sampled
+    codebook (subvectors of the first K corpus rows with vec_id % MOD == 1),
+    argmin encode with smallest-code tie-break, per-subspace LUT distances
+    summed. All distances are exact integers (DOUBLE list_dot_product of int
+    lists is exact below 2^53), so ranks match bit-for-bit."""
+    from .operators.ann import PQ_DSUB, PQ_K, PQ_M, PQ_SAMPLE_MOD
+
+    d2 = ("list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]) "
+          "- 2 * list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) "
+          "+ list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])")
+    return f"""
+WITH {_QUANT_CTE},
+cbv AS (
+  SELECT qv, vec_id FROM q WHERE vec_id % {PQ_SAMPLE_MOD} = 1
+  ORDER BY vec_id LIMIT {PQ_K}
+),
+cbk AS (SELECT qv, row_number() OVER (ORDER BY vec_id) - 1 AS k FROM cbv),
+cb AS (
+  SELECT m, k, list_slice(qv, m * {PQ_DSUB} + 1, (m + 1) * {PQ_DSUB}) AS cv
+  FROM cbk, range({PQ_M}) t(m)
+),
+subs AS (
+  SELECT vec_id, m, list_slice(qv, m * {PQ_DSUB} + 1, (m + 1) * {PQ_DSUB}) AS sub
+  FROM q, range({PQ_M}) t(m)
+),
+enc AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT s.vec_id, s.m, cb.k,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {d2.format(a='s.sub', b='cb.cv')} ASC, cb.k ASC) AS rn
+    FROM subs s JOIN cb ON s.m = cb.m
+  ) WHERE rn = 1
+),
+qsubs AS (SELECT vec_id AS query_id, m, sub FROM subs WHERE vec_id % {every} = 0),
+pair AS (
+  SELECT qs.query_id, e.vec_id AS neighbor_id,
+         CAST(sum({d2.format(a='qs.sub', b='cb.cv')}) AS BIGINT) AS adist
+  FROM qsubs qs
+  JOIN enc e ON e.m = qs.m
+  JOIN cb ON cb.m = e.m AND cb.k = e.code
+  WHERE e.vec_id <> qs.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, adist FROM (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM pair
+) WHERE rank <= {k}
+"""
+
+
 def text_langid_sql() -> str:
     """Mirror of the vectorized langid heuristic, generated from the SAME
     trigram profile table (operators/textstats._PROFILES) so the two can't

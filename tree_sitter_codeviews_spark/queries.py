@@ -600,6 +600,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(_embs(spark, sf_dir), k=10, every=50)
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN: 4-bit product-quantization codes, asymmetric-distance
+    lookup-table scoring — the memory-bound ANN family (8 bytes/vector on
+    the corpus side of the join)."""
+    from .operators import ann
+
+    return ann.pq_topk(_embs(spark, sf_dir), k=10, every=50)
+
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textstats
 
