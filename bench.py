@@ -52,6 +52,8 @@ HEADLINE = [
     "events_stream_windows",  # Structured Streaming drain (availableNow)
     "ann_ivf_topk",           # IVF inverted-file ANN (sampled centroids)
     "events_stream_sessions", # applyInPandasWithState stateful sessionizer
+    "ann_pq_topk",            # PQ/ADC compressed-corpus ANN
+    "geo_overlay_stats",      # polygon-overlay via raster intersection
 ]
 
 
