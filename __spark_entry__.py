@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": rel.events_pivot,
         "events_geomean": rel.events_geomean,   # GROUPED_AGG pandas UDAF
         "events_json_stats": rel.events_json_stats,
+        "events_window_funcs": rel.events_window_funcs,
         "customers_no_orders": rel.customers_no_orders,
     }
 
@@ -184,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": oracle.events_pivot_sql(),
         "events_geomean": oracle.events_geomean_sql(),
         "events_json_stats": oracle.events_json_stats_sql(),
+        "events_window_funcs": oracle.events_window_funcs_sql(),
         "customers_no_orders": oracle.customers_no_orders_sql(),
         # intentionally no oracle (driver records rows-only):
         # dedup_minhash_lsh + ann_lsh_topk + dedup_groups_lsh (LSH recall),

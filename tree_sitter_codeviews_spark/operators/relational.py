@@ -348,3 +348,17 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("k") > 50, 1)).alias("n_big_k"),
         )
     )
+
+
+def events_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window coverage: ntile/percent_rank/cume_dist per user over
+    a tie-free ordering (ts, event_id) — ANSI definitions shared by both
+    engines, so the row set hashes identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -1251,3 +1251,14 @@ SELECT a.polygon_id AS polygon_a, b.polygon_id AS polygon_b,
 FROM r a JOIN r b ON a.cell_id = b.cell_id AND a.polygon_id < b.polygon_id
 GROUP BY 1, 2
 """
+
+
+def events_window_funcs_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
