@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tiles_salted": q.geo_tiles_salted,
         "geo_tiles_stream": q.geo_tiles_stream,   # streaming continuous aggregate twin
         "geo_knn": q.geo_knn,
+        "geo_distance_join": q.geo_distance_join,  # range self-join, lossless cell blocking
         "geo_tiles_distinct": q.geo_tiles_distinct,
         "geo_tiles_approx": q.geo_tiles_approx,      # rows-only (HLL estimate)
         "graph_collapse": q.graph_collapse,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_tiles_salted": oracle.tiles_sql(res_lo=10, res_hi=10),
         "geo_tiles_stream": oracle.tiles_sql(res_lo=10, res_hi=10),
         "geo_knn": oracle.knn_sql(),
+        "geo_distance_join": oracle.distance_join_sql(),
         "geo_tiles_distinct": oracle.tiles_distinct_sql(),
         "graph_collapse": oracle.graph_collapse_sql(),
         "graph_minimize": oracle.graph_minimize_sql(),

@@ -213,3 +213,55 @@ def knn_brute(points: DataFrame, k: int = 5, id_col: str = "doc_id") -> DataFram
             F.col("qid").alias(id_col), F.col("nid").alias("neighbor_id"), "rank", "dist_sq"
         )
     )
+
+
+def distance_join(
+    points: DataFrame,
+    eps: float = 2.0,
+    res: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs within planar-degree distance ``eps``: (id_a, id_b,
+    dist_sq) — the spatial range self-join (DBSCAN's neighborhood step).
+
+    Cell blocking at ``res``: side A probes its cell plus the 8 neighbors,
+    side B sits in its home cell — an equi-join on the probe cell, never
+    all-pairs. Lossless by construction: ``eps`` must not exceed the cell
+    extent (lat extent 180/2^res; asserted), so any pair within eps differs
+    by at most 1 in each cell coordinate. A pair matches via exactly ONE
+    (dx, dy) offset, so no dedupe shuffle is needed. The oracle is the pure
+    quadratic distance predicate — this plan must reproduce the *semantic*,
+    not its own blocking."""
+    if eps > 180.0 / (1 << res):
+        raise ValueError("distance_join: eps exceeds the blocking cell extent")
+    shift = layers.GRID_RES - res
+    pts = points.select(
+        F.col(id_col).alias("_id"), "lon", "lat",
+        F.shiftright(F.col("gx"), shift).alias("_cx"),
+        F.shiftright(F.col("gy"), shift).alias("_cy"),
+    )
+    offsets = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])).alias("o")
+    a = pts.select(
+        F.col("_id").alias("id_a"), F.col("lon").alias("lon_a"),
+        F.col("lat").alias("lat_a"), "_cx", "_cy", offsets,
+    ).select(
+        "id_a", "lon_a", "lat_a",
+        (F.col("_cx") + F.col("o.dx")).alias("px"),
+        (F.col("_cy") + F.col("o.dy")).alias("py"),
+    )
+    b = pts.select(
+        F.col("_id").alias("id_b"), F.col("lon").alias("lon_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("_cx").alias("px"), F.col("_cy").alias("py"),
+    )
+    d2 = _dist_sq(F.col("lon_a"), F.col("lat_a"), F.col("lon_b"), F.col("lat_b"))
+    return (
+        a.join(b, ["px", "py"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist_sq", d2)
+        .filter(F.col("dist_sq") <= eps * eps)
+        .select("id_a", "id_b", "dist_sq")
+    )

@@ -1262,3 +1262,17 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+def distance_join_sql(eps: float = 2.0) -> str:
+    """Pure quadratic semantic of the spatial range self-join (the engine's
+    cell blocking must reproduce exactly this set)."""
+    return f"""
+WITH {_pts_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       (a.lon - b.lon) * (a.lon - b.lon)
+       + (a.lat - b.lat) * (a.lat - b.lat) AS dist_sq
+FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+WHERE (a.lon - b.lon) * (a.lon - b.lon)
+      + (a.lat - b.lat) * (a.lat - b.lat) <= {eps * eps!r}
+"""

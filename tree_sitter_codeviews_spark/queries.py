@@ -165,6 +165,16 @@ def geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.tile_counts(pts, res_lo=7, res_hi=10, grid_res=layers.GRID_RES)
 
 
+def geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial range self-join: all doc pairs within 2 planar degrees
+    (DBSCAN's neighborhood step), cell-blocked at res 5 — the blocking is
+    provably lossless at this eps, so the oracle is the pure quadratic
+    distance predicate, not a mirror of the blocking."""
+    from .operators import knn
+
+    pts = pages_src.doc_points_df(spark, sf_dir)
+    return knn.distance_join(pts, eps=2.0, res=5)
+
 def geo_tiles_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile EXACT distinct-host counts at res 7 (the per-tile
     distinct-url metric; SURVEY.md §2.4). Exact count_distinct is the
