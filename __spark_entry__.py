@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reach": q.graph_reach,
         "graph_closure": q.graph_closure,
         "graph_rda": q.graph_rda,
+        "graph_sdfg": q.graph_sdfg,   # the reference's flagship combined CFG+DFG view
         "geo_entities_typed": q.geo_entities_typed,
         "events_stream_windows": q.events_stream_windows,  # Structured Streaming, drained
         "events_stream_sessions": q.events_stream_sessions,  # applyInPandasWithState, drained
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_reach": oracle.graph_reach_sql(),
         "graph_closure": oracle.graph_closure_sql(),
         "graph_rda": oracle.graph_rda_sql(),
+        "graph_sdfg": oracle.graph_sdfg_sql(),
         "geo_entities_typed": oracle.entities_typed_sql(),
         "events_stream_windows": oracle.events_stream_windows_sql(),
         "events_stream_sessions": oracle.events_stream_sessions_sql(),

@@ -1276,3 +1276,28 @@ FROM pts a JOIN pts b ON a.doc_id < b.doc_id
 WHERE (a.lon - b.lon) * (a.lon - b.lon)
       + (a.lat - b.lat) * (a.lat - b.lat) <= {eps * eps!r}
 """
+
+
+def graph_sdfg_sql() -> str:
+    """Combined CFG+DFG: chain edges UNION def->use pairs from the
+    recursive reaching-definitions closure."""
+    return f"""
+WITH RECURSIVE {_graph_ctes()},
+{_BROKEN_EDGES},
+defs AS (SELECT node_id AS d, node_id % 3 AS var FROM n WHERE node_id % 4 = 1),
+r(node, var, def_node) AS (
+  SELECT be.dst, defs.var, defs.d FROM defs JOIN be ON be.src = defs.d
+  UNION
+  SELECT be.dst, r.var, r.def_node
+  FROM r JOIN be ON be.src = r.node
+  LEFT JOIN defs k ON k.d = r.node AND k.var = r.var
+  WHERE k.d IS NULL
+),
+uses AS (SELECT node_id AS node, node_id % 3 AS var FROM n WHERE node_id % 5 = 2)
+SELECT DISTINCT src, dst, edge_type FROM (
+  SELECT src, dst, 'cfg' AS edge_type FROM be
+  UNION ALL
+  SELECT r.def_node AS src, r.node AS dst, 'dfg' AS edge_type
+  FROM r JOIN uses u ON u.node = r.node AND u.var = r.var
+)
+"""

@@ -348,6 +348,32 @@ def graph_rda(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_sdfg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FLAGSHIP artifact end-to-end: the statement-level
+    combined CFG+DFG (its "SDFG", combined_driver.py + SDFG_c.py) realized
+    over the doc-chain fixture. CFG edges = the broken chain; DFG edges =
+    def->use pairs derived from the reaching-definitions fixpoint (a def
+    reaches a node AND that node uses the var: nodes with node_id%5==2 use
+    var node_id%3); combined = shared-node-id union tagged by edge_type."""
+    from .operators import graph_iter
+
+    nodes, _ = _doc_graph(spark, sf_dir)
+    edges = _broken_edges(spark, sf_dir)
+    cfg = edges.select("src", "dst").withColumn("edge_type", F.lit("cfg"))
+    defs = nodes.filter(F.col("node_id") % 4 == 1).select(
+        F.col("node_id").alias("node"), (F.col("node_id") % 3).alias("var")
+    )
+    rda = graph_iter.reaching_definitions(edges, defs)
+    uses = nodes.filter(F.col("node_id") % 5 == 2).select(
+        F.col("node_id").alias("node"), (F.col("node_id") % 3).alias("var")
+    )
+    dfg = (
+        rda.join(uses, ["node", "var"])
+        .select(F.col("def_node").alias("src"), F.col("node").alias("dst"))
+        .withColumn("edge_type", F.lit("dfg"))
+    )
+    return cfg.unionByName(dfg).distinct()
+
 def graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed transitive closure of the broken chain (the reference's
     derived-class / overload-set closure, CFG_cpp.py:407-438): every
