@@ -50,3 +50,47 @@ def test_knn_ring_corpus_smaller_than_k(spark):
         per_q.setdefault(r.doc_id, []).append(r.rank)
     assert set(per_q) == {0, 1, 2}
     assert all(sorted(v) == [1, 2] for v in per_q.values())
+
+
+def test_distance_join_hand_graph_and_lossless_blocking(spark):
+    # 4 points: two identical (dist 0), one at ~1.4 deg, one far away.
+    # Grid res 10 (gx,gy in [0,1024)); res-5 blocking => cells of 11.25x5.625
+    # degrees; points near a cell border must still pair (the 9-offset probe).
+    import pandas as pd
+
+    from tree_sitter_codeviews_spark import layers
+    from tree_sitter_codeviews_spark.operators import knn
+
+    n = layers.GRID_N
+    def mk(gx, gy, i):
+        lon = -180.0 + 360.0 * (gx + 0.5) / n
+        lat = -90.0 + 180.0 * (gy + 0.5) / n
+        return (i, gx, gy, lon, lat)
+
+    # gx=511 and gx=512 straddle the res-5 cell border at grid 512
+    rows = [mk(511, 500, 1), mk(512, 500, 2), mk(511, 500, 3), mk(100, 100, 4)]
+    pts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "gx", "gy", "lon", "lat"])
+    )
+    got = {(r.id_a, r.id_b): r.dist_sq
+           for r in knn.distance_join(pts, eps=2.0, res=5).collect()}
+    assert (1, 3) in got and got[(1, 3)] == 0.0
+    assert (1, 2) in got and (2, 3) in got  # cross-border pair found
+    assert all(4 not in p for p in got)
+    import pytest
+
+    with pytest.raises(ValueError):
+        knn.distance_join(pts, eps=10.0, res=5)  # eps > cell extent refused
+
+
+def test_pq_degrades_gracefully_on_tiny_corpus(spark, sf_tiny):
+    from pyspark.sql import functions as F
+
+    from tree_sitter_codeviews_spark.operators import ann
+    from tree_sitter_codeviews_spark.sources.testdata import load_table
+
+    embs = load_table(spark, sf_tiny, "embeddings").filter(F.col("vec_id") < 10)
+    out = ann.pq_topk(embs, k=3, every=5).collect()
+    # 2 queries (0, 5) x 3 neighbors, sampled codebook smaller than PQ_K
+    assert len(out) == 6
+    assert {r.query_id for r in out} == {0, 5}
