@@ -134,10 +134,31 @@ def main(argv: list[str] | None = None, spark=None) -> None:
 
     groups = pipe.stage("dedup_groups", dedup_stage)
 
+    # stage 6: embedding near-dup groups — multi-probe hyperplane LSH pairs
+    # over the embeddings table -> connected components -> (vec_id, group_id).
+    # The cross-modal leg of the training-data job: text dedup (stage 5) and
+    # embedding dedup share the identical pairs -> components -> survivors
+    # composition.
+    def emb_dedup_stage():
+        from tree_sitter_codeviews_spark.operators import dedup, graph_iter
+        from tree_sitter_codeviews_spark.sources.testdata import load_table
+
+        embs = load_table(spark, args.sf_dir, "embeddings")
+        pairs = dedup.embedding_lsh_dups(embs, threshold=0.4)
+        comp = graph_iter.connected_components(
+            pairs, src="vec_id_a", dst="vec_id_b"
+        ).select(F.col("node").alias("vec_id"), "component")
+        return embs.select("vec_id").join(comp, "vec_id", "left").select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("group_id"),
+        )
+
+    emb_groups = pipe.stage("emb_dedup_groups", emb_dedup_stage)
+
     print(
         f"job={args.job_id} pages={pages.count()} entities={entities.count()} "
         f"triples={triples.count()} tiles={tile_out.count()} "
-        f"dedup_groups={groups.count()} "
+        f"dedup_groups={groups.count()} emb_dedup_groups={emb_groups.count()} "
         f"recomputed={pipe.recomputed or ['<none — full resume>']}"
     )
     if owns_session:
