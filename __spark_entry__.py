@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q.text_tokens,
         "text_tokens_bpe": q.text_tokens_bpe,
         "text_sample_stratified": q.text_sample_stratified,
+        "text_normalize": q.text_normalize,
         "text_quality": q.text_quality,
         "lang_stats": q.lang_stats,
         "text_langid": q.text_langid,                  # oracle-green since r2 (profile-generated SQL)
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": oracle.text_tokens_sql(),
         "text_tokens_bpe": oracle.text_tokens_bpe_sql(),
         "text_sample_stratified": oracle.text_sample_sql(),
+        "text_normalize": oracle.text_normalize_sql(),
         "text_quality": oracle.text_quality_sql(),
         "lang_stats": oracle.lang_stats_sql(),
         "text_fingerprint": oracle.text_fingerprint_sql(),

@@ -209,3 +209,25 @@ def stratified_sample(docs: DataFrame) -> DataFrame:
             .otherwise(F.lit("train")),
         )
     )
+
+
+def normalize_text_col(text: F.Column) -> F.Column:
+    """Canonical cleaning: lowercase, strip punctuation runs to a space,
+    collapse whitespace, trim — all native JVM string ops with RE2-safe
+    patterns shared verbatim by the SQL oracle."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]+", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def normalized_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_norm_chars, norm_hash): the normalize-then-fingerprint
+    step of a cleaning pipeline; md5 of the normalized text makes the row
+    cheap to gate and is itself the key exact-dedup runs on post-cleaning."""
+    norm = normalize_text_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("n_norm_chars"),
+        F.md5(norm).alias("norm_hash"),
+    )

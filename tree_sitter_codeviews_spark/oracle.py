@@ -1301,3 +1301,18 @@ SELECT DISTINCT src, dst, edge_type FROM (
   FROM r JOIN uses u ON u.node = r.node AND u.var = r.var
 )
 """
+
+
+def text_normalize_sql() -> str:
+    return r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(norm) AS BIGINT) AS n_norm_chars,
+       md5(norm) AS norm_hash
+FROM n
+"""

@@ -670,6 +670,13 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.stratified_sample(_docs(spark, sf_dir))
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (lowercase / punctuation strip / whitespace
+    collapse) + post-cleaning hash — the canonical corpus cleaning step."""
+    from .operators import textstats
+
+    return textstats.normalized_docs(_docs(spark, sf_dir))
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textstats
 
