@@ -45,22 +45,34 @@ def hot_keys(
     """Keys holding more than ``threshold_frac`` of all rows (driver-side
     list, bounded by ``max_keys`` — a broadcast-sized artifact by design).
 
-    Single pass over the big table: the total is the sum of the per-key
-    counts (a window over the already-aggregated key table), not a second
-    full scan (round-1 finding: ``df.count()`` + ``groupBy().count()`` read
-    the data twice)."""
-    from pyspark.sql import Window
-
-    per_key = df.groupBy(key_col).count()
-    total_w = F.sum("count").over(Window.partitionBy())
+    Single pass over the big table: the total is a scalar aggregate of the
+    per-key counts, broadcast back onto the key table (round-1 finding:
+    ``df.count()`` + ``groupBy().count()`` read the data twice; round-2
+    finding: ``sum over Window.partitionBy()`` shuffles the ENTIRE per-key
+    table through one partition — a single-task bottleneck when the key is
+    high-cardinality). The scalar agg's final exchange moves one partial row
+    per partition, not the key table; Catalyst's ReuseExchange dedups the
+    shared ``groupBy`` shuffle between the two branches, so the big table is
+    still scanned once."""
     rows = (
-        per_key.withColumn("_total", total_w)
-        .filter(F.col("count") > threshold_frac * F.col("_total"))
+        hot_keys_df(df, key_col, threshold_frac)
         .orderBy(F.col("count").desc())
         .limit(max_keys)
         .collect()
     )
     return [r[key_col] for r in rows]
+
+
+def hot_keys_df(df: DataFrame, key_col: str, threshold_frac: float) -> DataFrame:
+    """The hot-key plan as a DataFrame (``hot_keys`` minus the driver fetch);
+    exposed so tests can pin the physical plan (no unpartitioned Window)."""
+    per_key = df.groupBy(key_col).count()
+    total_df = per_key.agg(F.sum("count").alias("_total"))
+    return (
+        per_key.join(F.broadcast(total_df))
+        .filter(F.col("count") > threshold_frac * F.col("_total"))
+        .drop("_total")
+    )
 
 
 def salted_join(
