@@ -65,6 +65,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_lsh": q.dedup_groups_lsh,  # rows-only (LSH recall); exact twin above
         "alias_resolve": q.alias_resolve,
         "geo_cascade_resolve": q.geo_cascade_resolve,
+        "geo_template_resolve": q.geo_template_resolve,  # specialization-priority window (r3)
+        "graph_catch_match": q.graph_catch_match,        # first-compatible-match predicate cascade (r3)
+        "geo_preproc_filter": q.geo_preproc_filter,      # preproc guard evaluation (r3)
+        "dedup_groups_embedding": q.dedup_groups_embedding,  # CC over embedding-LSH pairs (r3)
         "graph_grouped_metrics": q.graph_grouped_metrics,
         "geo_vector_raster": q.geo_vector_raster,
         "geo_raster_compact": q.geo_raster_compact,
@@ -79,7 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q.dedup_embedding_lsh,  # bucketed scale path, still oracle-green
         "ann_topk_quantized": q.ann_topk_quantized,
         "ann_cosine_topk": q.ann_cosine_topk,          # rows-only (float ULP)
-        "ann_lsh_topk": q.ann_lsh_topk,                # rows-only (LSH recall)
+        "ann_lsh_topk": q.ann_lsh_topk,                # deterministic planes since r3: oracle-green
         "ann_ivf_topk": q.ann_ivf_topk,                # IVF scale path, oracle-mirrored
         "ann_pq_topk": q.ann_pq_topk,                  # PQ/ADC compressed-corpus path
         "text_tokens": q.text_tokens,
@@ -149,6 +153,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": oracle.dedup_groups_sql(),
         "alias_resolve": oracle.alias_resolve_sql(),
         "geo_cascade_resolve": oracle.cascade_resolve_sql(),
+        "geo_template_resolve": oracle.template_resolve_sql(),
+        "graph_catch_match": oracle.catch_match_sql(),
+        "geo_preproc_filter": oracle.preproc_filter_sql(),
+        "dedup_groups_embedding": oracle.dedup_groups_embedding_sql(),
         "graph_grouped_metrics": oracle.graph_grouped_metrics_sql(),
         "geo_vector_raster": oracle.vector_raster_sql(),
         "geo_raster_compact": oracle.raster_compact_sql(),
@@ -159,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracle.dedup_embedding_sql(threshold=0.45),
         "dedup_embedding_lsh": oracle.dedup_embedding_lsh_sql(),
         "ann_topk_quantized": oracle.ann_topk_quantized_sql(),
+        "ann_lsh_topk": oracle.ann_lsh_sql(),
         "ann_ivf_topk": oracle.ann_ivf_sql(),
         "ann_pq_topk": oracle.ann_pq_sql(),
         "text_tokens": oracle.text_tokens_sql(),
@@ -194,7 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window_funcs": oracle.events_window_funcs_sql(),
         "customers_no_orders": oracle.customers_no_orders_sql(),
         # intentionally no oracle (driver records rows-only):
-        # dedup_minhash_lsh + ann_lsh_topk + dedup_groups_lsh (LSH recall),
+        # dedup_minhash_lsh + dedup_groups_lsh (LSH recall),
         # dedup_simhash (engine-specific xxhash64), ann_cosine_topk (float
         # ULP), geo_tiles_approx (HLL estimate)
     }

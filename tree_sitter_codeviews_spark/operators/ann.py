@@ -246,63 +246,68 @@ def ivf_topk(
 N_PLANES = 12  # 4096 buckets
 
 
-def _hyperplanes(dim: int = 64, n: int = N_PLANES) -> np.ndarray:
-    rng = np.random.RandomState(20260816)  # fixed seed: deterministic buckets
-    return rng.standard_normal((n, dim))
+def lsh_bucketed_topk(
+    embs: DataFrame, k: int = 10, every: int = 50, dim: int = 64,
+) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN — the 10^12-row path, and oracle-checkable.
 
+    The planes are the DETERMINISTIC integer hyperplanes shared with
+    ``dedup.embedding_lsh_dups`` (round-2 they were fixed-seed numpy
+    normals, which no SQL oracle could mirror; round-3 finding closed).
+    Buckets are exact int64 arithmetic, so DuckDB reproduces them
+    bit-for-bit; the oracle mirrors the SAME candidate rule (bucket
+    hamming <= 1), not exact kNN, so recall<1 does not break the gate.
 
-def bucket_ids_udf(dim: int = 64):
-    planes = _hyperplanes(dim)
+    Scale shape: corpus bucketed once (one narrow pass), queries (1/every
+    of the corpus) explode 13 probes (own bucket + hamming-1 neighbors),
+    candidates by bucket equi-join — shuffle bounded by bucket sizes,
+    never all-pairs. Ranking = exact quantized cosine (int dot / sqrt of
+    int norms, round 6) over candidates only. A (query, neighbor) pair
+    matches via exactly one probe (mask = xor of buckets), so no dedup
+    pass is needed."""
+    from .dedup import embedding_bucket_udf, int_dot_udf
 
-    @F.pandas_udf(T.LongType())
-    def bucketize(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.to_numpy()).astype(np.float64)
-        bits = (m @ planes.T) > 0
-        out = np.zeros(len(m), dtype=np.int64)
-        for i in range(planes.shape[0]):
-            out |= bits[:, i].astype(np.int64) << i
-        return pd.Series(out)
-
-    return bucketize
-
-
-def lsh_bucketed_topk(embs: DataFrame, k: int = 10, every: int = 50) -> DataFrame:
-    """Scale path: score only candidates sharing the query's hyperplane
-    bucket or any hamming-1 neighbor bucket (multi-probe). Equi-join on
-    bucket — shuffle bounded by bucket sizes, broadcast query side."""
-    bucketize = bucket_ids_udf()
-    corpus = embs.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("emb_b"),
-        bucketize(F.col("embedding")).alias("bucket"),
+    bucketize = embedding_bucket_udf(dim, N_PLANES)
+    qn = (
+        embs.select("vec_id", quantize_col(F.col("embedding")).alias("qv"))
+        .withColumn(
+            "norm",
+            F.aggregate(F.transform("qv", lambda x: x * x),
+                        F.lit(0).cast("long"), lambda a, v: a + v),
+        )
+        .withColumn("bucket", bucketize(F.col("qv")))
     )
-    queries = _query_set(embs, every).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("emb_a"),
-        bucketize(F.col("embedding")).alias("qbucket"),
+    corpus = qn.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"),
+        F.col("norm").alias("nb"), "bucket",
+    )
+    queries = _query_set(qn, every).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"),
+        F.col("norm").alias("na"), F.col("bucket").alias("qbucket"),
     )
     probes = F.array(
         F.col("qbucket"),
         *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)],
     )
     qprobed = queries.select(
-        "query_id", "emb_a", F.explode(probes).alias("bucket")
+        "query_id", "qa", "na", F.explode(probes).alias("bucket")
     )
-    da = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    cos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        6,
     )
-    na = F.sqrt(F.aggregate(F.transform("emb_a", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, v: a + v))
-    nb = F.sqrt(F.aggregate(F.transform("emb_b", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, v: a + v))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("neighbor_id").asc()
+    )
     return (
         qprobed.join(corpus, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", da / (na * nb))
+        .withColumn("dot", int_dot_udf(F.col("qa"), F.col("qb")))
+        .withColumn("cos_q", cos)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round(F.col("cos"), 6).alias("cos"))
+        .select("query_id", "neighbor_id", "rank", "cos_q")
     )
 
 

@@ -57,3 +57,68 @@ def cascade_join(
     return joined.withColumn(out_col, out).withColumn(via_col, via).drop(
         *[c for _, c in val_cols]
     )
+
+
+def priority_match_join(
+    big: DataFrame,
+    keys: list[str],
+    levels: list[tuple[str, DataFrame, Column, Column]],
+    out_col: str = "matched",
+    via_col: str = "via",
+    default: Column | None = None,
+) -> DataFrame:
+    """First-match-wins join where each level may yield MANY candidates.
+
+    The shape ``cascade_join`` cannot express: the reference's template-
+    specialization resolution (exact specialization > partial/pattern >
+    primary template, ``codeviews/CFG/CFG_cpp.py:136-349``) and its
+    first-compatible-catch exception matching (``CFG_cpp.py:583-714,
+    4113-4141``) both join against dims where a single probe row can match
+    several dim rows per level (several patterns apply; several catch
+    clauses are compatible). A LEFT-join cascade would fan the probe row
+    out; the correct semantics is a *priority window*: collect candidates
+    from every level, rank by (level priority, within-level order), keep
+    rank 1.
+
+    levels: [(label, dim, join_cond, order_col)] in priority order; the dim
+    value to return must be named ``out_col`` in each dim. ``order_col``
+    breaks ties WITHIN a level (e.g. min template_id, min catch priority).
+    Every dim is broadcast (small registries by contract), so candidate
+    generation is map-side on the big table; the only shuffle is the
+    rank-1 window on ``keys`` — and its partition key is the probe row id,
+    so it is skew-free by construction.
+
+    Result: every ``big`` row, with ``out_col`` (winning value, else
+    ``default``) + ``via_col`` (winning level's label, else 'none').
+    """
+    from pyspark.sql import Window
+
+    legs = []
+    for rank, (label, dim, cond, order_col) in enumerate(levels):
+        legs.append(
+            big.join(F.broadcast(dim), cond, "inner").select(
+                *[big[k] for k in keys],
+                F.lit(rank).alias("_lvl"),
+                F.lit(label).alias("_via"),
+                order_col.alias("_ord"),
+                F.col(out_col).alias("_val"),
+            )
+        )
+    cand = legs[0]
+    for leg in legs[1:]:
+        cand = cand.unionByName(leg)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_lvl").asc(), F.col("_ord").asc(), F.col("_val").asc()
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*keys, F.col("_val"), F.col("_via"))
+    )
+    out = big.join(best, keys, "left")
+    fallback = default if default is not None else F.lit(None)
+    return (
+        out.withColumn(out_col, F.coalesce(F.col("_val"), fallback))
+        .withColumn(via_col, F.coalesce(F.col("_via"), F.lit("none")))
+        .drop("_val", "_via")
+    )

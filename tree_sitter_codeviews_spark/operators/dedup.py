@@ -128,8 +128,13 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return minhash_signatures_from(shingles_df(docs, n))
 
 
-def minhash_signatures_from(sh: DataFrame) -> DataFrame:
-    """Signatures from a (doc_id, shingle) table (reuse a materialized one)."""
+def minhash_signatures_from(sh: DataFrame, with_count: bool = False) -> DataFrame:
+    """Signatures from a (doc_id, shingle) table (reuse a materialized one).
+
+    ``with_count`` adds an ``n_sh`` column (the per-doc shingle count) to the
+    SAME aggregate — Catalyst fuses all 65 aggregates into one hash-aggregate
+    pass, so callers that need both (the LSH verify leg) save an entire
+    second groupBy shuffle over the shingle table."""
     # hash the variable-length string ONCE, then salt the fixed-width int
     # per slot — 64x less string hashing for identical independence
     h0 = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("h0"))
@@ -137,6 +142,8 @@ def minhash_signatures_from(sh: DataFrame) -> DataFrame:
         F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"sig_{i}")
         for i in range(MINHASH_PERMS)
     ]
+    if with_count:
+        aggs.append(F.count("*").alias("n_sh"))
     return h0.groupBy("doc_id").agg(*aggs)
 
 
@@ -180,8 +187,9 @@ def minhash_lsh_dups(
     if max_df is not None:
         sh = prune_stop_shingles(sh, max_df)
     sh = sh.localCheckpoint()
-    cand = lsh_candidate_pairs(minhash_signatures_from(sh))
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sigs = minhash_signatures_from(sh, with_count=True)
+    cand = lsh_candidate_pairs(sigs)
+    cnt = sigs.select("doc_id", "n_sh")
     pa = cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a")
     inter = (
         pa.join(

@@ -128,3 +128,53 @@ def page_entities(pages: DataFrame, gazetteer: DataFrame) -> DataFrame:
         "url", "doc_id", "entity_id", "surface", "char_offset",
         "lon", "lat", "entity_kind",
     )
+
+
+# ---------------------------------------------------------------------------
+# preprocessor-conditional evaluation (reference cpp_nodes.py:494-528)
+# ---------------------------------------------------------------------------
+#
+# The reference evaluates #if/#ifdef guard expressions against a fixed set
+# of defines and keeps only active branches. The engine analogue: pages
+# carry guard expressions over config flags; the evaluator below handles the
+# bounded guard grammar
+#
+#     guard  := clause ('||' clause)*
+#     clause := atom ('&&' atom)*
+#     atom   := FLAG | '!' FLAG
+#
+# entirely with native higher-order functions (exists/forall over split) —
+# the whole evaluation is one JVM-side expression, zero Python.
+
+PREPROC_GUARDS = [
+    "HAS_GEO",                  # -> True  under PREPROC_CONFIG
+    "!HAS_GEO",                 # -> False
+    "HAS_LANG&&HAS_GEO",        # -> False
+    "!HAS_LANG",                # -> True
+    "HAS_LANG||HAS_GEO",        # -> True
+    "!HAS_GEO&&!HAS_LANG",      # -> False
+]
+PREPROC_CONFIG = {"HAS_GEO": True, "HAS_LANG": False}
+
+
+def preproc_active_col(guard: F.Column, config: dict[str, bool]) -> F.Column:
+    """Evaluate a guard expression column against a build config.
+
+    Disjunctive-normal-form evaluation: the guard is true iff ANY
+    '||'-clause has ALL its atoms true. Atom truth is a broadcast map
+    lookup (the config is a literal map), negated when the atom starts
+    with '!'.
+    """
+    cfg = F.create_map(*[
+        x for k, v in config.items() for x in (F.lit(k), F.lit(v))
+    ])
+
+    def atom_true(atom: F.Column) -> F.Column:
+        flag = F.regexp_replace(atom, "^!", "")
+        val = F.element_at(cfg, flag)
+        return F.when(atom.startswith("!"), ~val).otherwise(val)
+
+    return F.exists(
+        F.split(guard, "\\|\\|"),
+        lambda term: F.forall(F.split(term, "&&"), atom_true),
+    )

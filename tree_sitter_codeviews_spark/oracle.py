@@ -693,6 +693,48 @@ SELECT vec_id_a, vec_id_b, cos_q FROM (
 """
 
 
+def ann_lsh_sql(
+    k: int = 10, every: int = 50, dim: int = 64, n_planes: int = 12,
+    max_hamming: int = 1,
+) -> str:
+    """Exact mirror of the hyperplane-LSH bucketed ANN: identical integer
+    planes/buckets (exact arithmetic), candidate predicate
+    bit_count(xor(buckets)) <= max_hamming (the multi-probe rule), exact
+    quantized-cosine ranking inside candidates only. The oracle mirrors the
+    LSH candidate rule — not exact kNN — so the gate checks the bucketed
+    plan itself, recall contract included."""
+    return f"""
+WITH {_QUANT_CTE},
+planes AS (
+  SELECT p, list_transform(range({dim}),
+                           d -> ((p * {dim} + d) * 48271) % 1021 - 510) AS pl
+  FROM range({n_planes}) t(p)
+),
+b AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN list_dot_product(qn.qv::DOUBLE[], pl::DOUBLE[]) >= 0
+                       THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM qn, planes GROUP BY vec_id
+)
+SELECT query_id, neighbor_id, rank, cos_q FROM (
+  SELECT a.vec_id AS query_id, bb.vec_id AS neighbor_id,
+         round(list_dot_product(a.qv::DOUBLE[], bb.qv::DOUBLE[])
+               / sqrt(a.norm * bb.norm), 6) AS cos_q,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_dot_product(a.qv::DOUBLE[], bb.qv::DOUBLE[])
+                          / sqrt(a.norm * bb.norm), 6) DESC, bb.vec_id ASC
+         ) AS rank
+  FROM qn a
+  JOIN b ba ON a.vec_id = ba.vec_id
+  JOIN qn bb ON bb.vec_id <> a.vec_id
+  JOIN b bbb ON bb.vec_id = bbb.vec_id
+  WHERE a.vec_id % {every} = 0
+    AND bit_count(xor(ba.bucket, bbb.bucket)) <= {max_hamming}
+) WHERE rank <= {k}
+"""
+
+
 def ann_topk_quantized_sql(k: int = 10, every: int = 50) -> str:
     return f"""
 WITH {_QUANT_CTE}
@@ -1315,4 +1357,156 @@ SELECT doc_id,
        CAST(length(norm) AS BIGINT) AS n_norm_chars,
        md5(norm) AS norm_hash
 FROM n
+"""
+
+
+def template_resolve_sql(n_gaz: int = layers.N_GAZ) -> str:
+    """Mirror of the specialization-priority resolution: candidates from all
+    four tiers UNION ALL'd, winner = row_number 1 over (tier, template_id) —
+    the same ordering as the engine's priority window."""
+    gi = layers.MENTION_IDX_SQL.format(j="j")
+    return f"""
+WITH ment AS (
+  SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS j FROM documents
+),
+m2 AS (
+  SELECT printf('https://host%04d.example/doc/%d', (doc_id % 100)::int, doc_id) AS url,
+         j::int AS entity_id,
+         printf('GEO_%05d', {gi}) AS surface,
+         CASE ({gi}) % 3 WHEN 0 THEN 'city' WHEN 1 THEN 'poi' ELSE 'region' END AS kind
+  FROM ment
+),
+cand AS (
+  SELECT url, entity_id, 0 AS lvl, 'exact' AS via, CAST(ex.i AS BIGINT) AS template_id
+  FROM m2 JOIN (SELECT printf('GEO_%05d', i) AS surface, i
+                FROM range({n_gaz}) t(i) WHERE i % 4 = 0) ex USING (surface)
+  UNION ALL
+  SELECT url, entity_id, 1, 'prefix7', CAST(p7.b + 100000 AS BIGINT)
+  FROM m2 JOIN (SELECT printf('GEO_%03d', b) AS pat7, b
+                FROM range(10) t(b) WHERE b % 2 = 0) p7
+    ON substr(m2.surface, 1, 7) = p7.pat7
+  UNION ALL
+  SELECT url, entity_id, 2, 'suffix2', CAST(s2.s + 150000 AS BIGINT)
+  FROM m2 JOIN (SELECT printf('%02d', s) AS suf2, s
+                FROM range(100) t(s) WHERE s % 3 = 0) s2
+    ON substr(m2.surface, 8, 2) = s2.suf2
+  UNION ALL
+  SELECT url, entity_id, 3, 'primary', CAST(k.template_id AS BIGINT)
+  FROM m2 JOIN (VALUES ('city', 200000), ('poi', 200001), ('region', 200002),
+                       ('*', 999999)) k(kind, template_id)
+    ON m2.kind = k.kind OR k.kind = '*'
+),
+best AS (
+  SELECT url, entity_id, via, template_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY url, entity_id ORDER BY lvl, template_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT m2.url, m2.entity_id, m2.surface, best.template_id, best.via
+FROM m2 JOIN best USING (url, entity_id)
+"""
+
+
+def catch_match_sql() -> str:
+    """Mirror of the first-compatible-catch cascade: recursive-CTE reflexive
+    ancestor closure of the 31-class binary tree, priority = declaration
+    order, first compatible catch wins, unmatched throws escape as -1."""
+    return f"""
+WITH RECURSIVE {_graph_ctes()},
+throws AS (
+  SELECT graph_id, node_id, node_id % 31 AS thrown_class FROM n WHERE node_id % 5 = 2
+),
+tre AS (SELECT CAST((i - 1) // 2 AS BIGINT) AS anc, i AS des FROM range(1, 31) t(i)),
+compat(anc, des) AS (
+  SELECT i, i FROM range(31) t(i)
+  UNION
+  SELECT e.anc, c.des FROM compat c JOIN tre e ON e.des = c.anc
+),
+catches AS (
+  SELECT g.graph_id, j AS prio, (g.graph_id * 7 + j * 13) % 31 AS catch_class
+  FROM (SELECT DISTINCT graph_id FROM n) g, range(4) t(j)
+),
+m AS (
+  SELECT t.graph_id, t.node_id, c.prio, c.catch_class,
+         row_number() OVER (PARTITION BY t.graph_id, t.node_id
+                            ORDER BY c.prio) AS rn
+  FROM throws t
+  JOIN catches c ON c.graph_id = t.graph_id
+  JOIN compat ON compat.anc = c.catch_class AND compat.des = t.thrown_class
+)
+SELECT t.graph_id, t.node_id, t.thrown_class,
+       CAST(coalesce(m.prio, -1) AS BIGINT) AS catch_prio,
+       CAST(coalesce(m.catch_class, -1) AS BIGINT) AS catch_class
+FROM throws t
+LEFT JOIN m ON m.graph_id = t.graph_id AND m.node_id = t.node_id AND m.rn = 1
+"""
+
+
+def preproc_filter_sql() -> str:
+    """Independent derivation of the guard activation (the oracle evaluates
+    the TRUTH TABLE of the six guards under the fixed config, not the
+    engine's HOF evaluator — a stronger check than a mirror)."""
+    return """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'HAS_GEO'
+         WHEN 1 THEN '!HAS_GEO'
+         WHEN 2 THEN 'HAS_LANG&&HAS_GEO'
+         WHEN 3 THEN '!HAS_LANG'
+         WHEN 4 THEN 'HAS_LANG||HAS_GEO'
+         ELSE '!HAS_GEO&&!HAS_LANG' END AS guard,
+       CASE doc_id % 6
+         WHEN 0 THEN true
+         WHEN 1 THEN false
+         WHEN 2 THEN false
+         WHEN 3 THEN true
+         WHEN 4 THEN true
+         ELSE false END AS active
+FROM documents
+"""
+
+
+def dedup_groups_embedding_sql(
+    threshold: float = 0.4, dim: int = 64, n_planes: int = 12,
+    max_hamming: int = 2,
+) -> str:
+    """Components over the deterministic embedding-LSH pair graph (the same
+    quadratic candidate mirror as ``dedup_embedding_lsh_sql``, then the same
+    recursive-CTE min-label components as ``dedup_groups_sql``)."""
+    return f"""
+WITH RECURSIVE {_QUANT_CTE},
+planes AS (
+  SELECT p, list_transform(range({dim}),
+                           d -> ((p * {dim} + d) * 48271) % 1021 - 510) AS pl
+  FROM range({n_planes}) t(p)
+),
+bk AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN list_dot_product(qn.qv::DOUBLE[], pl::DOUBLE[]) >= 0
+                       THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM qn, planes GROUP BY vec_id
+),
+pairs AS (
+  SELECT vec_id_a, vec_id_b FROM (
+    SELECT a.vec_id AS vec_id_a, bb.vec_id AS vec_id_b,
+           round(list_dot_product(a.qv::DOUBLE[], bb.qv::DOUBLE[])
+                 / sqrt(a.norm * bb.norm), 6) AS cos_q
+    FROM qn a JOIN bk ba ON a.vec_id = ba.vec_id
+    JOIN qn bb ON a.vec_id < bb.vec_id
+    JOIN bk bbb ON bb.vec_id = bbb.vec_id
+    WHERE bit_count(xor(ba.bucket, bbb.bucket)) <= {max_hamming}
+  ) WHERE cos_q >= {threshold}
+),
+u AS (SELECT vec_id_a AS ua, vec_id_b AS ub FROM pairs
+      UNION SELECT vec_id_b, vec_id_a FROM pairs),
+nn AS (SELECT DISTINCT ua AS node FROM u),
+r(node, comp) AS (
+  SELECT node, node FROM nn
+  UNION
+  SELECT u.ub, r.comp FROM r JOIN u ON u.ua = r.node
+),
+comp AS (SELECT node, min(comp) AS component FROM r GROUP BY 1)
+SELECT e.vec_id, coalesce(c.component, e.vec_id) AS group_id
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
 """

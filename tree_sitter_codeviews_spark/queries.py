@@ -493,6 +493,173 @@ def geo_cascade_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("resolved_id").cast("long").alias("resolved_id"), "via")
 
 
+def geo_template_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-specialization resolution (reference CFG_cpp.py:136-349):
+    each mention resolves against a 4-tier rule registry — exact
+    specialization (full surface, gaz_idx%4==0), prefix-7 pattern (even
+    id-buckets), suffix-2 pattern (suffixes %3==0), primary (kind rule +
+    a catch-all wildcard). First tier with a match wins; within a tier the
+    smallest template_id (most-specific registration) wins — realized by
+    ``cascade.priority_match_join``'s specialization-priority window, the
+    shape ``cascade_join`` cannot express (a tier can yield several
+    candidates: the primary tier always yields two)."""
+    from .operators import cascade, extract
+
+    pages = pages_src.pages_df(spark, sf_dir)
+    gaz = pages_src.gazetteer_df(spark)
+    mentions = extract.page_entities(pages, gaz).select(
+        "url", "entity_id", "surface", "entity_kind"
+    )
+    dim_exact = gaz.filter(F.col("gaz_idx") % 4 == 0).select(
+        F.col("surface").alias("pat_exact"),
+        F.col("gaz_idx").cast("long").alias("template_id"),
+    )
+    dim_p7 = (
+        spark.range(10).filter(F.col("id") % 2 == 0)
+        .select(
+            F.format_string("GEO_%03d", F.col("id")).alias("pat7"),
+            (F.col("id") + 100000).alias("template_id"),
+        )
+    )
+    dim_s2 = (
+        spark.range(100).filter(F.col("id") % 3 == 0)
+        .select(
+            F.format_string("%02d", F.col("id")).alias("suf2"),
+            (F.col("id") + 150000).alias("template_id"),
+        )
+    )
+    kinds = spark.createDataFrame(
+        [("city", 200000), ("poi", 200001), ("region", 200002), ("*", 999999)],
+        "kind string, template_id long",
+    )
+    out = cascade.priority_match_join(
+        mentions,
+        keys=["url", "entity_id"],
+        levels=[
+            ("exact", dim_exact, mentions["surface"] == dim_exact["pat_exact"],
+             dim_exact["template_id"]),
+            ("prefix7", dim_p7,
+             F.substring(mentions["surface"], 1, 7) == dim_p7["pat7"],
+             dim_p7["template_id"]),
+            ("suffix2", dim_s2,
+             F.substring(mentions["surface"], 8, 2) == dim_s2["suf2"],
+             dim_s2["template_id"]),
+            ("primary", kinds,
+             (mentions["entity_kind"] == kinds["kind"]) | (kinds["kind"] == "*"),
+             kinds["template_id"]),
+        ],
+        out_col="template_id",
+        via_col="via",
+    )
+    return out.select("url", "entity_id", "surface",
+                      F.col("template_id").cast("long").alias("template_id"), "via")
+
+
+def graph_catch_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exception matching as a first-COMPATIBLE-match ordered cascade
+    (reference CFG_cpp.py:583-714, 4113-4141): each throw site matches the
+    first catch clause, in declaration order, whose caught class is an
+    ancestor-or-self of the thrown class in a class hierarchy — a
+    priority-ordered *predicate* join (compatibility classes, not equality).
+    The hierarchy compatibility dim is the reflexive transitive closure of
+    the 31-class binary parent tree (``graph_iter.transitive_closure`` —
+    the same operator behind ``graph_closure``); unmatched throws escape
+    with catch_prio = -1 (propagate to caller)."""
+    from .operators import cascade, graph_iter
+
+    nodes, _ = _doc_graph(spark, sf_dir)
+    throws = nodes.filter(F.col("node_id") % 5 == 2).select(
+        "graph_id", "node_id", (F.col("node_id") % 31).alias("thrown_class")
+    )
+    tree = spark.range(1, 31).select(
+        F.floor((F.col("id") - 1) / 2).cast("long").alias("src"),
+        F.col("id").alias("dst"),
+    )
+    anc = graph_iter.transitive_closure(tree).select(
+        F.col("src").alias("anc"), F.col("dst").alias("des")
+    )
+    compat = anc.unionByName(
+        spark.range(31).select(F.col("id").alias("anc"), F.col("id").alias("des"))
+    )
+    catches = (
+        nodes.select("graph_id").distinct()
+        .select("graph_id", F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("prio"))
+        .withColumn("catch_class", (F.col("graph_id") * 7 + F.col("prio") * 13) % 31)
+    )
+    dim = (
+        catches.join(compat, catches["catch_class"] == compat["anc"])
+        .select(
+            F.col("graph_id").alias("c_graph_id"), "des",
+            F.struct(
+                F.col("prio").cast("long").alias("catch_prio"),
+                F.col("catch_class").cast("long").alias("catch_class"),
+            ).alias("catch"),
+        )
+    )
+    out = cascade.priority_match_join(
+        throws,
+        keys=["graph_id", "node_id"],
+        levels=[(
+            "catch", dim,
+            (throws["graph_id"] == dim["c_graph_id"])
+            & (throws["thrown_class"] == dim["des"]),
+            dim["catch"]["catch_prio"],
+        )],
+        out_col="catch",
+        via_col="via",
+        default=F.struct(
+            F.lit(-1).cast("long").alias("catch_prio"),
+            F.lit(-1).cast("long").alias("catch_class"),
+        ),
+    )
+    return out.select(
+        "graph_id", "node_id", "thrown_class",
+        F.col("catch.catch_prio").alias("catch_prio"),
+        F.col("catch.catch_class").alias("catch_class"),
+    )
+
+
+def geo_preproc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preprocessor-conditional evaluation (reference cpp_nodes.py:494-528,
+    the last absent SURVEY §2 row): each page carries a deterministic guard
+    expression over config flags (FLAG, !FLAG, ||-of-&& clauses); the
+    engine evaluates the guard against a fixed build config with native
+    higher-order functions (exists/forall over split — zero Python) and
+    emits the activation verdict the extraction stage filters on."""
+    from .operators import extract
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    guard = F.element_at(
+        F.array(*[F.lit(g) for g in extract.PREPROC_GUARDS]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    return (
+        docs.withColumn("guard", guard)
+        .withColumn(
+            "active",
+            extract.preproc_active_col(F.col("guard"), extract.PREPROC_CONFIG),
+        )
+    )
+
+
+def dedup_groups_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup group formation: connected components over the
+    deterministic multi-probe hyperplane-LSH pair graph (the stage-6 leg of
+    the flagship pipeline, jobs/run_pipeline.py) — every vector gets a
+    group, singletons map to themselves. Oracle-green end to end because
+    the LSH pair generator itself is deterministic (integer planes)."""
+    from .operators import dedup, graph_iter
+
+    embs = _embs(spark, sf_dir)
+    pairs = dedup.embedding_lsh_dups(embs, threshold=0.4)
+    comp = graph_iter.connected_components(
+        pairs, src="vec_id_a", dst="vec_id_b"
+    ).select(F.col("node").alias("vec_id"), "component")
+    return embs.select("vec_id").join(comp, "vec_id", "left").select(
+        "vec_id", F.coalesce(F.col("component"), F.col("vec_id")).alias("group_id")
+    )
+
+
 def graph_grouped_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-graph metrics via applyInPandas (SURVEY §2.10 row 5): one bounded
     graph per host, summarized group-by-group in pandas."""
@@ -620,7 +787,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (the 10^12-row path; recall<1 by
-    contract, multi-probe at hamming-1). Rows-only check."""
+    contract, multi-probe at hamming-1). Deterministic integer planes
+    shared with the DuckDB oracle — the oracle mirrors the LSH candidate
+    rule itself, so this bucketed path is oracle-green."""
     from .operators import ann
 
     return ann.lsh_bucketed_topk(_embs(spark, sf_dir), k=10, every=50)
