@@ -54,7 +54,84 @@ HEADLINE = [
     "events_stream_sessions", # applyInPandasWithState stateful sessionizer
     "ann_pq_topk",            # PQ/ADC compressed-corpus ANN
     "geo_overlay_stats",      # polygon-overlay via raster intersection
+    # round-3 additions
+    "geo_template_resolve",   # specialization-priority window resolution
+    "graph_catch_match",      # first-compatible-match predicate cascade
+    "ann_lsh_topk",           # hyperplane-LSH ANN (deterministic planes)
+    "dedup_groups_embedding", # CC over the embedding-LSH pair graph
 ]
+
+# second scale point: the sf0.1 documents/embeddings/events tables replicated
+# REPL2x with derived ids ("10 crawl snapshots of the same web" — identical
+# text bytes per replica, deterministic, no external data). Embeddings are
+# SIGN-FLIPPED per replica (dim d of replica r multiplied by a deterministic
+# ±1 drawn from xxhash64(r, d); replica 0 keeps the originals): an
+# identical-vector replica corpus squares the near-dup pair space (measured
+# 132s vs 2.6s — a workload change, not a scale-up), and cyclic rolls still
+# correlate (the synthetic embeddings are smooth, so autocorrelation at
+# small lags is high — measured 25,890 pairs vs the linear ~2,210). Random
+# sign flips preserve every within-replica cosine EXACTLY (s_r[d]^2 = 1, so
+# planted pair structure scales linearly) while cross-replica cosines
+# concentrate at 0 (variance ~1/dim). Queries here are the ones whose cost is corpus-bound (not
+# fixed-overhead-bound at sf0.1). dedup_groups/dedup_jaccard are excluded by
+# design: identical-replica TEXT corpora square their pair space too; the
+# minhash row keeps them as its 10x-duplicate crawl-snapshot workload.
+REPL2 = 10
+# dedup_embedding_lsh is excluded as well: its workload is a cosine
+# THRESHOLD (0.4 ~ 3.2 sigma at dim 64), so over the replicated corpus's
+# 2x10^8 pairs even perfectly-decorrelated replicas contribute an enormous
+# tail above threshold (measured ~26k pairs vs the linear ~2.2k) — pair
+# space is a property of the data distribution, not its size. The
+# embedding-side scale story at this point is carried by the fixed-k ANN
+# family (top-k is size-stable by construction).
+SCALE2 = [
+    "geo_pip_entities", "geo_pip_best", "geo_cell_encode", "geo_s2_encode",
+    "geo_tiles", "geo_knn", "geo_template_resolve",
+    "dedup_exact", "dedup_minhash_lsh",
+    "ann_topk_quantized", "ann_ivf_topk", "ann_pq_topk", "ann_lsh_topk",
+    "text_quality", "text_fingerprint", "graph_components",
+    "graph_catch_match", "events_stream_windows",
+]
+
+
+def ensure_scale2_dir(spark, base_dir: str, repl: int = REPL2) -> str:
+    """Materialize the replicated second-scale-point tables (once)."""
+    import glob
+
+    out = os.environ.get("SPARK_GRAFT_SF2_DIR", "/tmp/spark_graft_sf1eq")
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    for table, idcol in (("documents", "doc_id"), ("embeddings", "vec_id"),
+                         ("events", "event_id")):
+        src = spark.read.parquet(os.path.join(base_dir, f"{table}.parquet"))
+        # repartition BEFORE the explode so generation runs on every core
+        # (the sf parquet is a single row group = one map task otherwise)
+        rep = (
+            src.repartition(32, idcol)
+            .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(repl - 1))))
+            .withColumn(idcol, F.col(idcol) * repl + F.col("_r"))
+        )
+        if table == "embeddings":
+            dim = len(src.select("embedding").first()["embedding"])
+            signs = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.when(F.col("_r") == 0, F.lit(1.0)).otherwise(
+                    (1 - 2 * F.pmod(F.xxhash64(F.col("_r"), d), 2)).cast("double")
+                ),
+            )
+            rep = rep.withColumn(
+                "embedding",
+                F.zip_with("embedding", signs,
+                           lambda x, s: (x.cast("double") * s).cast("float")),
+            )
+        rep = rep.drop("_r")
+        rep.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+    open(marker, "w").close()
+    return out
 
 
 def main() -> None:
@@ -116,7 +193,29 @@ def main() -> None:
     pages_per_sec = (
         round(n_pages / flagship_dt, 1) if n_pages and flagship_dt > 0 else None
     )
-    print(json.dumps({
+
+    # ---- second scale point (sf-equivalent = sf * REPL2) -------------------
+    sf2_times: dict[str, float] = {}
+    sf2_total = 0.0
+    sf2_pages_per_sec = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SF2") != "1":
+        sf2_dir = ensure_scale2_dir(spark, sf_dir)
+        n2 = spark.read.parquet(os.path.join(sf2_dir, "documents.parquet")).count()
+        for name in SCALE2:
+            fn = qmap.get(name)
+            if fn is None:
+                continue
+            dt = float("inf")
+            for _ in range(2):  # larger jobs: noise amortizes, 2 reps suffice
+                t0 = time.monotonic()
+                fn(spark, sf2_dir).count()
+                dt = min(dt, time.monotonic() - t0)
+            sf2_times[name] = round(dt, 3)
+            sf2_total += dt
+            if name == "geo_pip_entities":
+                sf2_pages_per_sec = round(n2 / dt, 1) if dt > 0 else None
+
+    out = {
         "metric": "headline suite wall-clock",
         "value": round(total, 3),
         "unit": "sec",
@@ -124,7 +223,15 @@ def main() -> None:
         "sf": sf,
         "pages_per_sec": pages_per_sec,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
-    }))
+    }
+    if sf2_times:
+        out["sf2"] = {
+            "sf_equiv": round(sf * REPL2, 3),
+            "wall": round(sf2_total, 3),
+            "queries": sf2_times,
+            "pages_per_sec": sf2_pages_per_sec,
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

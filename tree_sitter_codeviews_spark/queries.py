@@ -507,9 +507,12 @@ def geo_template_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = pages_src.pages_df(spark, sf_dir)
     gaz = pages_src.gazetteer_df(spark)
+    # the mention table feeds all four candidate legs AND the final keep-all
+    # join (5 consumers); materialize the Arrow-UDF extraction once — Spark
+    # has no common-subplan reuse (at cluster scale: a checkpoint stage table)
     mentions = extract.page_entities(pages, gaz).select(
         "url", "entity_id", "surface", "entity_kind"
-    )
+    ).localCheckpoint()
     dim_exact = gaz.filter(F.col("gaz_idx") % 4 == 0).select(
         F.col("surface").alias("pat_exact"),
         F.col("gaz_idx").cast("long").alias("template_id"),

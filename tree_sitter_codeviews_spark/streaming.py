@@ -74,7 +74,14 @@ def windowed_event_counts(
 def run_available_now(df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drain a streaming DataFrame (availableNow trigger -> memory sink);
     returns the sink contents as a batch DataFrame. Bounded input =>
-    deterministic output => gate-comparable."""
+    deterministic output => gate-comparable.
+
+    GATE-ONLY SHAPE: the ``memory`` sink in complete mode accumulates the
+    whole result table on the driver, which is fine for a bounded drained
+    gate query and nothing else. A production continuous job writes
+    append/update mode to a table sink (parquet/Kafka/Delta-style) with a
+    checkpointLocation; never let this memory-sink pattern migrate into
+    ``jobs/``."""
     name = f"tscv_stream_sink_{next(_sink_counter)}"
     q = (
         df.writeStream.format("memory")
