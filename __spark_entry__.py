@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_catch_match": q.graph_catch_match,        # first-compatible-match predicate cascade (r3)
         "geo_preproc_filter": q.geo_preproc_filter,      # preproc guard evaluation (r3)
         "dedup_groups_embedding": q.dedup_groups_embedding,  # CC over embedding-LSH pairs (r3)
+        "text_decontaminate": q.text_decontaminate,      # benchmark 5-gram overlap (r3)
+        "text_pack_sequences": q.text_pack_sequences,    # distributed prefix-sum packing (r3)
+        "text_pii_scrub": q.text_pii_scrub,              # email/digit-run redaction (r3)
         # --- last driver row is r1 ---------------------------------------
         "text_quality": q.text_quality,
         "lang_stats": q.lang_stats,
@@ -171,6 +174,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_catch_match": oracle.catch_match_sql(),
         "geo_preproc_filter": oracle.preproc_filter_sql(),
         "dedup_groups_embedding": oracle.dedup_groups_embedding_sql(),
+        "text_decontaminate": oracle.decontaminate_sql(),
+        "text_pack_sequences": oracle.pack_sequences_sql(),
+        "text_pii_scrub": oracle.pii_scrub_sql(),
         "graph_grouped_metrics": oracle.graph_grouped_metrics_sql(),
         "geo_vector_raster": oracle.vector_raster_sql(),
         "geo_raster_compact": oracle.raster_compact_sql(),

@@ -1,0 +1,128 @@
+"""Corpus curation operators a large-scale training-data pipeline needs
+beyond dedup/quality: benchmark decontamination, sequence packing, and PII
+scrubbing. All native DataFrame ops — no Python anywhere.
+
+These extend the reference's per-document hygiene discipline (deterministic
+preprocessing, ``utils/preprocessor.py:6-68``; content-derived keys,
+``tree_parser/custom_parser.py:45-57``) to the three curation steps every
+LLM data pipeline runs before training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles_df
+
+# simple, RE2-compatible patterns evaluated identically by Spark
+# (java.util.regex) and DuckDB (RE2): no lookaround, no lazy quantifiers.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONG_DIGITS_RE = "[0-9]{7,}"
+
+
+def decontaminate(
+    docs: DataFrame, n: int = 5, bench_mod: int = 50, bench_rem: int = 7,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    ``n``-gram with the held-out benchmark slice (doc_id % mod == rem).
+
+    The canonical pre-training hygiene step (don't train on your eval set).
+    Engine shape: the benchmark shingle dim is a small fraction of the
+    corpus (1/mod of docs), so the overlap test is a semi-join against a
+    dim that is broadcastable at any corpus size where the benchmark itself
+    is bounded; the per-doc hit count is one aggregate on the train shingle
+    table. Returns (doc_id, n_hits, contaminated) for every NON-benchmark
+    doc (zero-hit docs included — the keep-list is the point).
+    """
+    sh = shingles_df(docs, n)
+    is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == bench_rem
+    bench_sh = sh.filter(is_bench).select("shingle").distinct()
+    hits = (
+        sh.filter(~is_bench)
+        .join(bench_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(docs: DataFrame, budget: int = 512) -> DataFrame:
+    """Sequence packing: assign each doc (in doc_id order) a training-batch
+    bin of ``budget`` tokens via a DISTRIBUTED prefix sum.
+
+    bin_id = floor(cum_tokens_before / budget); offset_in_bin = the doc's
+    start offset inside its bin (docs straddling a boundary spill into the
+    next bin — the standard pack-then-split semantics).
+
+    The naive formulation is ``sum().over(Window.orderBy("doc_id"))`` — an
+    unpartitioned window, i.e. the whole corpus through ONE reducer (the
+    exact anti-pattern fixed in ``skew.hot_keys`` round 3). This is instead
+    the textbook two-phase scan: range-partition by doc_id (partition i
+    holds strictly smaller ids than i+1 — a repartitionByRange guarantee),
+    per-partition prefix sums, then one tiny driver collect of the
+    per-partition totals (numPartitions rows) broadcast back as offsets.
+    The assignment is partitioning-INDEPENDENT (cum_before is a pure
+    function of the doc_id order), so retries / different cluster sizes
+    produce identical bins.
+    """
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    ranged = toks.repartitionByRange("doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint()  # two consumers (totals + final); freeze the pids
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    totals = (
+        ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["_tot"]
+    off_df = ranged.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    cum_before = (F.col("_off") + local_cum).cast("long")
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.floor(cum_before / budget).cast("long").alias("bin_id"),
+            F.pmod(cum_before, F.lit(budget)).cast("long").alias("offset_in_bin"),
+        )
+    )
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing: replace emails and long digit runs with typed tokens;
+    emit per-doc redaction counts + the post-scrub content hash (the
+    deterministic lineage key downstream stages join on, same discipline as
+    ``textstats.normalized_docs``). One projection, zero shuffles."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONG_DIGITS_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(LONG_DIGITS_RE)).cast("long").alias("n_long_digits"),
+        F.md5(scrubbed).alias("clean_hash"),
+    )

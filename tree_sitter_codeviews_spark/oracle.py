@@ -1510,3 +1510,68 @@ comp AS (SELECT node, min(comp) AS component FROM r GROUP BY 1)
 SELECT e.vec_id, coalesce(c.component, e.vec_id) AS group_id
 FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
 """
+
+
+def decontaminate_sql(n: int = 4, bench_mod: int = 50, bench_rem: int = 7) -> str:
+    """n-gram overlap between train docs and the benchmark slice."""
+    parts = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, n + 1))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {parts} AS shingle
+  FROM toks, unnest(range(len(w) - {n - 1})) AS t(i)
+  WHERE len(w) >= {n}
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {bench_mod} = {bench_rem}),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM sh
+  WHERE doc_id % {bench_mod} <> {bench_rem}
+    AND shingle IN (SELECT shingle FROM bench)
+  GROUP BY 1
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {bench_mod} <> {bench_rem}
+"""
+
+
+def pack_sequences_sql(budget: int = 512) -> str:
+    """Global prefix-sum packing mirror (DuckDB runs the single-node window
+    the engine deliberately avoids)."""
+    return f"""
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cb // {budget} AS BIGINT) AS bin_id,
+       CAST(cb % {budget} AS BIGINT) AS offset_in_bin
+FROM c
+"""
+
+
+def pii_scrub_sql() -> str:
+    """Same injection, same RE2-compatible patterns, same replacement order."""
+    from .operators.curation import EMAIL_RE, LONG_DIGITS_RE
+
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || (CASE doc_id % 4
+                    WHEN 0 THEN ' contact agent007@example.com now'
+                    WHEN 1 THEN ' call 5551234567'
+                    WHEN 2 THEN ' ref 4111111122223333 id'
+                    ELSE '' END) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{LONG_DIGITS_RE}')) AS BIGINT) AS n_long_digits,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{LONG_DIGITS_RE}', '<NUM>', 'g')) AS clean_hash
+FROM inj
+"""

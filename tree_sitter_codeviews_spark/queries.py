@@ -849,6 +849,44 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return textstats.normalized_docs(_docs(spark, sf_dir))
 
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-train-doc count of word 4-grams shared
+    with the held-out benchmark slice (doc_id % 50 == 7) + the keep flag
+    (n=4 measured: 15-17 flagged docs at gate scale; n=5 was near-vacuous
+    at 1-2, n=3 flags half the corpus on this small vocabulary)."""
+    from .operators import curation
+
+    return curation.decontaminate(_docs(spark, sf_dir), n=4)
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 512-token training bins via the distributed
+    two-phase prefix sum (no unpartitioned window anywhere)."""
+    from .operators import curation
+
+    return curation.pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over deterministically PII-injected pages (the
+    synthetic corpus carries none, so the gate plants emails / phone-like /
+    card-like digit runs by doc_id % 4 — the redaction itself is what the
+    oracle checks, replacement-for-replacement via the hash)."""
+    from .operators import curation
+
+    docs = _docs(spark, sf_dir)
+    suffix = F.element_at(
+        F.array(
+            F.lit(" contact agent007@example.com now"),
+            F.lit(" call 5551234567"),
+            F.lit(" ref 4111111122223333 id"),
+            F.lit(""),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    return curation.pii_scrub(docs.withColumn("text", F.concat(F.col("text"), suffix)))
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textstats
 
