@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q.text_decontaminate,      # benchmark 5-gram overlap (r3)
         "text_pack_sequences": q.text_pack_sequences,    # distributed prefix-sum packing (r3)
         "text_pii_scrub": q.text_pii_scrub,              # email/digit-run redaction (r3)
+        "text_boilerplate_strip": q.text_boilerplate_strip,  # CCNet-style segment strip (r3)
         # --- last driver row is r1 ---------------------------------------
         "text_quality": q.text_quality,
         "lang_stats": q.lang_stats,
@@ -177,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": oracle.decontaminate_sql(),
         "text_pack_sequences": oracle.pack_sequences_sql(),
         "text_pii_scrub": oracle.pii_scrub_sql(),
+        "text_boilerplate_strip": oracle.boilerplate_strip_sql(),
         "graph_grouped_metrics": oracle.graph_grouped_metrics_sql(),
         "geo_vector_raster": oracle.vector_raster_sql(),
         "geo_raster_compact": oracle.raster_compact_sql(),

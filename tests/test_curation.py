@@ -72,3 +72,18 @@ def test_pii_scrub_hash_tracks_redaction(spark, sf_tiny):
     )
     assert out.filter(F.col("clean_hash") == F.col("raw_hash")).count() == 0
     assert out.filter(F.col("n_emails") != 1).count() == 0
+
+
+def test_strip_boilerplate_removes_frequent_segments_only(spark, sf_tiny):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_tiny)
+    out = curation.strip_boilerplate(docs, seg_len=8, max_docs=2)
+    assert out.count() == docs.count()          # every doc keeps a row
+    assert out.filter("n_kept < n_segs").count() > 0   # something stripped
+    assert out.filter("n_kept > n_segs").count() == 0  # never invents segs
+    # with the cut disabled (max_docs >= corpus size) nothing is stripped
+    # and the reassembly round-trips the original text hash exactly
+    intact = curation.strip_boilerplate(docs, seg_len=8, max_docs=10**9)
+    joined = intact.join(docs.select("doc_id", F.md5("text").alias("h")), "doc_id")
+    assert joined.filter(F.col("clean_hash") != F.col("h")).count() == 0

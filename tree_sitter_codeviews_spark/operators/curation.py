@@ -126,3 +126,63 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(t, F.lit(LONG_DIGITS_RE)).cast("long").alias("n_long_digits"),
         F.md5(scrubbed).alias("clean_hash"),
     )
+
+
+def strip_boilerplate(
+    docs: DataFrame, seg_len: int = 8, max_docs: int = 20,
+) -> DataFrame:
+    """Boilerplate removal (the CCNet-style paragraph-dedup step): split
+    each doc into fixed ``seg_len``-token segments, drop segments that occur
+    in more than ``max_docs`` distinct documents (headers/footers/navigation
+    boilerplate at web scale), reassemble the survivors in order.
+
+    Segmentation is pure projection (``slice`` over the split array — no
+    shuffle, no Python); the corpus-frequency table is one groupBy on the
+    segment string (the same inverted-index discipline as
+    ``dedup.prune_stop_shingles``); reassembly is one groupBy(doc_id) with
+    an ``array_sort``-of-structs ordered join of the surviving segments
+    (collect_list order is partition-dependent — sorting by seg_idx inside
+    the aggregate restores the deterministic document order).
+
+    Returns (doc_id, n_segs, n_kept, clean_hash) — every doc gets a row,
+    even if everything was stripped (clean_hash of the empty string).
+    """
+    toks = F.split(F.col("text"), " ")
+    n_segs = F.ceil(F.size(toks) / seg_len).cast("long")
+    segs = docs.select(
+        "doc_id",
+        n_segs.alias("n_segs"),
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx"),
+        toks.alias("_toks"),
+    ).select(
+        "doc_id", "n_segs", "seg_idx",
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), F.col("seg_idx") * seg_len + 1, seg_len)
+        ).alias("seg"),
+    )
+    freq = segs.groupBy("seg").agg(
+        F.count_distinct("doc_id").alias("_df")
+    )
+    keep = freq.filter(F.col("_df") <= max_docs).select("seg")
+    kept = segs.join(keep, "seg", "left_semi")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("seg_idx"), F.col("seg")))
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("_clean"),
+    )
+    return (
+        docs.select("doc_id", n_segs.alias("n_segs"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id", "n_segs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.md5(F.coalesce(F.col("_clean"), F.lit(""))).alias("clean_hash"),
+        )
+    )

@@ -1575,3 +1575,29 @@ SELECT doc_id,
                           '{LONG_DIGITS_RE}', '<NUM>', 'g')) AS clean_hash
 FROM inj
 """
+
+
+def boilerplate_strip_sql(seg_len: int = 8, max_docs: int = 2) -> str:
+    """Same segmentation (fixed token windows), frequency cut and ordered
+    reassembly in DuckDB list/string functions."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(list_slice(w, i * {seg_len} + 1, i * {seg_len} + {seg_len}), ' ') AS seg
+  FROM toks, unnest(range(CAST(ceil(len(w) / {seg_len}.0) AS BIGINT))) t(i)
+),
+freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1),
+kept AS (SELECT s.doc_id, s.seg_idx, s.seg FROM segs s JOIN freq USING (seg)
+         WHERE freq.df <= {max_docs}),
+re AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS clean
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(ceil(len(string_split(d.text, ' ')) / {seg_len}.0) AS BIGINT) AS n_segs,
+       CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(re.clean, '')) AS clean_hash
+FROM documents d LEFT JOIN re USING (doc_id)
+"""

