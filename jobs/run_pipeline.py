@@ -16,6 +16,10 @@ the same job-id resumes, recomputing only missing stages/chunks):
   5. dedup_groups — near-dup group formation over the page text: Jaccard
                   pair graph (stop-shingle cut) -> connected components ->
                   (doc_id, group_id) survivors.
+  6. emb_dedup_groups — the embedding twin of stage 5 (multi-probe LSH).
+  7. train_set   — final curation: dedup representatives -> benchmark
+                  decontamination -> PII scrub -> 512-token sequence
+                  packing -> (doc_id, bin_id, offset, clean_hash) shards.
 
 Build the --py-files zip with:  python -m zipfile -c tscv_spark.zip tree_sitter_codeviews_spark
 """
@@ -155,10 +159,29 @@ def main(argv: list[str] | None = None, spark=None) -> None:
 
     emb_groups = pipe.stage("emb_dedup_groups", emb_dedup_stage)
 
+    # stage 7: train-set materialization — what actually ships to training.
+    # Dedup group representatives -> drop benchmark-contaminated docs ->
+    # PII scrub -> distributed-prefix-sum packing into 512-token bins.
+    def train_set_stage():
+        from tree_sitter_codeviews_spark.operators import curation
+
+        docs = pages.select("doc_id", "text")
+        reps = groups.filter(F.col("doc_id") == F.col("group_id")).select("doc_id")
+        survivors = docs.join(reps, "doc_id")
+        decon = curation.decontaminate(survivors, n=4)
+        keep = decon.filter(~F.col("contaminated")).select("doc_id")
+        clean = survivors.join(keep, "doc_id")
+        packed = curation.pack_sequences(clean, budget=512)
+        scrub = curation.pii_scrub(clean)
+        return packed.join(scrub.select("doc_id", "clean_hash"), "doc_id")
+
+    train_set = pipe.stage("train_set", train_set_stage)
+
     print(
         f"job={args.job_id} pages={pages.count()} entities={entities.count()} "
         f"triples={triples.count()} tiles={tile_out.count()} "
         f"dedup_groups={groups.count()} emb_dedup_groups={emb_groups.count()} "
+        f"train_set={train_set.count()} "
         f"recomputed={pipe.recomputed or ['<none — full resume>']}"
     )
     if owns_session:

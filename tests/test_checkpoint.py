@@ -83,7 +83,7 @@ def test_pipeline_job_end_to_end_and_resume(spark, tmp_path, sf_tiny):
     p = Pipeline(spark, str(tmp_path), "e2e")
     stages = {r["stage"] for r in p.lineage().select("stage").distinct().collect()}
     assert stages == {"pages", "entities", "triples", "tiles", "dedup_groups",
-                      "emb_dedup_groups"}
+                      "emb_dedup_groups", "train_set"}
 
     # resume: no stage dirs are recomputed (metrics row count unchanged)
     n_metrics_before = p.metrics().count()
