@@ -219,3 +219,16 @@ def test_iterative_ops_handle_empty_inputs(spark):
     assert graph_iter.reaching_definitions(e, d).count() == 0
     full_edges = _edges(spark, [(1, 2), (2, 3)])
     assert graph_iter.reaching_definitions(full_edges, d).count() == 0
+
+
+def test_components_driver_and_distributed_paths_agree(spark, sf_tiny):
+    """The size-adaptive small-graph arm (driver union-find) must return
+    exactly the distributed fixpoint's result."""
+    from tree_sitter_codeviews_spark.queries import _broken_edges
+
+    e = _broken_edges(spark, sf_tiny)
+    fast = {(r.node, r.component)
+            for r in graph_iter.connected_components(e).collect()}
+    dist = {(r.node, r.component)
+            for r in graph_iter.connected_components(e, small_threshold=0).collect()}
+    assert fast == dist and len(fast) > 0

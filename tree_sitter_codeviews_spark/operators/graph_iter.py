@@ -35,9 +35,18 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    small_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) for the undirected graph of ``edges``;
     component = min node id in the component.
+
+    SIZE-ADAPTIVE (the broadcast-join-threshold discipline): the undirected
+    edge table is materialized once and counted; below ``small_threshold``
+    edges the components are solved by driver-side union-find on the
+    collected pairs (a dedup pair graph is typically orders of magnitude
+    smaller than its corpus — at bench scale the distributed loop spent
+    ~3.4 s of per-round job overhead on a 244-edge graph the driver solves
+    in microseconds). Above it, the distributed loop runs:
 
     Min-label propagation + pointer jumping:
       1. label(v) <- min(label(v), min over neighbors' labels)   (1 join)
@@ -46,8 +55,10 @@ def connected_components(
     loop converges; at a fixpoint step 1 forces label equality across every
     edge, hence label == component min. Step 2 (pointer jumping) compresses
     label chains so convergence is O(log diameter) rounds, not O(diameter).
-    Nodes are derived from the edge set (isolated nodes: union them in
-    afterwards, or seed with a node table before calling).
+    Both paths return identical results (pinned by test); nodes are derived
+    from the edge set (isolated nodes: union them in afterwards, or seed
+    with a node table before calling). Pass ``small_threshold=0`` to force
+    the distributed path.
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -55,6 +66,8 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if small_threshold and und.count() <= small_threshold:
+        return _components_driver(und)
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
@@ -94,6 +107,41 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _components_driver(und: DataFrame) -> DataFrame:
+    """Union-find on a collected (a, b) edge table — the small-graph arm of
+    ``connected_components``. Representative = min node id, identical to
+    the distributed loop's fixpoint."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:       # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in und.collect():
+        a, b = row["a"], row["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by value: the smaller id becomes the root, so the root
+            # IS the component min without a second pass
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(n, find(n)) for n in parent]
+    node_type = und.schema["a"].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("node", node_type), T.StructField("component", node_type)
+    ])
+    return und.sparkSession.createDataFrame(rows, schema)
 
 
 def reach(
