@@ -232,3 +232,14 @@ def test_components_driver_and_distributed_paths_agree(spark, sf_tiny):
     dist = {(r.node, r.component)
             for r in graph_iter.connected_components(e, small_threshold=0).collect()}
     assert fast == dist and len(fast) > 0
+
+
+def test_closure_driver_and_distributed_paths_agree(spark, sf_tiny):
+    from tree_sitter_codeviews_spark.queries import _broken_edges
+
+    e = _broken_edges(spark, sf_tiny)
+    fast = {(r.src, r.dst)
+            for r in graph_iter.transitive_closure(e).collect()}
+    dist = {(r.src, r.dst)
+            for r in graph_iter.transitive_closure(e, small_threshold=0).collect()}
+    assert fast == dist and len(fast) > 0

@@ -238,6 +238,8 @@ def transitive_closure(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    small_threshold: int = 100_000,
+    driver_pair_cap: int = 5_000_000,
 ) -> DataFrame:
     """All (src, dst) pairs connected by a directed path: the reference's
     inheritance/overload closure (``codeviews/CFG/CFG_cpp.py:407-438``
@@ -246,8 +248,19 @@ def transitive_closure(
     Path doubling: P_{k+1} = P_k ∪ (P_k ∘ P_k), so paths up to length
     2^max_iter close in max_iter rounds — log(longest path) shuffles, the
     right shape for deep hierarchies on a cluster. Output excludes the
-    trivial (v, v) pairs unless the input has cycles through v."""
+    trivial (v, v) pairs unless the input has cycles through v.
+
+    SIZE-ADAPTIVE like ``connected_components``: below ``small_threshold``
+    edges the closure is a driver-side per-node BFS over the collected
+    adjacency (class hierarchies / overload registries are dim-sized), with
+    a hard ``driver_pair_cap`` escape back to the distributed loop if the
+    closure explodes (deep chains square). ``small_threshold=0`` forces the
+    distributed path; both return identical pair sets (pinned by test)."""
     paths = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct().localCheckpoint()
+    if small_threshold and paths.count() <= small_threshold:
+        out = _closure_driver(paths, driver_pair_cap)
+        if out is not None:
+            return out.select(F.col("a").alias(src), F.col("b").alias(dst))
     for _ in range(max_iter):
         before = paths.count()
         comp = (
@@ -259,6 +272,36 @@ def transitive_closure(
         if paths.count() == before:
             break
     return paths.select(F.col("a").alias(src), F.col("b").alias(dst))
+
+
+def _closure_driver(paths: DataFrame, pair_cap: int) -> DataFrame | None:
+    """Per-node BFS closure of a collected edge table; None if the pair
+    count would exceed ``pair_cap`` (caller falls back to distributed)."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for r in paths.collect():
+        adj[r["a"]].append(r["b"])
+    rows, total = [], 0
+    for start in adj:
+        seen, stack = set(), list(adj[start])
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            stack.extend(adj.get(v, ()))
+        total += len(seen)
+        if total > pair_cap:
+            return None
+        rows.extend((start, v) for v in seen)
+    node_type = paths.schema["a"].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("a", node_type), T.StructField("b", node_type)
+    ])
+    return paths.sparkSession.createDataFrame(rows, schema)
 
 
 def resolve_chains(
