@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- code path changed this round --------------------------------
         "ann_lsh_topk": q.ann_lsh_topk,            # deterministic planes since r3: oracle-green
         "dedup_minhash_lsh": q.dedup_minhash_lsh,  # rows-only (LSH recall); verify leg fused r3
+        "dedup_simhash": q.dedup_simhash,          # md5 hasher since r3: semantic oracle (blocking losslessness)
         "geo_pip_salted": q.geo_pip_salted,        # hot_keys scalar-agg fix in its path
         # --- flagship + one per family (driver-green in r2) --------------
         "geo_pip_entities": q.geo_pip_entities,
@@ -130,7 +131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_raster_compact": q.geo_raster_compact,
         "geo_overlay_stats": q.geo_overlay_stats,  # polygon-overlay pairs via raster intersection
         "dedup_jaccard": q.dedup_jaccard,
-        "dedup_simhash": q.dedup_simhash,              # rows-only (xxhash64 JVM-side)
         "dedup_embedding": q.dedup_embedding,
         "ann_topk_quantized": q.ann_topk_quantized,
         "ann_cosine_topk": q.ann_cosine_topk,          # rows-only (float ULP)
@@ -179,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pack_sequences": oracle.pack_sequences_sql(),
         "text_pii_scrub": oracle.pii_scrub_sql(),
         "text_boilerplate_strip": oracle.boilerplate_strip_sql(),
+        "dedup_simhash": oracle.simhash_sql(),
         "graph_grouped_metrics": oracle.graph_grouped_metrics_sql(),
         "geo_vector_raster": oracle.vector_raster_sql(),
         "geo_raster_compact": oracle.raster_compact_sql(),
@@ -226,6 +227,5 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_orders": oracle.customers_no_orders_sql(),
         # intentionally no oracle (driver records rows-only):
         # dedup_minhash_lsh + dedup_groups_lsh (LSH recall),
-        # dedup_simhash (engine-specific xxhash64), ann_cosine_topk (float
-        # ULP), geo_tiles_approx (HLL estimate)
+        # ann_cosine_topk (float ULP), geo_tiles_approx (HLL estimate)
     }

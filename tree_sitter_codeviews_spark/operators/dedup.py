@@ -210,12 +210,25 @@ def minhash_lsh_dups(
     )
 
 
-def simhash_df(docs: DataFrame) -> DataFrame:
+def simhash_df(docs: DataFrame, hasher: str = "xxhash64") -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash over tokens, fully native.
 
-    Per bit i: sum over tokens of ±1 by bit i of xxhash64(token); bit set if
-    sum > 0. 64 sums in one groupBy (single shuffle)."""
-    toks = tokens_df(docs).select("doc_id", F.xxhash64(F.col("tok")).alias("h"))
+    Per bit i: sum over tokens of ±1 by bit i of hash(token); bit set if
+    sum > 0. 64 sums in one groupBy (single shuffle).
+
+    hasher: 'xxhash64' (fastest, engine-specific — the production path) or
+    'md5' (first 64 bits of md5, bit-identical in DuckDB — the
+    oracle-checkable path; same algorithm, different token hash)."""
+    if hasher == "xxhash64":
+        h = F.xxhash64(F.col("tok"))
+    elif hasher == "md5":
+        # first 16 hex chars -> two's-complement signed 64-bit: conv with a
+        # NEGATIVE target base emits the signed decimal string (ANSI-safe to
+        # cast), matching DuckDB's explicit unsigned->signed wrap
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 16), 16, -10).cast("long")
+    else:
+        raise ValueError(f"unknown hasher: {hasher}")
+    toks = tokens_df(docs).select("doc_id", h.alias("h"))
     sums = toks.groupBy("doc_id").agg(*[
         F.sum(
             F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
@@ -232,13 +245,17 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, hasher: str = "xxhash64",
+) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming via 4x16-bit band blocking.
 
     Pigeonhole: hamming <= 3 over 64 bits => at least one of the 4 16-bit
     bands is identical, so the blocking join is *exact* (no recall loss),
-    unlike MinHash-LSH. Verify = native bit_count(xor)."""
-    sims = simhash_df(docs)
+    unlike MinHash-LSH. Verify = native bit_count(xor). With hasher='md5'
+    the whole pipeline (hash -> 64 sign sums -> band blocking -> hamming
+    verify) is mirrored bit-for-bit by the DuckDB oracle."""
+    sims = simhash_df(docs, hasher=hasher)
     bands = F.array(*[
         F.struct(
             F.lit(bi).alias("band_idx"),
@@ -253,7 +270,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                   "band_idx", "band_val")
     b = ex.select(F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sim_b"),
                   "band_idx", "band_val")
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))

@@ -1601,3 +1601,40 @@ SELECT d.doc_id,
        md5(coalesce(re.clean, '')) AS clean_hash
 FROM documents d LEFT JOIN re USING (doc_id)
 """
+
+
+def simhash_sql(max_hamming: int = 3) -> str:
+    """SEMANTIC oracle for the md5-hasher SimHash near-dup pairs: the same
+    simhash construction (signed-64 md5 token hash, 64 sign sums), then the
+    pure quadratic hamming predicate — no band blocking. Equality therefore
+    also proves the engine's 4x16-bit pigeonhole blocking is lossless."""
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                   THEN u::HUGEINT - 18446744073709551616::HUGEINT
+                   ELSE u::HUGEINT END AS BIGINT) AS h
+  FROM (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS u FROM toks)
+),
+pow2(i, p) AS (SELECT 0, 1::HUGEINT UNION ALL SELECT i + 1, p * 2 FROM pow2 WHERE i < 63),
+sums AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, range(64) t(i) GROUP BY 1, 2
+),
+sim AS (
+  SELECT doc_id,
+         CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+                   THEN su - 18446744073709551616::HUGEINT
+                   ELSE su END AS BIGINT) AS simhash
+  FROM (SELECT doc_id, sum(CASE WHEN s > 0 THEN p ELSE 0::HUGEINT END) AS su
+        FROM sums JOIN pow2 USING (i) GROUP BY 1)
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

@@ -752,9 +752,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the md5-derived token hash — since r3 the
+    whole pipeline (hash -> 64 sign sums -> pigeonhole band blocking ->
+    hamming verify) is oracle-checked against the SEMANTIC predicate
+    (quadratic bit_count(xor) <= 3 over the same simhashes), which also
+    proves the 4x16-bit blocking is lossless. The xxhash64 production
+    hasher stays available (engine-specific, determinism pytest-pinned)."""
     from .operators import dedup
 
-    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3, hasher="md5")
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
