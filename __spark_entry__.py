@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": q.text_pack_sequences,    # distributed prefix-sum packing (r3)
         "text_pii_scrub": q.text_pii_scrub,              # email/digit-run redaction (r3)
         "text_boilerplate_strip": q.text_boilerplate_strip,  # CCNet-style segment strip (r3)
+        "q4_priority_counts": rel.q4_priority_counts,    # EXISTS semi-join (r3)
+        "q16_supplier_variety": rel.q16_supplier_variety,  # NOT-IN anti + distinct count (r3)
         # --- last driver row is r1 ---------------------------------------
         "text_quality": q.text_quality,
         "lang_stats": q.lang_stats,
@@ -180,6 +182,8 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": oracle.pii_scrub_sql(),
         "text_boilerplate_strip": oracle.boilerplate_strip_sql(),
         "dedup_simhash": oracle.simhash_sql(),
+        "q4_priority_counts": oracle.q4_priority_counts_sql(),
+        "q16_supplier_variety": oracle.q16_supplier_variety_sql(),
         "graph_grouped_metrics": oracle.graph_grouped_metrics_sql(),
         "geo_vector_raster": oracle.vector_raster_sql(),
         "geo_raster_compact": oracle.raster_compact_sql(),

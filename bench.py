@@ -59,6 +59,10 @@ HEADLINE = [
     "graph_catch_match",      # first-compatible-match predicate cascade
     "ann_lsh_topk",           # hyperplane-LSH ANN (deterministic planes)
     "dedup_groups_embedding", # CC over the embedding-LSH pair graph
+    "text_decontaminate",     # benchmark n-gram overlap (semi-join + agg)
+    "text_pack_sequences",    # distributed prefix-sum packing
+    "text_boilerplate_strip", # CCNet-style segment strip
+    "dedup_simhash",          # md5-hasher simhash (semantic-oracle row)
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
