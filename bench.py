@@ -181,6 +181,14 @@ def main() -> None:
         # throughput dips from co-tenants (load observed 4-8 with zero
         # in-container CPU users; a dip spanning both of 2 reps was observed
         # on the flagship — 7.9s vs 2.0s steady-state); min = uncontended
+        # drop the previous query's localCheckpoint blocks before timing:
+        # iterative/dedup queries leave block-manager memory pinned until
+        # their DataFrames are GC'd, and the pressure bleeds into the NEXT
+        # query's numbers (ann_topk_quantized measured 1.0s isolated vs
+        # 4-5s when run right after the checkpoint-heavy dedup queries)
+        import gc as _gc
+
+        _gc.collect()
         dt = float("inf")
         for _ in range(3):
             t0 = time.monotonic()
@@ -209,6 +217,9 @@ def main() -> None:
             fn = qmap.get(name)
             if fn is None:
                 continue
+            import gc as _gc
+
+            _gc.collect()
             dt = float("inf")
             for _ in range(2):  # larger jobs: noise amortizes, 2 reps suffice
                 t0 = time.monotonic()

@@ -78,3 +78,30 @@ def test_round2_relational_queries_broadcast_dims(spark, sf_tiny):
         df = fn(spark, sf_tiny)
         assert plans.uses_broadcast_join(df), fn.__name__
         assert not plans.uses_sort_merge_join(df), fn.__name__
+
+
+def test_priority_match_candidate_legs_are_broadcast(spark, sf_tiny):
+    # every registry tier must broadcast its (small) dim — a sort-merge in a
+    # candidate leg would shuffle the corpus-sized mention table per tier.
+    # (The final keys join-back IS allowed to sort-merge: both sides are
+    # corpus-sized at scale.)
+    from tree_sitter_codeviews_spark.queries import graph_catch_match
+
+    df = graph_catch_match(spark, sf_tiny)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_curation_ops_are_jvm_native(spark, sf_tiny):
+    # decontamination / packing / scrubbing / boilerplate are hot-path
+    # corpus transforms: zero Python stages allowed
+    from tree_sitter_codeviews_spark.queries import (
+        text_boilerplate_strip,
+        text_decontaminate,
+        text_pack_sequences,
+        text_pii_scrub,
+    )
+
+    for fn in (text_decontaminate, text_pack_sequences, text_pii_scrub,
+               text_boilerplate_strip):
+        plan = plans.explain_str(fn(spark, sf_tiny))
+        assert "EvalPython" not in plan, f"{fn.__name__} has a Python stage"
