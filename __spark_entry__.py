@@ -24,6 +24,18 @@ def _sql_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sqlapi.sql_tiles(spark, sf_dir)
 
 
+def _sql_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tree_sitter_codeviews_spark import sqlapi
+
+    return sqlapi.sql_dedup_exact(spark, sf_dir)
+
+
+def _sql_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tree_sitter_codeviews_spark import sqlapi
+
+    return sqlapi.sql_event_windows(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> byte-identical extract -> entities -> cell encode ->
     two-phase PIP join -> (url, cell_id, polygon_id) triples."""
@@ -70,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate_strip": q.text_boilerplate_strip,  # CCNet-style segment strip (r3)
         "q4_priority_counts": rel.q4_priority_counts,    # EXISTS semi-join (r3)
         "q16_supplier_variety": rel.q16_supplier_variety,  # NOT-IN anti + distinct count (r3)
+        "sql_dedup_exact": _sql_dedup_exact,   # declarative twin (r3)
+        "sql_event_windows": _sql_event_windows,  # batch-SQL twin of the streaming window agg (r3)
         # --- last driver row is r1 ---------------------------------------
         "text_quality": q.text_quality,
         "lang_stats": q.lang_stats,
@@ -184,6 +198,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracle.simhash_sql(),
         "q4_priority_counts": oracle.q4_priority_counts_sql(),
         "q16_supplier_variety": oracle.q16_supplier_variety_sql(),
+        "sql_dedup_exact": oracle.dedup_exact_sql(),
+        "sql_event_windows": oracle.events_stream_windows_sql(),
         "graph_grouped_metrics": oracle.graph_grouped_metrics_sql(),
         "geo_vector_raster": oracle.vector_raster_sql(),
         "geo_raster_compact": oracle.raster_compact_sql(),

@@ -41,3 +41,26 @@ def sql_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"count(*) AS n_docs FROM doc_points GROUP BY 1, 2"
         )
     return spark.sql(" UNION ALL ".join(parts))
+
+
+def sql_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_exact via pure Spark SQL — the declarative twin of the
+    DataFrame path (same oracle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT md5(text) AS text_hash, count(*) AS n_dups, "
+        "min(doc_id) AS keep_doc_id FROM documents GROUP BY 1"
+    )
+
+
+def sql_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH SQL twin of the STREAMING ``events_stream_windows`` query:
+    identical hour-window aggregate through ``spark.sql``, same oracle —
+    proving drained-stream ≡ batch ≡ declarative SQL on bounded input."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT CAST(date_trunc('HOUR', ts) AS timestamp_ntz) AS window_start, "
+        "event_type, count(*) AS n_events, "
+        "round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
