@@ -114,3 +114,63 @@ def compact_tiles(tiles_at_res: DataFrame, res: int, min_res: int = 0) -> DataFr
     if cur is not None:
         out_parts.append(cur.select("res", "cell_id", *measures))
     return reduce(lambda a, b: a.unionByName(b), out_parts)
+
+
+def tile_smooth(
+    points: DataFrame,
+    res: int = 7,
+    grid_res: int = 10,
+) -> DataFrame:
+    """Raster 3x3 box convolution over the per-tile doc counts — the
+    focal-statistics / heatmap-smoothing step of a raster GIS stack.
+
+    Engine shape: the res-``res`` count raster is built once (one shuffle),
+    then each cell EXPLODES its 9 neighbor contributions (narrow, x9 on the
+    small raster — never on the points) and the convolution is a second
+    groupBy on the target cell. Absent neighbors contribute 0; output keeps
+    only cells present in the base raster (n_docs >= 1), with the cell id
+    re-encoded as the Morton code. No join against the point table and no
+    Python anywhere.
+    """
+    from .. import cells
+
+    shift = grid_res - res
+    n = 1 << res
+    base = (
+        points.select(
+            F.shiftright(F.col("gx"), shift).alias("x"),
+            F.shiftright(F.col("gy"), shift).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint()  # two consumers: contributions + the keep join
+    )
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    contrib = (
+        base.select("x", "y", "n_docs", F.explode(offsets).alias("o"))
+        .select(
+            (F.col("x") + F.col("o.dx")).alias("tx"),
+            (F.col("y") + F.col("o.dy")).alias("ty"),
+            "n_docs",
+        )
+        .filter(
+            (F.col("tx") >= 0) & (F.col("tx") < n)
+            & (F.col("ty") >= 0) & (F.col("ty") < n)
+        )
+        .groupBy("tx", "ty")
+        .agg(F.sum("n_docs").alias("smoothed"))
+    )
+    return (
+        base.join(
+            contrib,
+            (base["x"] == contrib["tx"]) & (base["y"] == contrib["ty"]),
+        )
+        .select(
+            cells.morton_col(F.col("x"), F.col("y"), res).alias("cell_id"),
+            "n_docs",
+            F.col("smoothed").cast("long").alias("smoothed"),
+        )
+    )

@@ -1657,3 +1657,36 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY 1, 2
 """
+
+
+def tile_smooth_sql(res: int = 7, grid_res: int = 10) -> str:
+    """3x3 box convolution over the res-7 raster (same clamped edges)."""
+    shift = grid_res - res
+    n = (1 << res) - 1
+    return f"""
+WITH {_pts0_only()},
+base AS (
+  SELECT gx >> {shift} AS x, gy >> {shift} AS y, count(*) AS n_docs
+  FROM pts0 GROUP BY 1, 2
+),
+contrib AS (
+  SELECT b.x + dx.d AS tx, b.y + dy.d AS ty, sum(n_docs) AS smoothed
+  FROM base b, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+  WHERE b.x + dx.d BETWEEN 0 AND {n} AND b.y + dy.d BETWEEN 0 AND {n}
+  GROUP BY 1, 2
+)
+SELECT {cells.morton_sql('b.x', 'b.y', res)} AS cell_id, b.n_docs,
+       CAST(c.smoothed AS BIGINT) AS smoothed
+FROM base b JOIN contrib c ON c.tx = b.x AND c.ty = b.y
+"""
+
+
+def events_stream_join_sql() -> str:
+    """Batch mirror of the stream-stream interval join."""
+    return """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 2 HOUR
+"""

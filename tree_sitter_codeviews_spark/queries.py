@@ -240,6 +240,26 @@ def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.knn_ring(pts, spark, k=5, res=5)
 
 
+def geo_tile_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster 3x3 box convolution (focal statistics / heatmap smoothing)
+    over the res-7 doc-count raster — the convolution runs on the SMALL
+    raster (9x narrow explode + one groupBy), never on the point table."""
+    pts = pages_src.doc_points_df(spark, sf_dir)
+    return tiles.tile_smooth(pts, res=7, grid_res=layers.GRID_RES)
+
+
+def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (attribution shape): purchases joined to
+    the same user's clicks within the preceding 2 hours, two watermarked
+    file-source streams, drained with availableNow — deterministic on
+    bounded input, so the oracle is the batch self-join."""
+    from . import streaming
+
+    return streaming.run_available_now(
+        streaming.stream_click_purchase_join(spark, sf_dir), mode="append"
+    )
+
+
 def geo_overlay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon-overlay statistics via raster intersection (raster-GIS
     overlay): pairs of polygons sharing res-7 cells + the estimated overlap

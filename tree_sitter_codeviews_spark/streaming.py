@@ -155,3 +155,42 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: purchases joined to the same user's
+    clicks within the preceding 2 hours — the attribution-join shape.
+
+    Two independent file-source streams over the events table, each
+    watermarked 1 hour; the join condition carries the event-time range
+    (required for state expiry in a real run). On bounded availableNow
+    input the inner join emits a deterministic row set, so the oracle is
+    the batch self-join with the identical predicate.
+    """
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "c_user = user_id AND click_ts <= purchase_ts "
+            "AND click_ts >= purchase_ts - INTERVAL 2 HOURS"
+        ),
+    ).select("purchase_id", "click_id", "user_id")
