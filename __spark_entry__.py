@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_event_windows": _sql_event_windows,  # batch-SQL twin of the streaming window agg (r3)
         "geo_tile_smooth": q.geo_tile_smooth,  # raster 3x3 convolution (r3)
         "events_stream_join": q.events_stream_join,  # stream-stream interval join (r3)
+        "train_set": q.train_set,  # stage-7 pipeline end-to-end (r3)
         # --- last driver row is r1 ---------------------------------------
         "text_quality": q.text_quality,
         "lang_stats": q.lang_stats,
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_event_windows": oracle.events_stream_windows_sql(),
         "geo_tile_smooth": oracle.tile_smooth_sql(),
         "events_stream_join": oracle.events_stream_join_sql(),
+        "train_set": oracle.train_set_sql(),
         "graph_grouped_metrics": oracle.graph_grouped_metrics_sql(),
         "geo_vector_raster": oracle.vector_raster_sql(),
         "geo_raster_compact": oracle.raster_compact_sql(),

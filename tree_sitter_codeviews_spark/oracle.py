@@ -1690,3 +1690,74 @@ FROM events p JOIN events c
  AND p.event_type = 'purchase' AND c.event_type = 'click'
  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 2 HOUR
 """
+
+
+def train_set_sql(
+    threshold: float = 0.5, n_decon: int = 4,
+    bench_mod: int = 50, bench_rem: int = 7, budget: int = 512,
+) -> str:
+    """Composed mirror of the stage-7 train-set pipeline: the
+    ``dedup_groups_sql`` component CTEs -> representatives -> 4-gram
+    decontamination (benchmark docs dropped) -> global prefix-sum packing
+    -> PII-scrub hash."""
+    from .operators.curation import EMAIL_RE, LONG_DIGITS_RE
+
+    g4 = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, n_decon + 1))
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+pairs0 AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_id_a, doc_id_b FROM pairs0
+  JOIN cnt ca ON doc_id_a = ca.doc_id
+  JOIN cnt cb ON doc_id_b = cb.doc_id
+  WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 6) >= {threshold}
+),
+u AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+      UNION SELECT doc_id_b, doc_id_a FROM pairs),
+nn AS (SELECT DISTINCT a AS node FROM u),
+r(node, comp) AS (
+  SELECT node, node FROM nn
+  UNION
+  SELECT u.b, r.comp FROM r JOIN u ON u.a = r.node
+),
+comp AS (SELECT node, min(comp) AS component FROM r GROUP BY 1),
+reps AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+  WHERE coalesce(c.component, d.doc_id) = d.doc_id
+),
+surv AS (SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id)),
+toks4 AS (SELECT doc_id, string_split(text, ' ') AS w FROM surv),
+sh4 AS (
+  SELECT DISTINCT doc_id, {g4} AS shingle4
+  FROM toks4, unnest(range(len(w) - {n_decon - 1})) t(i)
+  WHERE len(w) >= {n_decon}
+),
+bench4 AS (SELECT DISTINCT shingle4 FROM sh4 WHERE doc_id % {bench_mod} = {bench_rem}),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM sh4
+  WHERE doc_id % {bench_mod} <> {bench_rem}
+    AND shingle4 IN (SELECT shingle4 FROM bench4)
+),
+clean AS (
+  SELECT doc_id, text FROM surv
+  WHERE doc_id % {bench_mod} <> {bench_rem}
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, text FROM clean),
+c2 AS (
+  SELECT doc_id, n_tokens, text,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cb // {budget} AS BIGINT) AS bin_id,
+       CAST(cb % {budget} AS BIGINT) AS offset_in_bin,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{LONG_DIGITS_RE}', '<NUM>', 'g')) AS clean_hash
+FROM c2
+"""

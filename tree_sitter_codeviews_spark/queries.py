@@ -683,6 +683,34 @@ def dedup_groups_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline's stage 7 END-TO-END as one oracle-backed
+    query: exact-Jaccard dedup groups -> group representatives ->
+    benchmark decontamination (4-grams; benchmark docs dropped entirely) ->
+    512-token sequence packing (distributed prefix sum) -> PII scrub hash.
+    The composed (doc_id, n_tokens, bin_id, offset_in_bin, clean_hash)
+    shard table is what ships to training — value-checked against the
+    composed DuckDB mirror."""
+    from .operators import curation, dedup, graph_iter
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = dedup.jaccard_pairs_exact(docs, n=3, threshold=0.5)
+    comp = graph_iter.connected_components(
+        pairs, src="doc_id_a", dst="doc_id_b"
+    ).select(F.col("node").alias("doc_id"), "component")
+    groups = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id")
+    )
+    reps = groups.filter(F.col("doc_id") == F.col("group_id")).select("doc_id")
+    surv = docs.join(reps, "doc_id")
+    decon = curation.decontaminate(surv, n=4)
+    keep = decon.filter(~F.col("contaminated")).select("doc_id")
+    clean = surv.join(keep, "doc_id")
+    packed = curation.pack_sequences(clean, budget=512)
+    scrub = curation.pii_scrub(clean)
+    return packed.join(scrub.select("doc_id", "clean_hash"), "doc_id")
+
+
 def graph_grouped_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-graph metrics via applyInPandas (SURVEY §2.10 row 5): one bounded
     graph per host, summarized group-by-group in pandas."""
