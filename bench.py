@@ -63,6 +63,9 @@ HEADLINE = [
     "text_pack_sequences",    # distributed prefix-sum packing
     "text_boilerplate_strip", # CCNet-style segment strip
     "dedup_simhash",          # md5-hasher simhash (semantic-oracle row)
+    "geo_tile_smooth",        # raster 3x3 box convolution
+    "events_stream_join",     # stream-stream interval join (attribution)
+    "train_set",              # stage-7 pipeline end-to-end
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
