@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_smooth": q.geo_tile_smooth,  # raster 3x3 convolution (r3)
         "events_stream_join": q.events_stream_join,  # stream-stream interval join (r3)
         "train_set": q.train_set,  # stage-7 pipeline end-to-end (r3)
+        "graph_rda_last_def": q.graph_rda_last_def,  # reference CLI --last-def flag (r3)
+        "graph_dfg_last_use": q.graph_dfg_last_use,  # reference CLI --last-use flag (r3)
         # --- last driver row is r1 ---------------------------------------
         "text_quality": q.text_quality,
         "lang_stats": q.lang_stats,
@@ -206,6 +208,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_tile_smooth": oracle.tile_smooth_sql(),
         "events_stream_join": oracle.events_stream_join_sql(),
         "train_set": oracle.train_set_sql(),
+        "graph_rda_last_def": oracle.rda_last_def_sql(),
+        "graph_dfg_last_use": oracle.dfg_last_use_sql(),
         "graph_grouped_metrics": oracle.graph_grouped_metrics_sql(),
         "geo_vector_raster": oracle.vector_raster_sql(),
         "geo_raster_compact": oracle.raster_compact_sql(),

@@ -1761,3 +1761,22 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                           '{LONG_DIGITS_RE}', '<NUM>', 'g')) AS clean_hash
 FROM c2
 """
+
+
+def rda_last_def_sql() -> str:
+    """Argmax wrapper over the reaching-definitions oracle (the CLI's
+    --last-def flag)."""
+    return (
+        "SELECT node_id, var, max(def_node) AS last_def FROM ("
+        + graph_rda_sql()
+        + ") t GROUP BY 1, 2"
+    )
+
+
+def dfg_last_use_sql() -> str:
+    """Per-definition last reached use (the CLI's --last-use flag)."""
+    return (
+        "SELECT def_node, var, max(node_id) AS last_use FROM ("
+        + graph_rda_sql()
+        + ") t WHERE node_id % 5 = 2 AND var = node_id % 3 GROUP BY 1, 2"
+    )

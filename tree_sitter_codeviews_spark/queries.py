@@ -394,6 +394,32 @@ def graph_sdfg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cfg.unionByName(dfg).distinct()
 
+def graph_rda_last_def(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference CLI's ``--last-def`` flag (cli.py:35: 'adds last
+    definition information to the DFG'): for each (node, var), keep only
+    the NEAREST preceding definition among all reaching ones — on the
+    chain fixture control-flow order is node order, so nearest = max
+    def_node. One aggregate over the reaching-definitions fixpoint."""
+    rda = graph_rda(spark, sf_dir)
+    return rda.groupBy("node_id", "var").agg(
+        F.max("def_node").alias("last_def")
+    )
+
+
+def graph_dfg_last_use(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference CLI's ``--last-use`` flag (cli.py:36): for each
+    definition, the LAST use it reaches (max use node in chain order).
+    Uses = nodes with node_id%5==2 using var node_id%3 (the SDFG fixture's
+    use relation), filtered from the same fixpoint."""
+    rda = graph_rda(spark, sf_dir)
+    uses = rda.filter(
+        (F.col("node_id") % 5 == 2) & (F.col("var") == F.col("node_id") % 3)
+    )
+    return uses.groupBy("def_node", "var").agg(
+        F.max("node_id").alias("last_use")
+    )
+
+
 def graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed transitive closure of the broken chain (the reference's
     derived-class / overload-set closure, CFG_cpp.py:407-438): every
