@@ -66,6 +66,9 @@ HEADLINE = [
     "geo_tile_smooth",        # raster 3x3 box convolution
     "events_stream_join",     # stream-stream interval join (attribution)
     "train_set",              # stage-7 pipeline end-to-end
+    # round-4 additions
+    "graph_sdfg_interproc",   # interprocedural edge families (arg->param, return->caller)
+    "text_pii_scrub",         # email/digit-run redaction (regex, JVM-native)
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -98,17 +101,49 @@ SCALE2 = [
     "ann_topk_quantized", "ann_ivf_topk", "ann_pq_topk", "ann_lsh_topk",
     "text_quality", "text_fingerprint", "graph_components",
     "graph_catch_match", "events_stream_windows",
+    # round-4: the curation/100TB-story queries (VERDICT r3 #7). All are
+    # replication-faithful: decontaminate is per-doc shingles vs a FIXED
+    # benchmark dim (linear), pack_sequences is a prefix sum (linear),
+    # pii_scrub is per-doc regex (linear), interproc is graph-scoped joins
+    # over derived ids (the replicated ids keep the graph_id distribution).
+    # text_boilerplate_strip is cost-faithful but semantics-shifted (every
+    # paragraph's document frequency multiplies by REPL2, so the df-cut
+    # strips nearly everything — the per-paragraph groupBy cost is what the
+    # row measures). train_set stays EXCLUDED for the same measured reason
+    # as dedup_groups/dedup_jaccard: its exact-Jaccard pair space over
+    # identical-replica text is distribution-bound, not size-bound (each
+    # original doc's replica group alone contributes C(10,2)=45 pairs and
+    # planted near-dup clusters square), so the sf2 number would measure a
+    # different workload, not a scale-up.
+    "text_decontaminate", "text_pack_sequences", "text_pii_scrub",
+    "text_boilerplate_strip", "graph_sdfg_interproc",
 ]
 
 
-def ensure_scale2_dir(spark, base_dir: str, repl: int = REPL2) -> str:
-    """Materialize the replicated second-scale-point tables (once)."""
-    import glob
+def _scale2_cache_key(base_dir: str, repl: int) -> str:
+    """Cache key for the replicated dir: identifies the BASE corpus (path +
+    per-table mtime/size) and the replication factor, so changing
+    SPARK_GRAFT_SF_DIR or REPL2 regenerates instead of silently reusing a
+    stale corpus (the r3 advisory)."""
+    parts = [os.path.abspath(base_dir), f"repl={repl}"]
+    for table in ("documents", "embeddings", "events"):
+        p = os.path.join(base_dir, f"{table}.parquet")
+        st = os.stat(p)
+        parts.append(f"{table}:{int(st.st_mtime)}:{st.st_size}")
+    return "|".join(parts)
 
+
+def ensure_scale2_dir(spark, base_dir: str, repl: int = REPL2) -> str:
+    """Materialize the replicated second-scale-point tables (once per
+    distinct (base corpus, repl) — the _READY marker stores the cache key)."""
     out = os.environ.get("SPARK_GRAFT_SF2_DIR", "/tmp/spark_graft_sf1eq")
     marker = os.path.join(out, "_READY")
+    key = _scale2_cache_key(base_dir, repl)
     if os.path.exists(marker):
-        return out
+        with open(marker) as fh:
+            if fh.read() == key:
+                return out
+        os.remove(marker)  # stale: different base corpus or repl factor
     from pyspark.sql import functions as F
 
     os.makedirs(out, exist_ok=True)
@@ -137,7 +172,8 @@ def ensure_scale2_dir(spark, base_dir: str, repl: int = REPL2) -> str:
             )
         rep = rep.drop("_r")
         rep.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
-    open(marker, "w").close()
+    with open(marker, "w") as fh:
+        fh.write(key)
     return out
 
 

@@ -39,4 +39,18 @@ def assert_matches(spark_df, sf_dir: str, oracle_sql: str, name: str = "?"):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    # The external driver hashes FORMATTED values, so an int column on one
+    # side vs a float column on the other (e.g. DuckDB sum(BIGINT) widening
+    # to HUGEINT -> float64: "9707" vs "9707.0") is a driver-level mismatch
+    # even when the values are numerically identical. check_dtype=False
+    # masked exactly that (the r3 events_json_stats red row) — so fail hard
+    # on any integer-vs-float kind drift before comparing values.
+    for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        if {gk, wk} <= {"i", "u", "f"} and ("f" in (gk, wk)) != (gk == wk == "f"):
+            raise AssertionError(
+                f"{name}: column {c!r} int-vs-float representation drift "
+                f"(spark dtype {got[c].dtype}, oracle dtype {want[c].dtype}) — "
+                f"cast the oracle (or the query) so both sides agree"
+            )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)

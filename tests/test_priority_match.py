@@ -95,3 +95,32 @@ def test_preproc_filter_half_the_docs_survive(spark, sf_tiny):
     kept = out.filter("active").count()
     # guards 0,3,4 of the 6-cycle are active -> ~half the docs
     assert 0.4 < kept / n < 0.6
+
+
+def test_priority_match_join_rejects_out_col_collision(spark):
+    """The probe table owning a column named out_col would make the dim
+    value reference ambiguous (or silently bind to the probe side) — the
+    operator must refuse instead (r3 advisory)."""
+    import pytest
+
+    big = spark.createDataFrame([(1, "a", 0)], "id long, key string, matched long")
+    dim = spark.createDataFrame([("a", 10)], "k string, matched long")
+    with pytest.raises(ValueError, match="already has a column"):
+        cascade.priority_match_join(
+            big, keys=["id"],
+            levels=[("only", dim, big["key"] == dim["k"], dim["matched"])],
+            out_col="matched",
+        )
+
+
+def test_priority_match_join_rejects_missing_dim_value_col(spark):
+    import pytest
+
+    big = spark.createDataFrame([(1, "a")], "id long, key string")
+    dim = spark.createDataFrame([("a", 10)], "k string, other long")
+    with pytest.raises(ValueError, match="lacks the value column"):
+        cascade.priority_match_join(
+            big, keys=["id"],
+            levels=[("only", dim, big["key"] == dim["k"], dim["other"])],
+            out_col="matched",
+        )

@@ -19,8 +19,11 @@ def test_stream_windows_equals_batch(spark, sf_tiny):
     ev = load_table(spark, sf_tiny, "events")
     want = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6).cast("bigint")).alias("sum_value_micro"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value_micro")
     )
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}

@@ -93,15 +93,28 @@ def priority_match_join(
     """
     from pyspark.sql import Window
 
+    # out_col must come from the DIM side; if big also carried it, F.col
+    # would be ambiguous (or silently bind to the wrong side). Resolve via
+    # the dim handle and reject the collision outright.
+    if out_col in big.columns:
+        raise ValueError(
+            f"priority_match_join: probe table already has a column named "
+            f"{out_col!r}; rename it (the dim value column owns that name)"
+        )
     legs = []
     for rank, (label, dim, cond, order_col) in enumerate(levels):
+        if out_col not in dim.columns:
+            raise ValueError(
+                f"priority_match_join: level {label!r} dim lacks the value "
+                f"column {out_col!r}"
+            )
         legs.append(
             big.join(F.broadcast(dim), cond, "inner").select(
                 *[big[k] for k in keys],
                 F.lit(rank).alias("_lvl"),
                 F.lit(label).alias("_via"),
                 order_col.alias("_ord"),
-                F.col(out_col).alias("_val"),
+                dim[out_col].alias("_val"),
             )
         )
     cand = legs[0]

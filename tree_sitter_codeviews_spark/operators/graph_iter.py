@@ -35,7 +35,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
-    small_threshold: int = 2_000_000,
+    small_threshold: int = 500_000,
 ) -> DataFrame:
     """(node, component) for the undirected graph of ``edges``;
     component = min node id in the component.
@@ -43,10 +43,13 @@ def connected_components(
     SIZE-ADAPTIVE (the broadcast-join-threshold discipline): the undirected
     edge table is materialized once and counted; below ``small_threshold``
     edges the components are solved by driver-side union-find on the
-    collected pairs (a dedup pair graph is typically orders of magnitude
-    smaller than its corpus — at bench scale the distributed loop spent
-    ~3.4 s of per-round job overhead on a 244-edge graph the driver solves
-    in microseconds). Above it, the distributed loop runs:
+    Arrow-collected pairs (a dedup pair graph is typically orders of
+    magnitude smaller than its corpus — at bench scale the distributed loop
+    spent ~3.4 s of per-round job overhead on a 244-edge graph the driver
+    solves in microseconds). The default bounds the driver transfer to
+    ~2 × 500k × 8 B = 8 MB of Arrow int64 columns (NOT Row objects — the
+    Row path was a plausible driver OOM near the old 2M default), well
+    inside any production driver heap. Above it, the distributed loop runs:
 
     Min-label propagation + pointer jumping:
       1. label(v) <- min(label(v), min over neighbors' labels)   (1 join)
@@ -110,9 +113,13 @@ def connected_components(
 
 
 def _components_driver(und: DataFrame) -> DataFrame:
-    """Union-find on a collected (a, b) edge table — the small-graph arm of
-    ``connected_components``. Representative = min node id, identical to
-    the distributed loop's fixpoint."""
+    """Union-find on an Arrow-collected (a, b) edge table — the small-graph
+    arm of ``connected_components``. Representative = min node id, identical
+    to the distributed loop's fixpoint. Collection goes through toPandas
+    (Arrow batches -> two flat columns), not collect() (per-edge Row
+    objects), so driver memory is bytes-of-ids, not ~100× that in Python
+    object overhead."""
+    pdf = und.toPandas()
     parent: dict = {}
 
     def find(x):
@@ -123,8 +130,7 @@ def _components_driver(und: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in und.collect():
-        a, b = row["a"], row["b"]
+    for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -345,4 +351,55 @@ def resolve_chains(
         F.col("alias").alias(alias_col),
         F.col("target").alias(target_col),
         "depth",
+    )
+
+
+def last_definition(
+    rda: DataFrame,
+    node_col: str = "node_id",
+    var_col: str = "var",
+    def_col: str = "def_node",
+    order_col: str | None = None,
+) -> DataFrame:
+    """The reference CLI's ``--last-def`` semantics (cli.py:35: 'adds last
+    definition information to the DFG') as a REUSABLE operator: from a
+    reaching-definitions fixpoint, keep only the NEAREST preceding
+    definition per (node, var) — argmax over the reaching set.
+
+    ``order_col`` names the column that ranks definitions by control-flow
+    proximity (later = nearer); default is ``def_col`` itself, which is
+    exact whenever node ids are control-flow-ordered (the chain fixture,
+    any topologically-numbered CFG). One partial-aggregating groupBy —
+    map-side combine makes it a near-free pass at any scale."""
+    order = order_col or def_col
+    return rda.groupBy(node_col, var_col).agg(
+        F.max_by(F.col(def_col), F.col(order)).alias("last_def")
+    )
+
+
+def last_use(
+    rda: DataFrame,
+    uses: DataFrame,
+    node_col: str = "node_id",
+    var_col: str = "var",
+    def_col: str = "def_node",
+    order_col: str | None = None,
+) -> DataFrame:
+    """The reference CLI's ``--last-use`` flag (cli.py:36) as a reusable
+    operator: for each definition, the LAST use it reaches. ``uses`` is an
+    arbitrary (node, var) relation — NOT a baked-in fixture formula — joined
+    against the fixpoint on (node_col, var_col), then argmax'd per
+    (def, var) by ``order_col`` (default: the use node id, exact under
+    control-flow-ordered numbering). The join key is (node, var), the same
+    key the fixpoint is already hashed on, so no extra shuffle of the big
+    side."""
+    use_cols = {node_col, var_col}
+    assert use_cols <= set(uses.columns), (
+        f"uses relation must carry {sorted(use_cols)}, has {uses.columns}"
+    )
+    order = order_col or node_col
+    return (
+        rda.join(uses.select(*sorted(use_cols)).distinct(), [node_col, var_col])
+        .groupBy(def_col, var_col)
+        .agg(F.max_by(F.col(node_col), F.col(order)).alias("last_use"))
     )

@@ -523,7 +523,7 @@ def events_stream_windows_sql() -> str:
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micro
 FROM events GROUP BY 1, 2
 """
 
@@ -1258,7 +1258,7 @@ FROM events GROUP BY event_type
 def events_json_stats_sql() -> str:
     return """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
        count(*) FILTER (CAST(json_extract(props, '$.k') AS BIGINT) > 50) AS n_big_k
 FROM events GROUP BY event_type
@@ -1341,6 +1341,72 @@ SELECT DISTINCT src, dst, edge_type FROM (
   UNION ALL
   SELECT r.def_node AS src, r.node AS dst, 'dfg' AS edge_type
   FROM r JOIN uses u ON u.node = r.node AND u.var = r.var
+)
+"""
+
+
+def graph_sdfg_interproc_sql() -> str:
+    """Combined SDFG + interprocedural families, derived independently:
+    the recursive RDA closure for dfg edges, then argument_to_parameter
+    (positional arg/param zip, by-ref filter) and return_to_caller
+    (returned var x call-site-defined var) from the same deterministic
+    call/param/return fixture relations."""
+    return f"""
+WITH RECURSIVE {_graph_ctes()},
+{_BROKEN_EDGES},
+defs AS (SELECT node_id AS d, node_id % 3 AS var FROM n WHERE node_id % 4 = 1),
+r(node, var, def_node) AS (
+  SELECT be.dst, defs.var, defs.d FROM defs JOIN be ON be.src = defs.d
+  UNION
+  SELECT be.dst, r.var, r.def_node
+  FROM r JOIN be ON be.src = r.node
+  LEFT JOIN defs k ON k.d = r.node AND k.var = r.var
+  WHERE k.d IS NULL
+),
+uses AS (SELECT node_id AS node, node_id % 3 AS var FROM n WHERE node_id % 5 = 2),
+calls AS (
+  SELECT graph_id, node_id AS call_node, node_id % 4 AS fn_id
+  FROM n WHERE node_id % 7 = 3
+),
+fndefs AS (
+  SELECT graph_id, node_id % 4 AS fn_id, min(node_id) AS fn_node
+  FROM n GROUP BY 1, 2
+),
+args AS (
+  SELECT graph_id, call_node, fn_id,
+         unnest(generate_series(0, call_node % 3)) AS pos
+  FROM calls
+),
+params AS (
+  SELECT f.range AS fn_id, p.range AS pos,
+         (f.range * 3 + p.range) % 5 AS param_var,
+         ((f.range + p.range) % 2 = 0) AS by_ref
+  FROM range(4) f, range(3) p
+),
+rets AS (
+  SELECT graph_id, node_id AS ret_node, node_id % 4 AS fn_id,
+         node_id % 5 AS ret_var
+  FROM n WHERE node_id % 11 = 5
+)
+SELECT DISTINCT src, dst, edge_type, var_out, var_in FROM (
+  SELECT src, dst, 'cfg' AS edge_type, '-' AS var_out, '-' AS var_in FROM be
+  UNION ALL
+  SELECT r.def_node, r.node, 'dfg',
+         CAST(r.var AS VARCHAR), CAST(r.var AS VARCHAR)
+  FROM r JOIN uses u ON u.node = r.node AND u.var = r.var
+  UNION ALL
+  SELECT a.call_node, d.fn_node, 'argument_to_parameter',
+         CAST((a.call_node + a.pos) % 5 AS VARCHAR),
+         CAST(pm.param_var AS VARCHAR)
+  FROM args a
+  JOIN params pm ON pm.fn_id = a.fn_id AND pm.pos = a.pos AND pm.by_ref
+  JOIN fndefs d ON d.graph_id = a.graph_id AND d.fn_id = a.fn_id
+  UNION ALL
+  SELECT rt.ret_node, c.call_node, 'return_to_caller',
+         CAST(rt.ret_var AS VARCHAR), CAST(c.call_node % 5 AS VARCHAR)
+  FROM rets rt
+  JOIN calls c ON c.graph_id = rt.graph_id AND c.fn_id = rt.fn_id
+             AND c.call_node % 2 = 1
 )
 """
 

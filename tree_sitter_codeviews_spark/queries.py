@@ -399,24 +399,122 @@ def graph_rda_last_def(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition information to the DFG'): for each (node, var), keep only
     the NEAREST preceding definition among all reaching ones — on the
     chain fixture control-flow order is node order, so nearest = max
-    def_node. One aggregate over the reaching-definitions fixpoint."""
-    rda = graph_rda(spark, sf_dir)
-    return rda.groupBy("node_id", "var").agg(
-        F.max("def_node").alias("last_def")
-    )
+    def_node. Gate instantiation of ``graph_iter.last_definition``."""
+    from .operators import graph_iter
+
+    return graph_iter.last_definition(graph_rda(spark, sf_dir))
 
 
 def graph_dfg_last_use(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference CLI's ``--last-use`` flag (cli.py:36): for each
     definition, the LAST use it reaches (max use node in chain order).
-    Uses = nodes with node_id%5==2 using var node_id%3 (the SDFG fixture's
-    use relation), filtered from the same fixpoint."""
-    rda = graph_rda(spark, sf_dir)
-    uses = rda.filter(
-        (F.col("node_id") % 5 == 2) & (F.col("var") == F.col("node_id") % 3)
+    Gate instantiation of ``graph_iter.last_use`` with the SDFG fixture's
+    use relation (nodes with node_id%5==2 use var node_id%3) supplied AS A
+    TABLE — the operator takes any (node, var) uses relation."""
+    from .operators import graph_iter
+
+    nodes, _ = _doc_graph(spark, sf_dir)
+    uses = nodes.filter(F.col("node_id") % 5 == 2).select(
+        "node_id", (F.col("node_id") % 3).alias("var")
     )
-    return uses.groupBy("def_node", "var").agg(
-        F.max("node_id").alias("last_use")
+    return graph_iter.last_use(graph_rda(spark, sf_dir), uses)
+
+
+def graph_sdfg_interproc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's INTERPROCEDURAL edge families as first-class rows —
+    the combined SDFG extended with ``argument_to_parameter``
+    (SDFG_cpp.py:2652-2789: zip call-site arguments positionally with the
+    callee's parameters, keep only pass-by-ref/pointer parameters, edge
+    call_site -> callee def) and ``return_to_caller`` (SDFG_cpp.py:
+    2860-2942: for each function_return edge whose value is used, cross
+    the vars used in the return statement with the vars defined at the
+    call site, edge return_stmt -> call_site).
+
+    Fixture relations (deterministic, graph-scoped):
+      calls:  node_id%7==3 calls fn_id=node_id%4 (exactly the chain-break
+              nodes of ``_broken_edges`` — the break IS the call transfer),
+              argument j (j=0..node_id%3) passes var (node_id+j)%5; the
+              return value is used iff node_id%2==1.
+      fndefs: fn f's definition node = min node in the graph with
+              node_id%4==f.
+      params: fn f parameter j (j=0..2) is named var (f*3+j)%5, by-ref iff
+              (f+j)%2==0 — a 12-row broadcast dim, the reference's
+              parameter-declarator registry.
+      rets:   node_id%11==5 is a return statement of fn node_id%4
+              returning var node_id%5.
+
+    Scale shape: the params dim is broadcast (candidate generation is
+    map-side); calls x rets resolve on (graph_id, fn_id) — an equi-join on
+    the key the graph is already hashed by, no skew (<=4 fns per graph);
+    the arg explode is bounded by max arity 3. Output = cfg + dfg +
+    interproc edge union tagged by edge_type, var payload columns
+    (var_out = arg/returned var, var_in = param/initialized var, '-' where
+    the family carries none) like the reference's used_def /
+    returned_value edge attributes."""
+    from .operators import graph_iter
+
+    nodes, _ = _doc_graph(spark, sf_dir)
+    edges = _broken_edges(spark, sf_dir)
+    dash = F.lit("-")
+    cfg = edges.select(
+        "src", "dst", F.lit("cfg").alias("edge_type"),
+        dash.alias("var_out"), dash.alias("var_in"),
+    )
+    defs = nodes.filter(F.col("node_id") % 4 == 1).select(
+        F.col("node_id").alias("node"), (F.col("node_id") % 3).alias("var")
+    )
+    rda = graph_iter.reaching_definitions(edges, defs)
+    uses = nodes.filter(F.col("node_id") % 5 == 2).select(
+        F.col("node_id").alias("node"), (F.col("node_id") % 3).alias("var")
+    )
+    var_s = F.col("var").cast("string")
+    dfg = rda.join(uses, ["node", "var"]).select(
+        F.col("def_node").alias("src"), F.col("node").alias("dst"),
+        F.lit("dfg").alias("edge_type"),
+        var_s.alias("var_out"), var_s.alias("var_in"),
+    )
+    calls = nodes.filter(F.col("node_id") % 7 == 3).select(
+        "graph_id", F.col("node_id").alias("call_node"),
+        (F.col("node_id") % 4).alias("fn_id"),
+    )
+    fndefs = nodes.groupBy(
+        "graph_id", (F.col("node_id") % 4).alias("fn_id")
+    ).agg(F.min("node_id").alias("fn_node"))
+    args = calls.withColumn(
+        "pos", F.explode(F.sequence(F.lit(0), F.col("call_node") % 3))
+    ).withColumn("arg_var", (F.col("call_node") + F.col("pos")) % 5)
+    params = spark.range(12).select(
+        F.expr("id div 3").alias("fn_id"),
+        (F.col("id") % 3).alias("pos"),
+        ((F.expr("id div 3") * 3 + F.col("id") % 3) % 5).alias("param_var"),
+        ((F.expr("id div 3") + F.col("id") % 3) % 2 == 0).alias("by_ref"),
+    )
+    a2p = (
+        args.join(F.broadcast(params), ["fn_id", "pos"])
+        .filter(F.col("by_ref"))
+        .join(fndefs, ["graph_id", "fn_id"])
+        .select(
+            F.col("call_node").alias("src"), F.col("fn_node").alias("dst"),
+            F.lit("argument_to_parameter").alias("edge_type"),
+            F.col("arg_var").cast("string").alias("var_out"),
+            F.col("param_var").cast("string").alias("var_in"),
+        )
+    )
+    rets = nodes.filter(F.col("node_id") % 11 == 5).select(
+        "graph_id", F.col("node_id").alias("ret_node"),
+        (F.col("node_id") % 4).alias("fn_id"),
+        (F.col("node_id") % 5).alias("ret_var"),
+    )
+    r2c = rets.join(
+        calls.filter(F.col("call_node") % 2 == 1), ["graph_id", "fn_id"]
+    ).select(
+        F.col("ret_node").alias("src"), F.col("call_node").alias("dst"),
+        F.lit("return_to_caller").alias("edge_type"),
+        F.col("ret_var").cast("string").alias("var_out"),
+        (F.col("call_node") % 5).cast("string").alias("var_in"),
+    )
+    return (
+        cfg.unionByName(dfg).unionByName(a2p).unionByName(r2c).distinct()
     )
 
 
@@ -731,7 +829,12 @@ def train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = docs.join(reps, "doc_id")
     decon = curation.decontaminate(surv, n=4)
     keep = decon.filter(~F.col("contaminated")).select("doc_id")
-    clean = surv.join(keep, "doc_id")
+    # clean feeds TWO consumers (pack_sequences and pii_scrub); without a
+    # checkpoint the whole upstream (pair-gen -> CC -> decontamination
+    # shingle explode + semi-join) would recompute once per consumer —
+    # measured 9.7 s vs ~6 s at sf0.1. Same discipline as pack_sequences'
+    # own internal checkpoint.
+    clean = surv.join(keep, "doc_id").localCheckpoint()
     packed = curation.pack_sequences(clean, budget=512)
     scrub = curation.pii_scrub(clean)
     return packed.join(scrub.select("doc_id", "clean_hash"), "doc_id")

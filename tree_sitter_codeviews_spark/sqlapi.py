@@ -61,6 +61,6 @@ def sql_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT CAST(date_trunc('HOUR', ts) AS timestamp_ntz) AS window_start, "
         "event_type, count(*) AS n_events, "
-        "round(sum(value), 6) AS sum_value "
+        "sum(CAST(round(value * 1e6) AS BIGINT)) AS sum_value_micro "
         "FROM events GROUP BY 1, 2"
     )
