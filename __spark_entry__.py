@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": rel.events_json_stats,
         # --- new this round ----------------------------------------------
         "graph_sdfg_interproc": q.graph_sdfg_interproc,  # argument_to_parameter + return_to_caller families (r4)
+        "text_repetition": q.text_repetition,        # Gopher-style 2-gram repetition signals (r4)
+        "dedup_url_canonical": q.dedup_url_canonical,  # crawl-URL canonicalization dedup (r4)
+        "text_source_mix": q.text_source_mix,        # temperature-weighted source mixing (r4)
         # --- changed code paths this round -------------------------------
         "sql_event_windows": _sql_event_windows,  # sum quantized to integer micros (r4)
         "train_set": q.train_set,                 # decontamination leg checkpointed (r4)
@@ -83,9 +86,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_docs": q.geo_pip_docs,
         "geo_pip_best": q.geo_pip_best,
         "geo_entities": q.geo_entities,
-        "sql_geo_tiles": _sql_geo_tiles,
-        "geo_tiles_salted": q.geo_tiles_salted,
-        "geo_tiles_stream": q.geo_tiles_stream,
         "geo_distance_join": q.geo_distance_join,
         "geo_tiles_distinct": q.geo_tiles_distinct,
         "geo_tiles_approx": q.geo_tiles_approx,      # rows-only (HLL estimate)
@@ -111,8 +111,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q.text_tokens,
         "text_tokens_bpe": q.text_tokens_bpe,
         "text_sample_stratified": q.text_sample_stratified,
-        # ---- position 51+: driver-green in r3, rotated out of the window;
-        # ---- still verified every round by the pytest gate mirror -------
+        # ---- position 51+: rotated out of the window; still verified
+        # ---- every round by the pytest gate mirror + GATE_FULL artifact.
+        # ---- The three tile twins share geo_tiles' oracle verbatim (their
+        # ---- window slots went to the three new r4 curation queries).
+        "sql_geo_tiles": _sql_geo_tiles,
+        "geo_tiles_salted": q.geo_tiles_salted,
+        "geo_tiles_stream": q.geo_tiles_stream,
         "text_normalize": q.text_normalize,
         "multimodal_features": q.multimodal_features,
         "multimodal_resample": q.multimodal_resample,
@@ -188,6 +193,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_rda": oracle.graph_rda_sql(),
         "graph_sdfg": oracle.graph_sdfg_sql(),
         "graph_sdfg_interproc": oracle.graph_sdfg_interproc_sql(),
+        "text_repetition": oracle.repetition_sql(),
+        "dedup_url_canonical": oracle.url_canonical_dedup_sql(),
+        "text_source_mix": oracle.source_mix_sql(),
         "geo_entities_typed": oracle.entities_typed_sql(),
         "events_stream_windows": oracle.events_stream_windows_sql(),
         "events_stream_sessions": oracle.events_stream_sessions_sql(),

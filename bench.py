@@ -69,6 +69,9 @@ HEADLINE = [
     # round-4 additions
     "graph_sdfg_interproc",   # interprocedural edge families (arg->param, return->caller)
     "text_pii_scrub",         # email/digit-run redaction (regex, JVM-native)
+    "text_repetition",        # Gopher-style 2-gram repetition signals
+    "dedup_url_canonical",    # crawl-URL canonicalization dedup
+    "text_source_mix",        # temperature-weighted source mixing
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -115,8 +118,12 @@ SCALE2 = [
     # original doc's replica group alone contributes C(10,2)=45 pairs and
     # planted near-dup clusters square), so the sf2 number would measure a
     # different workload, not a scale-up.
+    # text_repetition / dedup_url_canonical are per-doc keyed work (linear);
+    # text_source_mix's count/target semantics shift under replication but
+    # its cost (one count agg + map-side filter) is the measured quantity.
     "text_decontaminate", "text_pack_sequences", "text_pii_scrub",
     "text_boilerplate_strip", "graph_sdfg_interproc",
+    "text_repetition", "dedup_url_canonical",
 ]
 
 

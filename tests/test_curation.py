@@ -87,3 +87,61 @@ def test_strip_boilerplate_removes_frequent_segments_only(spark, sf_tiny):
     intact = curation.strip_boilerplate(docs, seg_len=8, max_docs=10**9)
     joined = intact.join(docs.select("doc_id", F.md5("text").alias("h")), "doc_id")
     assert joined.filter(F.col("clean_hash") != F.col("h")).count() == 0
+
+
+def test_repetition_stats_hand_computed(spark):
+    """'a b a b c' -> grams [a b, b a, a b, b c]: 4 grams, top 'a b'=2
+    (500000 ppm), dup share = (4-3)/4 = 250000 ppm. One-word docs drop."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "solo")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in curation.repetition_stats(docs).collect()}
+    assert set(rows) == {1}
+    assert rows[1].n_grams == 4
+    assert rows[1].top_gram_ppm == 500000
+    assert rows[1].dup_gram_ppm == 250000
+
+
+def test_canonicalize_url_variants_collapse(spark):
+    """tracking params / fragment / trailing slash / host case all fold to
+    one canonical form; distinct paths stay distinct."""
+    urls = [
+        "https://Host1.Example/doc/7",
+        "https://host1.example/doc/7?utm_source=feed&utm_medium=rss",
+        "https://host1.example/doc/7#frag",
+        "HTTPS://HOST1.EXAMPLE/doc/7/",
+        "https://host1.example/doc/8",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               ["doc_id", "url"])
+    out = df.select(curation.canonicalize_url(F.col("url")).alias("c")).collect()
+    canon = [r.c for r in out]
+    assert canon[:4] == ["https://host1.example/doc/7"] * 4
+    assert canon[4] == "https://host1.example/doc/8"
+
+
+def test_url_canonical_dedup_groups(spark):
+    pages = spark.createDataFrame(
+        [(10, "https://a.example/x?utm_a=1"), (11, "https://A.EXAMPLE/x#y"),
+         (12, "https://a.example/z")],
+        ["doc_id", "url"],
+    )
+    rows = {r.canonical_url: (r.n_dups, r.keep_doc_id)
+            for r in curation.url_canonical_dedup(pages).collect()}
+    assert rows["https://a.example/x"] == (2, 10)
+    assert rows["https://a.example/z"] == (1, 12)
+
+
+def test_source_mix_targets_and_determinism(spark):
+    """target = floor(sqrt(n)*scale); small sources keep everything
+    (target >= n), the big source is tempered below its size; the hash
+    selection is deterministic across runs."""
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(4)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out1 = {r.source: r for r in curation.source_mix(docs, scale=4).collect()}
+    out2 = {r.source: r for r in curation.source_mix(docs, scale=4).collect()}
+    assert out1["big"].target_n == 40 and out1["small"].target_n == 8
+    assert out1["big"].n_selected < 100        # genuinely down-sampled
+    assert out1["small"].n_selected == 4       # small source fully kept
+    assert {s: (v.n_selected) for s, v in out1.items()} == \
+           {s: (v.n_selected) for s, v in out2.items()}

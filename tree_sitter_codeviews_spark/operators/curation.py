@@ -186,3 +186,109 @@ def strip_boilerplate(
             F.md5(F.coalesce(F.col("_clean"), F.lit(""))).alias("clean_hash"),
         )
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1:
+    'fraction of characters in the most common n-gram' / duplicate-n-gram
+    filters — the standard web-corpus quality gate alongside length and
+    stopword ratios).
+
+    Per doc over word 2-grams: total gram count, the most-frequent gram's
+    share, and the duplicated-gram share — both in exact integer ppm
+    (``x * 1e6 div total``), so partial-agg order can never flip a digit.
+
+    Scale shape: one explode bounded by document length, one (doc_id, gram)
+    aggregate, one per-doc rollup — all keyed by doc_id, so the shuffle is
+    uniform (no corpus-wide hot key; a single pathological giant doc is
+    bounded upstream by ingest length caps). Docs with <2 words have no
+    2-gram and drop out, matching the oracle's empty generate_series."""
+    words = F.split(F.col(text_col), " ")
+    grams = docs.filter(F.size(words) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(words, i), F.element_at(words, i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.expr("max(cnt) * 1000000 div sum(cnt)").alias("top_gram_ppm"),
+        F.expr("(sum(cnt) - count(*)) * 1000000 div sum(cnt)").alias(
+            "dup_gram_ppm"
+        ),
+    )
+
+
+def canonicalize_url(url):
+    """Crawl-URL canonicalizer as a pure JVM column expression: lowercase
+    scheme+host, strip the fragment, strip utm_* tracking params (tidying
+    any orphaned '?'/'&'), strip trailing slashes. RE2-compatible patterns
+    only, evaluated identically by Spark and DuckDB — the first dedup key
+    of every web-crawl pipeline (one crawl sees the same page via
+    tracking-tagged, fragment-bearing, and case-variant URLs)."""
+    u = F.regexp_replace(url, "#.*$", "")                      # fragment
+    u = F.regexp_replace(u, "utm_[a-z]+=[^&]*&?", "")          # tracking params
+    u = F.regexp_replace(u, "[?&]$", "")                       # orphan ? / &
+    scheme_host = F.lower(F.regexp_extract(u, "(?i)^(https?://[^/]+)", 1))
+    rest = F.regexp_replace(u, "(?i)^https?://[^/]+", "")
+    u = F.concat(scheme_host, rest)
+    return F.regexp_replace(u, "/+$", "")                      # trailing /
+
+
+def url_canonical_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical-URL dedup groups: canonicalize, then one hash aggregate —
+    (canonical_url, n_dups, keep_doc_id = min lineage id). Identical shape
+    to content dedup_exact but on the URL key, which at crawl scale runs
+    FIRST (it needs no text bytes, so it prunes fetch/storage before any
+    content pass). One shuffle on the canonical key; hot keys are bounded
+    by per-site crawl frequency, the same boundedness argument as
+    dedup.prune_stop_shingles."""
+    return (
+        pages.select(
+            canonicalize_url(F.col(url_col)).alias("canonical_url"), "doc_id"
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def source_mix(
+    docs: DataFrame, source_col: str = "source", scale: int = 4
+) -> DataFrame:
+    """Temperature-weighted source mixing (the Pile / multilingual-sampling
+    alpha=0.5 rule): per-source target = floor(sqrt(n_source) * scale) —
+    up-weights small sources, tempers the head — then DETERMINISTIC
+    hash-rate selection: keep doc iff
+    ``((doc_id*1103515245 + 12345) % 2^31) % n_source < target``.
+
+    The selection is a pure map-side filter against a broadcast per-source
+    dim — NO per-source row_number window (a per-group window would funnel
+    each source through one partition: the exact skew trap at corpus
+    scale). sqrt is IEEE-correctly-rounded so floor(sqrt(n)*scale) is
+    bit-identical in Spark and DuckDB; the LCG hash is exact BIGINT
+    arithmetic (doc_id*1103515245 < 2^63 for any realistic id).
+
+    Returns the per-source mix summary (n_total, target_n, n_selected)."""
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("n_total"))
+    targets = counts.withColumn(
+        "target_n",
+        F.expr("cast(floor(sqrt(n_total) * " + str(scale) + ") as bigint)"),
+    )
+    hashed = docs.join(F.broadcast(targets), source_col).withColumn(
+        "_sel",
+        F.expr(
+            "((doc_id * 1103515245 + 12345) % 2147483648) % n_total"
+        ) < F.col("target_n"),
+    )
+    return hashed.groupBy(source_col, "n_total", "target_n").agg(
+        F.sum(F.col("_sel").cast("long")).alias("n_selected")
+    )

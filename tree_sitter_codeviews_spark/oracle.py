@@ -1345,6 +1345,71 @@ SELECT DISTINCT src, dst, edge_type FROM (
 """
 
 
+def repetition_sql() -> str:
+    """Word-2-gram repetition signals; integer-ppm via exact // division.
+    Docs with <2 words vanish (empty generate_series), matching Spark's
+    size>=2 filter."""
+    return """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+i AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
+g AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram FROM i),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_grams,
+       CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS top_gram_ppm,
+       CAST((sum(cnt) - count(*)) * 1000000 // sum(cnt) AS BIGINT) AS dup_gram_ppm
+FROM c GROUP BY 1
+"""
+
+
+def url_canonical_dedup_sql() -> str:
+    """Independent mirror of the crawl-URL fixture + canonicalizer chain
+    (fragment -> utm params -> orphan ?/& -> lowercase scheme+host ->
+    trailing slash), then the one-aggregate dedup."""
+    return """
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 5 = 0
+       THEN printf('HTTPS://HOST%04d.EXAMPLE/doc/%d', (doc_id // 3) % 100, doc_id // 3)
+       ELSE printf('https://host%04d.example/doc/%d', (doc_id // 3) % 100, doc_id // 3)
+     END)
+    || (CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '?utm_source=feed&utm_medium=rss'
+        WHEN 2 THEN '#sec-2' ELSE '/' END) AS url
+  FROM documents
+),
+c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM raw),
+c2 AS (SELECT doc_id, regexp_replace(u, 'utm_[a-z]+=[^&]*&?', '', 'g') AS u FROM c1),
+c3 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '', 'g') AS u FROM c2),
+c4 AS (SELECT doc_id,
+         lower(regexp_extract(u, '(?i)^(https?://[^/]+)', 1)) ||
+         regexp_replace(u, '(?i)^https?://[^/]+', '', 'g') AS u FROM c3),
+canon AS (SELECT doc_id, regexp_replace(u, '/+$', '', 'g') AS canonical_url FROM c4)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keep_doc_id
+FROM canon GROUP BY 1
+"""
+
+
+def source_mix_sql(scale: int = 4) -> str:
+    """Temperature mix summary: floor(sqrt(n)*scale) targets (IEEE sqrt is
+    correctly rounded -> bit-identical across engines), LCG hash-rate
+    selection in exact BIGINT arithmetic."""
+    return f"""
+WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
+t AS (SELECT source, n_total,
+             CAST(floor(sqrt(n_total) * {scale}) AS BIGINT) AS target_n
+      FROM c),
+s AS (
+  SELECT d.source, t.n_total, t.target_n,
+         (((d.doc_id * 1103515245 + 12345) % 2147483648) % t.n_total
+          < t.target_n) AS sel
+  FROM documents d JOIN t USING (source)
+)
+SELECT source, CAST(n_total AS BIGINT) AS n_total, target_n,
+       CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+FROM s GROUP BY 1, 2, 3
+"""
+
+
 def graph_sdfg_interproc_sql() -> str:
     """Combined SDFG + interprocedural families, derived independently:
     the recursive RDA closure for dfg edges, then argument_to_parameter

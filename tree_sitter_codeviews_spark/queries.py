@@ -1080,6 +1080,60 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.strip_boilerplate(_docs(spark, sf_dir), seg_len=8, max_docs=2)
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-2-gram share +
+    duplicated-2-gram share in exact integer ppm) — the repetition leg of
+    the web-corpus quality gate; the synthetic corpus's repeated tokens
+    ('batch batch batch') make every signal non-vacuous."""
+    from .operators import curation
+
+    return curation.repetition_stats(_docs(spark, sf_dir))
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL crawl dedup — the FIRST dedup stage of a web pipeline
+    (runs before any content pass; needs no text bytes). The gate plants
+    deterministic crawl messiness: three raw-URL variants share each
+    canonical target (path id = doc_id div 3, same host per group), with
+    tracking params (doc_id%4==1), fragments (%4==2), trailing slashes
+    (%4==3), and UPPERCASE scheme+host (doc_id%5==0) layered on.
+    Canonicalization is a pure JVM regex chain; grouping is one hash
+    aggregate on the canonical key."""
+    from .operators import curation
+
+    docs = _docs(spark, sf_dir)
+    gid = F.expr("doc_id div 3")
+    base_lo = F.format_string(
+        "https://host%04d.example/doc/%d", gid % 100, gid
+    )
+    base_up = F.format_string(
+        "HTTPS://HOST%04d.EXAMPLE/doc/%d", gid % 100, gid
+    )
+    suffix = F.element_at(
+        F.array(
+            F.lit(""), F.lit("?utm_source=feed&utm_medium=rss"),
+            F.lit("#sec-2"), F.lit("/"),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    raw = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, base_up).otherwise(base_lo), suffix
+    )
+    pages = docs.select("doc_id", raw.alias("url"))
+    return curation.url_canonical_dedup(pages)
+
+
+def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (alpha=0.5, the Pile-style
+    per-source resampling): per-source target floor(sqrt(n)*16), docs
+    selected by a deterministic LCG hash-rate filter — map-side against a
+    broadcast dim, NO per-source window (the skew trap). Returns the mix
+    summary the pipeline would act on."""
+    from .operators import curation
+
+    return curation.source_mix(_docs(spark, sf_dir))
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textstats
 
