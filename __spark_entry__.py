@@ -63,6 +63,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q.text_repetition,        # Gopher-style 2-gram repetition signals (r4)
         "dedup_url_canonical": q.dedup_url_canonical,  # crawl-URL canonicalization dedup (r4)
         "text_source_mix": q.text_source_mix,        # temperature-weighted source mixing (r4)
+        "webtext_html_extract": q.webtext_html_extract,  # HTML->text extraction chain (r4)
+        "webtext_warc_records": q.webtext_warc_records,  # WARC record splitting source (r4)
+        "webtext_domain_stats": q.webtext_domain_stats,  # per-domain stats + blocklist flag (r4)
+        "text_familiarity": q.text_familiarity,      # corpus-LM familiarity (CCNet-bucket proxy, r4)
+        "text_decontaminate_score": q.text_decontaminate_score,  # fractional contamination ppm (r4)
         # --- changed code paths this round -------------------------------
         "sql_event_windows": _sql_event_windows,  # sum quantized to integer micros (r4)
         "train_set": q.train_set,                 # decontamination leg checkpointed (r4)
@@ -106,15 +111,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_overlay_stats": q.geo_overlay_stats,
         "dedup_jaccard": q.dedup_jaccard,
         "dedup_embedding": q.dedup_embedding,
+        # ---- position 51+: rotated out of the window; still verified
+        # ---- every round by the pytest gate mirror + GATE_FULL artifact.
+        # ---- The three tile twins share geo_tiles' oracle verbatim; the
+        # ---- ann/text rows here were driver-green r2/r3 (their window
+        # ---- slots went to the five new r4 webtext/curation queries).
         "ann_topk_quantized": q.ann_topk_quantized,
         "ann_cosine_topk": q.ann_cosine_topk,          # rows-only (float ULP)
         "text_tokens": q.text_tokens,
         "text_tokens_bpe": q.text_tokens_bpe,
         "text_sample_stratified": q.text_sample_stratified,
-        # ---- position 51+: rotated out of the window; still verified
-        # ---- every round by the pytest gate mirror + GATE_FULL artifact.
-        # ---- The three tile twins share geo_tiles' oracle verbatim (their
-        # ---- window slots went to the three new r4 curation queries).
         "sql_geo_tiles": _sql_geo_tiles,
         "geo_tiles_salted": q.geo_tiles_salted,
         "geo_tiles_stream": q.geo_tiles_stream,
@@ -196,6 +202,11 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": oracle.repetition_sql(),
         "dedup_url_canonical": oracle.url_canonical_dedup_sql(),
         "text_source_mix": oracle.source_mix_sql(),
+        "webtext_html_extract": oracle.html_extract_sql(),
+        "webtext_warc_records": oracle.warc_records_sql(),
+        "webtext_domain_stats": oracle.domain_stats_sql(),
+        "text_familiarity": oracle.familiarity_sql(),
+        "text_decontaminate_score": oracle.decontaminate_score_sql(),
         "geo_entities_typed": oracle.entities_typed_sql(),
         "events_stream_windows": oracle.events_stream_windows_sql(),
         "events_stream_sessions": oracle.events_stream_sessions_sql(),

@@ -72,6 +72,10 @@ HEADLINE = [
     "text_repetition",        # Gopher-style 2-gram repetition signals
     "dedup_url_canonical",    # crawl-URL canonicalization dedup
     "text_source_mix",        # temperature-weighted source mixing
+    "webtext_html_extract",   # HTML->text extraction (crawl ingest edge)
+    "webtext_warc_records",   # WARC record splitting
+    "text_familiarity",       # corpus-LM familiarity (CCNet-bucket proxy)
+    "text_decontaminate_score",  # fractional contamination ppm
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -124,6 +128,11 @@ SCALE2 = [
     "text_decontaminate", "text_pack_sequences", "text_pii_scrub",
     "text_boilerplate_strip", "graph_sdfg_interproc",
     "text_repetition", "dedup_url_canonical",
+    # webtext ingest is per-row/per-blob map work (linear, shuffle-free);
+    # familiarity's vocab dim is replication-invariant (counts scale x10
+    # uniformly, ranks unchanged) — all replication-faithful.
+    "webtext_html_extract", "webtext_warc_records", "text_familiarity",
+    "text_decontaminate_score",
 ]
 
 

@@ -145,3 +145,36 @@ def test_source_mix_targets_and_determinism(spark):
     assert out1["small"].n_selected == 4       # small source fully kept
     assert {s: (v.n_selected) for s, v in out1.items()} == \
            {s: (v.n_selected) for s, v in out2.items()}
+
+
+def test_familiarity_stats_hand_computed(spark):
+    """corpus: 'a a b' + 'a c' -> freqs a=3,b=1,c=1; ranks a=1,b=2,c=3
+    (freq desc, token asc tie-break). doc1: mean_freq=(3+3+1)div 3=2,
+    mean_rank_milli=(1+1+2)*1000 div 3=1333. doc2: (3+1)div 2=2,
+    (1+3)*1000 div 2=2000."""
+    docs = spark.createDataFrame([(1, "a a b"), (2, "a c")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in curation.familiarity_stats(docs).collect()}
+    assert (rows[1].n_tokens, rows[1].mean_tok_freq,
+            rows[1].mean_zipf_rank_milli) == (3, 2, 1333)
+    assert (rows[2].n_tokens, rows[2].mean_tok_freq,
+            rows[2].mean_zipf_rank_milli) == (2, 2, 2000)
+
+
+def test_decontaminate_score_fraction(spark):
+    """bench doc 7 (mod 50): 'w1 w2 w3 w4 w5 w6' -> 2 distinct 5-grams.
+    train doc 0 shares exactly one of them among its 3 distinct 5-grams ->
+    333333 ppm; train doc 1 shares none -> 0 ppm and still present."""
+    docs = spark.createDataFrame(
+        [
+            (7, "w1 w2 w3 w4 w5 w6"),
+            (0, "x0 w1 w2 w3 w4 w5 x1 x2"),
+            (1, "y1 y2 y3 y4 y5"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in curation.decontaminate_score(docs).collect()}
+    assert set(rows) == {0, 1}
+    assert (rows[0].n_shingles, rows[0].n_hits,
+            rows[0].contamination_ppm) == (4, 1, 250000)
+    assert (rows[1].n_shingles, rows[1].n_hits,
+            rows[1].contamination_ppm) == (1, 0, 0)

@@ -1,0 +1,88 @@
+"""Unit tests for the crawl-ingestion operators (HTML extraction, WARC
+record splitting, domain stats) — hand-computed fixtures, independent of
+the oracle gate (tests/test_entry_gate.py covers the gate queries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tree_sitter_codeviews_spark.operators import webtext
+
+
+def test_html_extract_strips_decodes_collapses(spark):
+    html = (
+        "<html><head><title>T &amp; t</title><style>p{x:1}</style></head>"
+        "<body><script>if(1<2){y=3}</script><p>a  b</p>"
+        "<p>&lt;b&gt;c&quot;d&#39;e&nbsp;f</p></body></html>"
+    )
+    row = webtext.html_extract(
+        spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    ).first()
+    assert row.title == "T & t"
+    # script/style bodies gone, tags -> spaces, entities decoded AFTER the
+    # tag strip (so the decoded <b> survives as text), whitespace collapsed
+    assert row.body == "T & t a b <b>c\"d'e f"
+    assert row.body_chars == len(row.body)
+
+
+def test_html_extract_entity_decode_single_pass(spark):
+    """&amp;lt; must decode to the TEXT '&lt;', not to '<' — &amp; first,
+    single pass (html.unescape semantics for this subset)."""
+    row = webtext.html_extract(
+        spark.createDataFrame([(1, "<p>&amp;lt;</p>")], ["doc_id", "html"])
+    ).first()
+    assert row.body == "&lt;"
+
+
+def test_warc_split_roundtrip(spark):
+    rec = (
+        "WARC/1.0\nWARC-Target-URI: https://h.example/%d\n"
+        "Content-Length: %d\n\n%s\n\n"
+    )
+    docs = [(0, "alpha beta"), (1, "gamma")]
+    payload = "".join(rec % (i, len(t), t) for i, t in docs)
+    out = webtext.warc_split(
+        spark.createDataFrame([(7, payload)], ["blob_id", "payload"])
+    ).orderBy("rec_idx").collect()
+    assert [(r.rec_idx, r.uri, r.body) for r in out] == [
+        (0, "https://h.example/0", "alpha beta"),
+        (1, "https://h.example/1", "gamma"),
+    ]
+    # declared_len vs body_chars is the ingest integrity check
+    assert all(r.declared_len == r.body_chars for r in out)
+
+
+def test_domain_stats_counts_and_blocklist(spark):
+    pages = spark.createDataFrame(
+        [
+            (0, "https://a.example/x?utm_s=1"),  # dup of /x after canon
+            (1, "https://A.EXAMPLE/x"),
+            (2, "https://a.example/y"),
+            (3, "https://b.example/z"),
+        ],
+        ["doc_id", "url"],
+    )
+    bl = spark.createDataFrame([("b.example",)], ["host"])
+    rows = {r.host: r for r in webtext.domain_stats(pages, bl).collect()}
+    a, b = rows["a.example"], rows["b.example"]
+    assert (a.n_pages, a.n_urls, a.dup_ppm, a.blocked) == (3, 2, 333333, False)
+    assert (b.n_pages, b.n_urls, b.dup_ppm, b.blocked) == (1, 1, 0, True)
+
+
+def test_html_extract_is_shuffle_free(spark):
+    """The extraction chain must stay per-row map work — no Exchange in
+    the physical plan (it fuses with the scan at crawl scale)."""
+    df = webtext.html_extract(
+        spark.createDataFrame([(1, "<p>x</p>")], ["doc_id", "html"])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_warc_split_is_shuffle_free(spark):
+    df = webtext.warc_split(
+        spark.createDataFrame([(1, "WARC/1.0\nWARC-Target-URI: u\nContent-Length: 1\n\nx\n\n")],
+                              ["blob_id", "payload"])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

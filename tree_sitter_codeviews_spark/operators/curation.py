@@ -292,3 +292,86 @@ def source_mix(
     return hashed.groupBy(source_col, "n_total", "target_n").agg(
         F.sum(F.col("_sel").cast("long")).alias("n_selected")
     )
+
+
+def familiarity_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-LM familiarity scoring — the integer-exact stand-in for
+    CCNet's perplexity buckets (Wenzek et al. 2020 §4.3: score each doc
+    with an LM trained on the corpus/reference distribution, bucket by
+    perplexity, keep/temper the buckets).
+
+    Two-pass unigram LM over the corpus itself: pass 1 aggregates token
+    counts (output bounded by vocabulary, orders smaller than the corpus —
+    always broadcastable); pass 2 joins tokens against the broadcast model
+    and rolls up per doc:
+
+    - ``mean_tok_freq`` = sum(corpus_count(tok)) div n_tokens — monotone in
+      the unigram likelihood, so it induces the same bucket ORDER as
+      perplexity would;
+    - ``mean_zipf_rank_milli`` = sum(zipf_rank(tok)) * 1000 div n_tokens —
+      the rank-space view (rare-token-heavy docs score high).
+
+    Both are exact BIGINT arithmetic: no ``ln`` anywhere, because float
+    ``ln``/``exp`` are not bit-identical across engines (JVM StrictMath vs
+    DuckDB's libm) and the gate hashes values. A monotone transform changes
+    no downstream keep/drop decision. The Zipf rank is computed by a window
+    over the VOCABULARY table only (tie-broken by token text, so it is
+    deterministic) — a window over an aggregate dim, not the corpus: no
+    skew funnel.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    model = vocab.withColumn("zipf_rank", F.row_number().over(w))
+    scored = toks.join(F.broadcast(model), "tok")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.expr("sum(freq) div count(*)").alias("mean_tok_freq"),
+        F.expr("sum(zipf_rank) * 1000 div count(*)").alias(
+            "mean_zipf_rank_milli"
+        ),
+    )
+
+
+def decontaminate_score(
+    docs: DataFrame, n: int = 5, bench_mod: int = 50, bench_rem: int = 7,
+) -> DataFrame:
+    """Fractional benchmark-contamination scoring: for every non-benchmark
+    doc, the share of its DISTINCT word ``n``-grams that appear anywhere in
+    the held-out benchmark slice, in exact integer ppm.
+
+    Extends ``decontaminate``'s binary flag to the graded overlap the
+    open-data decontamination literature actually thresholds on (e.g.
+    PaLM/GPT-3 report 70%-of-8-grams-style overlap fractions, not any-hit
+    booleans) — a doc quoting one common phrase is not the same as a doc
+    embedding half the eval set.
+
+    Same engine shape as ``decontaminate``: the benchmark shingle dim is
+    bounded by the benchmark (broadcastable at any corpus size), the hit
+    test is one semi-join, totals and hits are per-doc aggregates keyed by
+    doc_id (uniform shuffle). Zero-hit docs are kept with score 0 — the
+    keep-list is the point.
+    """
+    sh = shingles_df(docs, n)  # distinct (doc_id, shingle)
+    is_bench = F.pmod(F.col("doc_id"), F.lit(bench_mod)) == bench_rem
+    bench_sh = sh.filter(is_bench).select("shingle").distinct()
+    train = sh.filter(~is_bench)
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train.join(bench_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.expr(
+                "coalesce(n_hits, 0) * 1000000 div n_shingles"
+            ).alias("contamination_ppm"),
+        )
+    )

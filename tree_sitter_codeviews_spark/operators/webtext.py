@@ -1,0 +1,157 @@
+"""Web-crawl ingestion operators: the steps that sit BETWEEN the raw crawl
+and every text operator in this package (HTML -> text extraction, WARC
+record splitting, per-domain curation stats).
+
+A production pre-training pipeline reads CommonCrawl-shaped data: WARC/WET
+record streams whose payloads are HTML. The existing curation/textstats
+operators all assume a clean ``documents(doc_id, text)`` table; this module
+supplies the crawl-facing edge that produces it. Same engine discipline as
+the rest of the repo (reference hygiene: ``utils/preprocessor.py:6-68``
+pins byte-deterministic preprocessing; we pin engine-deterministic regex
+chains): every transformation is a pure JVM column expression — RE2- and
+java.util.regex-compatible patterns evaluated identically by Spark and the
+DuckDB oracle, no Python in the hot path, no UDFs.
+
+Scale notes (100 TB crawl):
+- ``html_extract`` is per-row map work — no shuffle at all; it runs inside
+  whole-stage codegen fused with the parquet scan.
+- ``warc_split`` is split+posexplode per blob — also shuffle-free; blobs
+  are crawl chunk files (~1 GiB gzip members in real WARC), so the explode
+  fan-out is bounded per input row and rows stay within partition budgets
+  set by ``spark.sql.files.maxPartitionBytes``.
+- ``domain_stats`` aggregates on registered host — a dim orders of
+  magnitude smaller than the page table; the blocklist joins broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .curation import canonicalize_url
+
+# decode order matters and is pinned: &amp; must be decoded LAST —
+# decoding it first turns "&amp;lt;" into "&lt;" which the later &lt;
+# replace then double-decodes to "<"; with &amp; last, "&amp;lt;" never
+# matches the earlier "&lt;" pattern (the '&' is followed by 'a') and
+# correctly yields the TEXT "&lt;" — html.unescape's single-pass
+# semantics for this subset. Same order in the DuckDB oracle.
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_extract(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """HTML -> text extraction (trafilatura/jusText-lite): drop
+    script/style subtrees, pull the <title>, strip remaining tags, decode
+    the six entities that dominate web text, collapse whitespace.
+
+    The chain order is load-bearing and identical in the DuckDB oracle:
+    script/style removal BEFORE tag-strip (their bodies are not text),
+    tag-strip BEFORE entity decode (a decoded ``&lt;b&gt;`` is literal text
+    and must survive), whitespace collapse last. All patterns avoid
+    lookaround so java.util.regex and RE2 agree; ``(?s).*?`` lazy spans are
+    supported and verified identical on both engines.
+
+    Returns (doc_id, title, body, body_chars) — per-row map work, zero
+    shuffle, fused with the scan under whole-stage codegen.
+    """
+    u = F.regexp_replace(F.col(html_col), "(?s)<script[^>]*>.*?</script>", " ")
+    u = F.regexp_replace(u, "(?s)<style[^>]*>.*?</style>", " ")
+    title = F.regexp_extract(u, "(?s)<title>(.*?)</title>", 1)
+    body = F.regexp_replace(u, "<[^>]+>", " ")
+    for ent, ch in _ENTITIES:
+        title = F.replace(title, F.lit(ent), F.lit(ch))
+        body = F.replace(body, F.lit(ent), F.lit(ch))
+    body = F.trim(F.regexp_replace(body, "\\s+", " "))
+    return pages.select(
+        "doc_id",
+        title.alias("title"),
+        body.alias("body"),
+        F.length(body).alias("body_chars"),
+    )
+
+
+def warc_split(blobs: DataFrame, blob_col: str = "payload") -> DataFrame:
+    """Split concatenated WARC-style crawl chunks into records.
+
+    Input rows are (blob_id, payload) where payload is a concatenation of
+    records ``WARC/1.0\\nWARC-Target-URI: <uri>\\nContent-Length: <n>\\n\\n
+    <body>\\n\\n`` — the WARC/1.0 framing (ISO 28500) reduced to the two
+    headers a text pipeline reads. Split on the version line, posexplode
+    for a stable in-blob record index, header fields via regexp_extract.
+
+    Emits (blob_id, rec_idx, uri, declared_len, body, body_chars);
+    ``declared_len`` vs ``body_chars`` is the record-integrity check a real
+    ingest would quarantine on. Shuffle-free: split+explode fan-out is
+    bounded by records-per-chunk; real WARC chunks are ~1 GiB and would be
+    further split upstream by the file reader.
+    """
+    recs = blobs.select(
+        "blob_id",
+        F.posexplode(F.split(F.col(blob_col), "WARC/1\\.0\\n")).alias(
+            "pos", "rec"
+        ),
+    ).filter(F.col("rec") != "")
+    body = F.regexp_extract(F.col("rec"), "(?s)\\n\\n(.*?)\\n\\n", 1)
+    return recs.select(
+        "blob_id",
+        # pos 0 is the empty pre-delimiter split; records start at pos 1
+        (F.col("pos") - 1).alias("rec_idx"),
+        F.regexp_extract(F.col("rec"), "WARC-Target-URI: ([^\\n]+)", 1).alias(
+            "uri"
+        ),
+        F.regexp_extract(F.col("rec"), "Content-Length: ([0-9]+)", 1)
+        .cast("bigint")
+        .alias("declared_len"),
+        body.alias("body"),
+        F.length(body).alias("body_chars"),
+    )
+
+
+def domain_stats(
+    pages: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-registered-host curation stats + blocklist flag (the UT1/URL-
+    blocklist shape every crawl pipeline applies before content work).
+
+    Canonicalizes URLs (shared chain with ``url_canonical_dedup``), groups
+    by host, and reports per domain: page count, distinct canonical URLs,
+    and the duplicate-fetch rate in exact integer ppm. ``blocklist`` is a
+    (host) DataFrame — at real scale a few-MB list, always broadcastable.
+
+    One aggregate keyed by host (a dim orders smaller than the page table;
+    per-host fan-in is bounded by per-site crawl frequency — the same
+    boundedness argument as ``url_canonical_dedup``), then one broadcast
+    left join for the flag. No window, no skew funnel.
+    """
+    canon = pages.select(
+        canonicalize_url(F.col(url_col)).alias("canonical_url")
+    )
+    hosts = canon.select(
+        F.regexp_extract(F.col("canonical_url"), "^https?://([^/]+)", 1).alias(
+            "host"
+        ),
+        "canonical_url",
+    )
+    agg = hosts.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("canonical_url").alias("n_urls"),
+        F.expr(
+            "(count(*) - count(DISTINCT canonical_url)) * 1000000"
+            " div count(*)"
+        ).alias("dup_ppm"),
+    )
+    bl = blocklist.select(F.col("host"), F.lit(True).alias("blocked"))
+    return agg.join(F.broadcast(bl), "host", "left").select(
+        "host",
+        "n_pages",
+        "n_urls",
+        "dup_ppm",
+        F.coalesce(F.col("blocked"), F.lit(False)).alias("blocked"),
+    )

@@ -1362,12 +1362,12 @@ FROM c GROUP BY 1
 """
 
 
-def url_canonical_dedup_sql() -> str:
-    """Independent mirror of the crawl-URL fixture + canonicalizer chain
-    (fragment -> utm params -> orphan ?/& -> lowercase scheme+host ->
-    trailing slash), then the one-aggregate dedup."""
-    return """
-WITH raw AS (
+# the crawl-URL fixture + canonicalizer chain (fragment -> utm params ->
+# orphan ?/& -> lowercase scheme+host -> trailing slash), mirrored
+# independently from queries._crawl_pages / curation.canonicalize_url.
+# Ends with CTE `canon(doc_id, canonical_url)`.
+_CRAWL_CANON_CTES = """
+raw AS (
   SELECT doc_id,
     (CASE WHEN doc_id % 5 = 0
        THEN printf('HTTPS://HOST%04d.EXAMPLE/doc/%d', (doc_id // 3) % 100, doc_id // 3)
@@ -1384,8 +1384,181 @@ c4 AS (SELECT doc_id,
          lower(regexp_extract(u, '(?i)^(https?://[^/]+)', 1)) ||
          regexp_replace(u, '(?i)^https?://[^/]+', '', 'g') AS u FROM c3),
 canon AS (SELECT doc_id, regexp_replace(u, '/+$', '', 'g') AS canonical_url FROM c4)
+"""
+
+
+def url_canonical_dedup_sql() -> str:
+    """The shared crawl fixture/canonicalizer CTEs, then the one-aggregate
+    dedup."""
+    return f"""
+WITH {_CRAWL_CANON_CTES}
 SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keep_doc_id
 FROM canon GROUP BY 1
+"""
+
+
+def domain_stats_sql() -> str:
+    """Per-host page/url counts + dup ppm over the shared crawl fixture,
+    blocklist = host number % 7 == 3 (independent generate_series dim)."""
+    return f"""
+WITH {_CRAWL_CANON_CTES},
+hosts AS (
+  SELECT regexp_extract(canonical_url, '^https?://([^/]+)', 1) AS host,
+         canonical_url
+  FROM canon
+),
+agg AS (
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+         CAST((count(*) - count(DISTINCT canonical_url)) * 1000000
+              // count(*) AS BIGINT) AS dup_ppm
+  FROM hosts GROUP BY 1
+),
+bl AS (
+  SELECT printf('host%04d.example', i) AS host
+  FROM (SELECT unnest(generate_series(0, 99)) AS i)
+  WHERE i % 7 = 3
+)
+SELECT a.host, a.n_pages, a.n_urls, a.dup_ppm,
+       (bl.host IS NOT NULL) AS blocked
+FROM agg a LEFT JOIN bl ON a.host = bl.host
+"""
+
+
+def html_extract_sql() -> str:
+    """Independent rebuild of the HTML page fixture AND the extraction
+    chain (script/style removal -> title pull -> tag strip -> entity
+    decode in pinned order -> whitespace collapse) in DuckDB/RE2."""
+    # &amp; decoded LAST (single-pass semantics: '&amp;lt;' -> '&lt;' the
+    # text, never '<') — innermost replace applies first, so &amp; is the
+    # outermost call, mirroring webtext._ENTITIES order.
+    ent = (
+        "replace(replace(replace(replace(replace(replace({c}, "
+        "'&lt;','<'), '&gt;','>'), '&quot;', chr(34)), "
+        "'&#39;', chr(39)), '&nbsp;',' '), '&amp;','&')"
+    )
+    return f"""
+WITH page AS (
+  SELECT doc_id,
+    printf('<html><head><title>Doc %d &amp; co</title><style>body{{color:#%d}}</style></head><body><script>if(1<2){{x=%d;}}</script><p>%s</p><p>&lt;b&gt;note&amp;%d&lt;/b&gt;</p><div class="nav">Home | About</div></body></html>',
+           doc_id, doc_id % 1000, doc_id % 7, text, doc_id % 3) AS html
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(html,
+      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS u
+  FROM page
+),
+s2 AS (
+  SELECT doc_id,
+    regexp_extract(u, '(?s)<title>(.*?)</title>', 1) AS title_raw,
+    regexp_replace(u, '<[^>]+>', ' ', 'g') AS body_raw
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id,
+    {ent.format(c='title_raw')} AS title,
+    trim(regexp_replace({ent.format(c='body_raw')}, '\\s+', ' ', 'g')) AS body
+  FROM s2
+)
+SELECT doc_id, title, body, CAST(length(body) AS INT) AS body_chars FROM s3
+"""
+
+
+def warc_records_sql() -> str:
+    """Independent rebuild of the WARC chunk fixture (string_agg ordered by
+    doc_id — vs Spark's array_sort-of-structs build) and the record split
+    (string_split + generate_series index vs split+posexplode)."""
+    return """
+WITH rec AS (
+  SELECT doc_id, doc_id // 5 AS blob_id,
+    'WARC/1.0' || chr(10)
+    || printf('WARC-Target-URI: https://host%04d.example/doc/%d', doc_id % 100, doc_id) || chr(10)
+    || printf('Content-Length: %d', length(text)) || chr(10) || chr(10)
+    || text || chr(10) || chr(10) AS r
+  FROM documents
+),
+blob AS (
+  SELECT blob_id, string_agg(r, '' ORDER BY doc_id) AS payload
+  FROM rec GROUP BY 1
+),
+parts AS (
+  SELECT blob_id,
+         string_split(payload, 'WARC/1.0' || chr(10)) AS arr
+  FROM blob
+),
+idx AS (
+  SELECT blob_id, arr, unnest(generate_series(1, len(arr))) AS i FROM parts
+),
+recs AS (
+  SELECT blob_id, i, arr[i] AS rec FROM idx WHERE arr[i] <> ''
+)
+SELECT blob_id,
+       CAST(i - 2 AS INT) AS rec_idx,
+       regexp_extract(rec, 'WARC-Target-URI: ([^\\n]+)', 1) AS uri,
+       CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+         AS declared_len,
+       regexp_extract(rec, '(?s)\\n\\n(.*?)\\n\\n', 1) AS body,
+       CAST(length(regexp_extract(rec, '(?s)\\n\\n(.*?)\\n\\n', 1)) AS INT)
+         AS body_chars
+FROM recs
+"""
+
+
+def familiarity_sql() -> str:
+    """Two-pass unigram familiarity, derived independently: token counts,
+    rank window with the pinned (freq DESC, tok ASC) tie-break, integer //
+    rollups per doc."""
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+vocab AS (SELECT tok, count(*) AS freq FROM nz GROUP BY 1),
+model AS (
+  SELECT tok, freq,
+         row_number() OVER (ORDER BY freq DESC, tok ASC) AS zipf_rank
+  FROM vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(freq) // count(*) AS BIGINT) AS mean_tok_freq,
+       CAST(sum(zipf_rank) * 1000 // count(*) AS BIGINT)
+         AS mean_zipf_rank_milli
+FROM nz JOIN model USING (tok)
+GROUP BY 1
+"""
+
+
+def decontaminate_score_sql(
+    n: int = 5, bench_mod: int = 50, bench_rem: int = 7
+) -> str:
+    """Fractional contamination ppm: distinct word n-gram hit share vs the
+    benchmark slice, integer // arithmetic."""
+    parts = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, n + 1))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {parts} AS shingle
+  FROM toks, unnest(range(len(w) - {n - 1})) AS t(i)
+  WHERE len(w) >= {n}
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {bench_mod} = {bench_rem}),
+train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {bench_mod} <> {bench_rem}),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1),
+hit AS (
+  SELECT t.doc_id, count(*) AS n_hits
+  FROM train t JOIN bench b USING (shingle)
+  GROUP BY 1
+)
+SELECT tot.doc_id, CAST(tot.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(hit.n_hits, 0) * 1000000 // tot.n_shingles AS BIGINT)
+         AS contamination_ppm
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
 """
 
 

@@ -1090,18 +1090,13 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.repetition_stats(_docs(spark, sf_dir))
 
 
-def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-URL crawl dedup — the FIRST dedup stage of a web pipeline
-    (runs before any content pass; needs no text bytes). The gate plants
-    deterministic crawl messiness: three raw-URL variants share each
-    canonical target (path id = doc_id div 3, same host per group), with
-    tracking params (doc_id%4==1), fragments (%4==2), trailing slashes
-    (%4==3), and UPPERCASE scheme+host (doc_id%5==0) layered on.
-    Canonicalization is a pure JVM regex chain; grouping is one hash
-    aggregate on the canonical key."""
-    from .operators import curation
-
-    docs = _docs(spark, sf_dir)
+def _crawl_pages(docs: DataFrame) -> DataFrame:
+    """The deterministic crawl-messiness fixture shared by the URL-keyed
+    gate queries: three raw-URL variants share each canonical target (path
+    id = doc_id div 3, same host per group), with tracking params
+    (doc_id%4==1), fragments (%4==2), trailing slashes (%4==3), and
+    UPPERCASE scheme+host (doc_id%5==0) layered on. Mirrored independently
+    by ``oracle._CRAWL_URLS_CTE``."""
     gid = F.expr("doc_id div 3")
     base_lo = F.format_string(
         "https://host%04d.example/doc/%d", gid % 100, gid
@@ -1119,8 +1114,18 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = F.concat(
         F.when(F.col("doc_id") % 5 == 0, base_up).otherwise(base_lo), suffix
     )
-    pages = docs.select("doc_id", raw.alias("url"))
-    return curation.url_canonical_dedup(pages)
+    return docs.select("doc_id", raw.alias("url"))
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL crawl dedup — the FIRST dedup stage of a web pipeline
+    (runs before any content pass; needs no text bytes). Crawl messiness
+    planted by the shared ``_crawl_pages`` fixture. Canonicalization is a
+    pure JVM regex chain; grouping is one hash aggregate on the canonical
+    key."""
+    from .operators import curation
+
+    return curation.url_canonical_dedup(_crawl_pages(_docs(spark, sf_dir)))
 
 
 def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,3 +1231,103 @@ def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal
 
     return multimodal.resample(multimodal.payloads_df(_docs(spark, sf_dir)))
+
+
+def webtext_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction over a deterministic crawl-page fixture:
+    each doc's text wrapped in an HTML page with a <title>, a <style>
+    block, a <script> block containing '<' noise, entity-escaped markup
+    inside the body ('&lt;b&gt;note&amp;1&lt;/b&gt;'), and a nav <div> —
+    the markup zoo the extractor must strip/decode. The operator is a pure
+    JVM regex chain (operators/webtext.html_extract), per-row map work
+    fused with the scan; the oracle rebuilds page AND extraction
+    independently in DuckDB/RE2."""
+    from .operators import webtext
+
+    docs = _docs(spark, sf_dir)
+    html = F.format_string(
+        "<html><head><title>Doc %d &amp; co</title>"
+        "<style>body{color:#%d}</style></head>"
+        "<body><script>if(1<2){x=%d;}</script>"
+        "<p>%s</p><p>&lt;b&gt;note&amp;%d&lt;/b&gt;</p>"
+        '<div class="nav">Home | About</div></body></html>',
+        F.col("doc_id"), F.col("doc_id") % 1000, F.col("doc_id") % 7,
+        F.col("text"), F.col("doc_id") % 3,
+    )
+    return webtext.html_extract(docs.select("doc_id", html.alias("html")))
+
+
+def webtext_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record splitting: five docs per crawl chunk (blob_id = doc_id
+    div 5), each serialized as a WARC/1.0 record (Target-URI +
+    Content-Length headers, blank-line body framing), concatenated in
+    doc_id order via array_sort on (doc_id, record) structs — a
+    deterministic order-preserving build with no window. The operator
+    splits blobs back into (blob_id, rec_idx, uri, declared_len, body)
+    with split+posexplode — shuffle-free; declared_len vs body_chars is
+    the integrity check a real ingest quarantines on."""
+    from .operators import webtext
+
+    docs = _docs(spark, sf_dir)
+    rec = F.format_string(
+        "WARC/1.0\nWARC-Target-URI: https://host%04d.example/doc/%d\n"
+        "Content-Length: %d\n\n%s\n\n",
+        F.col("doc_id") % 100, F.col("doc_id"),
+        F.length("text"), F.col("text"),
+    )
+    blobs = (
+        docs.select(
+            F.expr("doc_id div 5").alias("blob_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("blob_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["rec"]
+                ),
+                "",
+            ).alias("payload")
+        )
+    )
+    return webtext.warc_split(blobs)
+
+
+def webtext_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation stats + UT1-style blocklist flag over the
+    shared crawl-URL fixture; the blocklist dim is hosts with host number
+    % 7 == 3 (14 of ~100 hosts — planted non-vacuous). One aggregate keyed
+    by host + one broadcast left join."""
+    from .operators import webtext
+
+    blocklist = (
+        spark.range(100)
+        .filter(F.col("id") % 7 == 3)
+        .select(F.format_string("host%04d.example", F.col("id")).alias("host"))
+    )
+    return webtext.domain_stats(
+        _crawl_pages(_docs(spark, sf_dir)), blocklist
+    )
+
+
+def text_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM familiarity scoring (CCNet perplexity-bucket proxy,
+    integer-exact): two-pass unigram model — corpus token counts ->
+    broadcast vocab dim with deterministic Zipf ranks -> per-doc mean
+    frequency / mean rank rollup. No floats anywhere (ln is not
+    bit-identical across engines); the scores are monotone in unigram
+    likelihood so bucket ORDER is preserved."""
+    from .operators import curation
+
+    return curation.familiarity_stats(_docs(spark, sf_dir))
+
+
+def text_decontaminate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional benchmark-contamination ppm per training doc (the graded
+    overlap PaLM/GPT-3-style decontamination thresholds on, vs the binary
+    flag of text_decontaminate): distinct-5-gram hit share against the
+    held-out slice (doc_id%50==7). Benchmark shingle dim broadcastable at
+    any corpus scale; totals/hits keyed by doc_id."""
+    from .operators import curation
+
+    return curation.decontaminate_score(_docs(spark, sf_dir))
