@@ -76,6 +76,7 @@ HEADLINE = [
     "webtext_warc_records",   # WARC record splitting
     "text_familiarity",       # corpus-LM familiarity (CCNet-bucket proxy)
     "text_decontaminate_score",  # fractional contamination ppm
+    "web_ingest",             # END-TO-END crawl ingest (WARC->extract->quality->dedup)
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -132,7 +133,7 @@ SCALE2 = [
     # familiarity's vocab dim is replication-invariant (counts scale x10
     # uniformly, ranks unchanged) — all replication-faithful.
     "webtext_html_extract", "webtext_warc_records", "text_familiarity",
-    "text_decontaminate_score",
+    "text_decontaminate_score", "web_ingest",
 ]
 
 

@@ -86,3 +86,19 @@ def test_warc_split_is_shuffle_free(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_web_ingest_quality_gates_bite(spark, sf_tiny):
+    """The end-to-end ingest must actually FILTER at gate scale — a
+    vacuous quality gate would make the composed oracle check weaker than
+    it claims."""
+    from tree_sitter_codeviews_spark import queries as q
+
+    kept = (
+        q.web_ingest(spark, sf_tiny)
+        .agg(F.sum("n_fetches").alias("n"))
+        .first()
+        .n
+    )
+    docs = spark.read.parquet(sf_tiny + "/documents.parquet").count()
+    assert 0 < kept < docs

@@ -46,7 +46,9 @@ _ENTITIES = [
 ]
 
 
-def html_extract(pages: DataFrame, html_col: str = "html") -> DataFrame:
+def html_extract(
+    pages: DataFrame, html_col: str = "html", keep: tuple = ()
+) -> DataFrame:
     """HTML -> text extraction (trafilatura/jusText-lite): drop
     script/style subtrees, pull the <title>, strip remaining tags, decode
     the six entities that dominate web text, collapse whitespace.
@@ -58,8 +60,10 @@ def html_extract(pages: DataFrame, html_col: str = "html") -> DataFrame:
     lookaround so java.util.regex and RE2 agree; ``(?s).*?`` lazy spans are
     supported and verified identical on both engines.
 
-    Returns (doc_id, title, body, body_chars) — per-row map work, zero
-    shuffle, fused with the scan under whole-stage codegen.
+    Returns (doc_id, *keep, title, body, body_chars) — per-row map work,
+    zero shuffle, fused with the scan under whole-stage codegen. ``keep``
+    carries extra input columns through (e.g. the fetch URI) so callers
+    never need a re-attach join against the pre-extraction table.
     """
     u = F.regexp_replace(F.col(html_col), "(?s)<script[^>]*>.*?</script>", " ")
     u = F.regexp_replace(u, "(?s)<style[^>]*>.*?</style>", " ")
@@ -71,6 +75,7 @@ def html_extract(pages: DataFrame, html_col: str = "html") -> DataFrame:
     body = F.trim(F.regexp_replace(body, "\\s+", " "))
     return pages.select(
         "doc_id",
+        *keep,
         title.alias("title"),
         body.alias("body"),
         F.length(body).alias("body_chars"),

@@ -1426,20 +1426,21 @@ FROM agg a LEFT JOIN bl ON a.host = bl.host
 """
 
 
-def html_extract_sql() -> str:
-    """Independent rebuild of the HTML page fixture AND the extraction
-    chain (script/style removal -> title pull -> tag strip -> entity
-    decode in pinned order -> whitespace collapse) in DuckDB/RE2."""
-    # &amp; decoded LAST (single-pass semantics: '&amp;lt;' -> '&lt;' the
-    # text, never '<') — innermost replace applies first, so &amp; is the
-    # outermost call, mirroring webtext._ENTITIES order.
-    ent = (
-        "replace(replace(replace(replace(replace(replace({c}, "
-        "'&lt;','<'), '&gt;','>'), '&quot;', chr(34)), "
-        "'&#39;', chr(39)), '&nbsp;',' '), '&amp;','&')"
-    )
-    return f"""
-WITH page AS (
+# &amp; decoded LAST (single-pass semantics: '&amp;lt;' -> '&lt;' the
+# text, never '<') — innermost replace applies first, so &amp; is the
+# outermost call, mirroring webtext._ENTITIES order.
+_ENT_DECODE = (
+    "replace(replace(replace(replace(replace(replace({c}, "
+    "'&lt;','<'), '&gt;','>'), '&quot;', chr(34)), "
+    "'&#39;', chr(39)), '&nbsp;',' '), '&amp;','&')"
+)
+
+# the HTML page fixture (mirrors queries._html_pages) + the extraction
+# chain (script/style removal -> title pull -> tag strip -> entity decode
+# in pinned order -> whitespace collapse) in DuckDB/RE2. Ends with CTE
+# `ext(doc_id, title, body)`.
+_HTML_EXTRACT_CTES = f"""
+page AS (
   SELECT doc_id,
     printf('<html><head><title>Doc %d &amp; co</title><style>body{{color:#%d}}</style></head><body><script>if(1<2){{x=%d;}}</script><p>%s</p><p>&lt;b&gt;note&amp;%d&lt;/b&gt;</p><div class="nav">Home | About</div></body></html>',
            doc_id, doc_id % 1000, doc_id % 7, text, doc_id % 3) AS html
@@ -1458,13 +1459,61 @@ s2 AS (
     regexp_replace(u, '<[^>]+>', ' ', 'g') AS body_raw
   FROM s1
 ),
-s3 AS (
+ext AS (
   SELECT doc_id,
-    {ent.format(c='title_raw')} AS title,
-    trim(regexp_replace({ent.format(c='body_raw')}, '\\s+', ' ', 'g')) AS body
+    {_ENT_DECODE.format(c='title_raw')} AS title,
+    trim(regexp_replace({_ENT_DECODE.format(c='body_raw')}, '\\s+', ' ', 'g')) AS body
   FROM s2
 )
-SELECT doc_id, title, body, CAST(length(body) AS INT) AS body_chars FROM s3
+"""
+
+
+def html_extract_sql() -> str:
+    """Independent rebuild of the HTML page fixture AND the extraction
+    chain in DuckDB/RE2 (shared CTE block)."""
+    return f"""
+WITH {_HTML_EXTRACT_CTES}
+SELECT doc_id, title, body, CAST(length(body) AS INT) AS body_chars FROM ext
+"""
+
+
+def web_ingest_sql() -> str:
+    """Composed mirror of the END-TO-END crawl ingest: the HTML extraction
+    CTEs + word-2-gram repetition + the quality gates (>=30 words,
+    top-2-gram <= 100000 ppm) + the crawl-URL canonicalizer chain +
+    first-fetch-wins dedup (arg_min over doc_id — the engine's fetch id
+    blob*8+rec_idx is monotone in doc_id, so the same fetch wins).
+
+    Deliberately SKIPS the WARC framing roundtrip (proven lossless by
+    webtext_warc_records' own oracle) and derives per-doc signals directly
+    — an independent derivation, not a mirror of the engine's plan."""
+    return f"""
+WITH {_HTML_EXTRACT_CTES},
+{_CRAWL_CANON_CTES.lstrip()},
+bw AS (SELECT doc_id, title, body, string_split(body, ' ') AS ws FROM ext),
+gi AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM bw),
+g AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram FROM gi),
+gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_grams,
+         CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS top_gram_ppm
+  FROM gc GROUP BY 1
+),
+q AS (
+  SELECT bw.doc_id, bw.title, length(bw.body) AS body_chars,
+         rep.n_grams, rep.top_gram_ppm
+  FROM bw JOIN rep USING (doc_id)
+  WHERE len(bw.ws) >= 30 AND rep.top_gram_ppm <= 100000
+)
+SELECT c.canonical_url,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       arg_min(q.title, q.doc_id) AS title,
+       CAST(arg_min(q.body_chars, q.doc_id) AS INT) AS body_chars,
+       arg_min(q.n_grams, q.doc_id) AS n_grams,
+       arg_min(q.top_gram_ppm, q.doc_id) AS top_gram_ppm
+FROM q JOIN canon c USING (doc_id)
+GROUP BY 1
 """
 
 

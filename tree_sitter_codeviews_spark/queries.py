@@ -1233,18 +1233,13 @@ def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resample(multimodal.payloads_df(_docs(spark, sf_dir)))
 
 
-def webtext_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML -> text extraction over a deterministic crawl-page fixture:
-    each doc's text wrapped in an HTML page with a <title>, a <style>
+def _html_pages(docs: DataFrame) -> DataFrame:
+    """The deterministic HTML crawl-page fixture shared by the webtext gate
+    queries: each doc's text wrapped in a page with a <title>, a <style>
     block, a <script> block containing '<' noise, entity-escaped markup
     inside the body ('&lt;b&gt;note&amp;1&lt;/b&gt;'), and a nav <div> —
-    the markup zoo the extractor must strip/decode. The operator is a pure
-    JVM regex chain (operators/webtext.html_extract), per-row map work
-    fused with the scan; the oracle rebuilds page AND extraction
-    independently in DuckDB/RE2."""
-    from .operators import webtext
-
-    docs = _docs(spark, sf_dir)
+    the markup zoo the extractor must strip/decode. Mirrored independently
+    by ``oracle._HTML_PAGE_CTE``."""
     html = F.format_string(
         "<html><head><title>Doc %d &amp; co</title>"
         "<style>body{color:#%d}</style></head>"
@@ -1254,7 +1249,17 @@ def webtext_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), F.col("doc_id") % 1000, F.col("doc_id") % 7,
         F.col("text"), F.col("doc_id") % 3,
     )
-    return webtext.html_extract(docs.select("doc_id", html.alias("html")))
+    return docs.select("doc_id", html.alias("html"))
+
+
+def webtext_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction over the deterministic crawl-page fixture.
+    The operator is a pure JVM regex chain (operators/webtext.html_extract),
+    per-row map work fused with the scan; the oracle rebuilds page AND
+    extraction independently in DuckDB/RE2."""
+    from .operators import webtext
+
+    return webtext.html_extract(_html_pages(_docs(spark, sf_dir)))
 
 
 def webtext_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1331,3 +1336,85 @@ def text_decontaminate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import curation
 
     return curation.decontaminate_score(_docs(spark, sf_dir))
+
+
+def web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl ingest — the webtext twin of ``train_set``: WARC
+    chunks -> record split -> HTML -> text extraction -> repetition +
+    length quality gates -> canonical-URL dedup -> per-page shard row,
+    value-checked WHOLE against one composed DuckDB mirror.
+
+    Fixture: each doc's HTML page (shared ``_html_pages`` markup zoo) is
+    framed as a WARC/1.0 record whose Target-URI is the shared crawl-URL
+    messiness fixture, five records per chunk, concatenated in doc_id
+    order. The ENGINE side then sees only (blob_id, payload) — exactly
+    what a CommonCrawl reader sees — and runs the real pipeline:
+
+    1. ``webtext.warc_split``       (shuffle-free record framing)
+    2. ``webtext.html_extract``     (shuffle-free regex chain)
+    3. ``curation.repetition_stats`` over the EXTRACTED body (one
+       doc-keyed aggregate pair)
+    4. quality gates that bite at gate scale: >=30 words,
+       top-2-gram share <= 100000 ppm
+    5. ``curation.canonicalize_url`` on the fetched URI + first-fetch-wins
+       group (min_by over the unique fetch id — arg_min in the oracle)
+
+    Scale shape: stages 1-2 fuse with the scan; stage 3 shuffles once on
+    the fetch key (uniform); stage 5 shuffles once on the canonical key
+    (hot keys bounded by per-site crawl frequency). No window over the
+    corpus, no driver collect, nothing quadratic."""
+    from .operators import curation, webtext
+
+    docs = _docs(spark, sf_dir)
+    pages = _html_pages(docs).join(_crawl_pages(docs), "doc_id")
+    rec = F.format_string(
+        "WARC/1.0\nWARC-Target-URI: %s\nContent-Length: %d\n\n%s\n\n",
+        F.col("url"), F.length("html"), F.col("html"),
+    )
+    blobs = (
+        pages.select(
+            F.expr("doc_id div 5").alias("blob_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("blob_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["rec"]
+                ),
+                "",
+            ).alias("payload")
+        )
+    )
+    # ---- the engine pipeline proper: sees only (blob_id, payload) ------
+    recs = webtext.warc_split(blobs)
+    ext = webtext.html_extract(
+        recs.select(
+            (F.col("blob_id") * 8 + F.col("rec_idx")).alias("doc_id"),
+            "uri",
+            F.col("body").alias("html"),
+        ),
+        keep=("uri",),
+    )
+    rep = curation.repetition_stats(
+        ext.select("doc_id", F.col("body").alias("text"))
+    )
+    sig = ext.join(rep, "doc_id").filter(
+        (F.size(F.split(F.col("body"), " ")) >= 30)
+        & (F.col("top_gram_ppm") <= 100000)
+    )
+    canon = sig.withColumn(
+        "canonical_url", curation.canonicalize_url(F.col("uri"))
+    )
+    w = F.struct("title", "body_chars", "n_grams", "top_gram_ppm")
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.min_by(w, F.col("doc_id")).alias("w"),
+        )
+        .select(
+            "canonical_url", "n_fetches",
+            "w.title", "w.body_chars", "w.n_grams", "w.top_gram_ppm",
+        )
+    )
