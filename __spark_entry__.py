@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_familiarity": q.text_familiarity,      # corpus-LM familiarity (CCNet-bucket proxy, r4)
         "text_decontaminate_score": q.text_decontaminate_score,  # fractional contamination ppm (r4)
         "web_ingest": q.web_ingest,                  # END-TO-END crawl ingest: WARC->extract->quality->URL dedup (r4)
+        "webtext_robots_filter": q.webtext_robots_filter,  # robots-disallow prefix anti-join (r4)
+        "dedup_stream_url": q.dedup_stream_url,      # streaming canonical-URL dedup (r4)
         # --- changed code paths this round -------------------------------
         "sql_event_windows": _sql_event_windows,  # sum quantized to integer micros (r4)
         "train_set": q.train_set,                 # decontamination leg checkpointed (r4)
@@ -109,14 +111,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_grouped_metrics": q.graph_grouped_metrics,
         "geo_vector_raster": q.geo_vector_raster,
         "geo_raster_compact": q.geo_raster_compact,
-        "geo_overlay_stats": q.geo_overlay_stats,
-        "dedup_jaccard": q.dedup_jaccard,
         # ---- position 51+: rotated out of the window; still verified
         # ---- every round by the pytest gate mirror + GATE_FULL artifact.
         # ---- The three tile twins share geo_tiles' oracle verbatim; the
-        # ---- ann/text/dedup rows here were driver-green r2/r3 (their
-        # ---- window slots went to the six new r4 webtext/curation
+        # ---- ann/text/dedup/geo rows here were driver-green r2/r3 (their
+        # ---- window slots went to the eight new r4 webtext/curation
         # ---- queries).
+        "geo_overlay_stats": q.geo_overlay_stats,
+        "dedup_jaccard": q.dedup_jaccard,
         "dedup_embedding": q.dedup_embedding,
         "ann_topk_quantized": q.ann_topk_quantized,
         "ann_cosine_topk": q.ann_cosine_topk,          # rows-only (float ULP)
@@ -210,6 +212,8 @@ def oracle_sql() -> dict[str, str]:
         "text_familiarity": oracle.familiarity_sql(),
         "text_decontaminate_score": oracle.decontaminate_score_sql(),
         "web_ingest": oracle.web_ingest_sql(),
+        "webtext_robots_filter": oracle.robots_filter_sql(),
+        "dedup_stream_url": oracle.stream_url_dedup_sql(),
         "geo_entities_typed": oracle.entities_typed_sql(),
         "events_stream_windows": oracle.events_stream_windows_sql(),
         "events_stream_sessions": oracle.events_stream_sessions_sql(),

@@ -77,6 +77,8 @@ HEADLINE = [
     "text_familiarity",       # corpus-LM familiarity (CCNet-bucket proxy)
     "text_decontaminate_score",  # fractional contamination ppm
     "web_ingest",             # END-TO-END crawl ingest (WARC->extract->quality->dedup)
+    "webtext_robots_filter",  # robots-disallow prefix anti-join
+    "dedup_stream_url",       # streaming canonical-URL dedup
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -133,7 +135,7 @@ SCALE2 = [
     # familiarity's vocab dim is replication-invariant (counts scale x10
     # uniformly, ranks unchanged) — all replication-faithful.
     "webtext_html_extract", "webtext_warc_records", "text_familiarity",
-    "text_decontaminate_score", "web_ingest",
+    "text_decontaminate_score", "web_ingest", "webtext_robots_filter",
 ]
 
 

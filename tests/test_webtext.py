@@ -102,3 +102,24 @@ def test_web_ingest_quality_gates_bite(spark, sf_tiny):
     )
     docs = spark.read.parquet(sf_tiny + "/documents.parquet").count()
     assert 0 < kept < docs
+
+
+def test_robots_filter_prefix_semantics_and_plan(spark):
+    pages = spark.createDataFrame(
+        [
+            (0, "https://a.example/doc/1"),    # exact prefix hit
+            (1, "https://a.example/doc/15"),   # prefix hit (startswith)
+            (2, "https://a.example/doc/2"),    # different path -> allowed
+            (3, "https://b.example/doc/1"),    # host has no rule -> allowed
+        ],
+        ["doc_id", "url"],
+    )
+    rules = spark.createDataFrame(
+        [("a.example", "/doc/1")], ["host", "path_prefix"]
+    )
+    out = webtext.robots_filter(pages, rules)
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+    # the host equi-key must plan as a broadcast HASH join with the prefix
+    # test as residual — a nested-loop over the corpus would not scale
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan

@@ -160,3 +160,37 @@ def domain_stats(
         "dup_ppm",
         F.coalesce(F.col("blocked"), F.lit(False)).alias("blocked"),
     )
+
+
+def robots_filter(
+    pages: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Robots/blocklist PATH-PREFIX filtering: drop any page whose
+    canonical URL's host has a rule whose ``path_prefix`` prefixes the
+    page's path (the robots.txt ``Disallow:`` semantics, also the shape of
+    licensing/opt-out lists).
+
+    Engine shape: ``rules`` is (host, path_prefix) — a crawl-policy dim
+    that is KBs-to-MBs at any corpus size, so the anti-join broadcasts and
+    the prefix test runs map-side: Spark plans the host equi-key as a
+    BroadcastHashJoin and evaluates ``startswith`` as the residual join
+    condition — never a nested-loop over the corpus. Returns the ALLOWED
+    pages (doc_id, canonical_url, host, path).
+    """
+    canon = pages.select(
+        "doc_id", canonicalize_url(F.col(url_col)).alias("canonical_url")
+    ).select(
+        "doc_id",
+        "canonical_url",
+        F.regexp_extract(F.col("canonical_url"), "^https?://([^/]+)", 1).alias(
+            "host"
+        ),
+        F.regexp_replace(F.col("canonical_url"), "^https?://[^/]+", "").alias(
+            "path"
+        ),
+    )
+    r = F.broadcast(rules.select("host", "path_prefix"))
+    cond = (canon["host"] == r["host"]) & (
+        canon["path"].startswith(r["path_prefix"])
+    )
+    return canon.join(r, cond, "left_anti")

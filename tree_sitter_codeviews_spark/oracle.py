@@ -2133,3 +2133,38 @@ def dfg_last_use_sql() -> str:
         + graph_rda_sql()
         + ") t WHERE node_id % 5 = 2 AND var = node_id % 3 GROUP BY 1, 2"
     )
+
+
+def robots_filter_sql() -> str:
+    """Allowed pages under the planted disallow rules — NOT EXISTS with a
+    starts_with prefix test (independent of Spark's anti-join plan)."""
+    return f"""
+WITH {_CRAWL_CANON_CTES},
+parts AS (
+  SELECT doc_id, canonical_url,
+         regexp_extract(canonical_url, '^https?://([^/]+)', 1) AS host,
+         regexp_replace(canonical_url, '^https?://[^/]+', '', 'g') AS path
+  FROM canon
+),
+rules AS (
+  SELECT printf('host%04d.example', i) AS host, '/doc/1' AS path_prefix
+  FROM (SELECT unnest(generate_series(0, 99)) AS i) WHERE i % 5 = 2
+  UNION ALL
+  SELECT printf('host%04d.example', i), '/doc/2'
+  FROM (SELECT unnest(generate_series(0, 99)) AS i) WHERE i % 3 = 0
+)
+SELECT p.doc_id, p.canonical_url, p.host, p.path
+FROM parts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM rules r
+  WHERE r.host = p.host AND starts_with(p.path, r.path_prefix)
+)
+"""
+
+
+def stream_url_dedup_sql() -> str:
+    """Distinct canonical URLs (the streaming first-fetch projection)."""
+    return f"""
+WITH {_CRAWL_CANON_CTES}
+SELECT DISTINCT canonical_url FROM canon
+"""

@@ -1418,3 +1418,40 @@ def web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w.title", "w.body_chars", "w.n_grams", "w.top_gram_ppm",
         )
     )
+
+
+def webtext_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-disallow path-prefix filtering over the shared crawl-URL
+    fixture; rules dim planted non-vacuous: hosts with number %5==2
+    disallow '/doc/1' (prefix-matches /doc/1, /doc/1*, ...), hosts %3==0
+    disallow '/doc/2'. Broadcast anti-join with the prefix test as the
+    residual condition — no nested loop over the corpus."""
+    from .operators import webtext
+
+    hosts = spark.range(100).select(
+        F.col("id"),
+        F.format_string("host%04d.example", F.col("id")).alias("host"),
+    )
+    rules = (
+        hosts.filter(F.col("id") % 5 == 2)
+        .select("host", F.lit("/doc/1").alias("path_prefix"))
+        .unionAll(
+            hosts.filter(F.col("id") % 3 == 0)
+            .select("host", F.lit("/doc/2").alias("path_prefix"))
+        )
+    )
+    return webtext.robots_filter(_crawl_pages(_docs(spark, sf_dir)), rules)
+
+
+def dedup_stream_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming canonical-URL dedup: the crawl-URL fixture derived as a
+    pure projection over the document stream, canonicalized map-side, then
+    stateful dropDuplicates — first fetch per canonical key survives.
+    Drained with availableNow; oracle = DISTINCT canonical urls."""
+    from . import streaming
+
+    docs = streaming.stream_documents(spark, sf_dir).select("doc_id")
+    pages = _crawl_pages(docs)
+    return streaming.run_available_now(
+        streaming.stream_dedup_canonical_urls(pages), mode="append"
+    )

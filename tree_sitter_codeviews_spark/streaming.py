@@ -208,3 +208,21 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND click_ts >= purchase_ts - INTERVAL 2 HOURS"
         ),
     ).select("purchase_id", "click_id", "user_id")
+
+
+def stream_dedup_canonical_urls(pages: DataFrame) -> DataFrame:
+    """Streaming canonical-URL dedup — the streaming twin of
+    ``curation.url_canonical_dedup`` and the FIRST stateful operator of a
+    live crawl ingest: canonicalization is a pure projection (streamable
+    as-is), then stateful ``dropDuplicates`` keeps the first fetch per
+    canonical key (state = one row per distinct URL — the minimum any
+    exact streaming dedup can hold; production bounds it with
+    ``withWatermark`` + dropDuplicatesWithinWatermark for recrawl windows).
+    Projected to the canonical key so the bounded-input drain is
+    deterministic (which fetch survives a same-batch tie is not)."""
+    from .operators.curation import canonicalize_url
+
+    return (
+        pages.select(canonicalize_url(F.col("url")).alias("canonical_url"))
+        .dropDuplicates(["canonical_url"])
+    )
