@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_ingest": q.web_ingest,                  # END-TO-END crawl ingest: WARC->extract->quality->URL dedup (r4)
         "webtext_robots_filter": q.webtext_robots_filter,  # robots-disallow prefix anti-join (r4)
         "dedup_stream_url": q.dedup_stream_url,      # streaming canonical-URL dedup (r4)
+        "dedup_containment": q.dedup_containment,    # subset/quote-dup containment pairs (r4)
+        "webtext_domain_rank": q.webtext_domain_rank,  # integer PageRank over the host link graph (r4)
+        "text_bpe_train": q.text_bpe_train,          # BPE merge-rule induction (r4)
         # --- changed code paths this round -------------------------------
         "sql_event_windows": _sql_event_windows,  # sum quantized to integer micros (r4)
         "train_set": q.train_set,                 # decontamination leg checkpointed (r4)
@@ -108,15 +111,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream_exact": q.dedup_stream_exact,
         "alias_resolve": q.alias_resolve,
         "geo_cascade_resolve": q.geo_cascade_resolve,
-        "graph_grouped_metrics": q.graph_grouped_metrics,
-        "geo_vector_raster": q.geo_vector_raster,
-        "geo_raster_compact": q.geo_raster_compact,
         # ---- position 51+: rotated out of the window; still verified
         # ---- every round by the pytest gate mirror + GATE_FULL artifact.
         # ---- The three tile twins share geo_tiles' oracle verbatim; the
-        # ---- ann/text/dedup/geo rows here were driver-green r2/r3 (their
-        # ---- window slots went to the eight new r4 webtext/curation
-        # ---- queries).
+        # ---- ann/text/dedup/geo/graph rows here were driver-green r2/r3
+        # ---- (their window slots went to the twelve new r4
+        # ---- webtext/curation queries).
+        "graph_grouped_metrics": q.graph_grouped_metrics,
+        "geo_vector_raster": q.geo_vector_raster,
+        "geo_raster_compact": q.geo_raster_compact,
         "geo_overlay_stats": q.geo_overlay_stats,
         "dedup_jaccard": q.dedup_jaccard,
         "dedup_embedding": q.dedup_embedding,
@@ -214,6 +217,9 @@ def oracle_sql() -> dict[str, str]:
         "web_ingest": oracle.web_ingest_sql(),
         "webtext_robots_filter": oracle.robots_filter_sql(),
         "dedup_stream_url": oracle.stream_url_dedup_sql(),
+        "dedup_containment": oracle.dedup_containment_sql(),
+        "webtext_domain_rank": oracle.domain_rank_sql(),
+        "text_bpe_train": oracle.bpe_train_sql(),
         "geo_entities_typed": oracle.entities_typed_sql(),
         "events_stream_windows": oracle.events_stream_windows_sql(),
         "events_stream_sessions": oracle.events_stream_sessions_sql(),

@@ -79,6 +79,9 @@ HEADLINE = [
     "web_ingest",             # END-TO-END crawl ingest (WARC->extract->quality->dedup)
     "webtext_robots_filter",  # robots-disallow prefix anti-join
     "dedup_stream_url",       # streaming canonical-URL dedup
+    "dedup_containment",      # subset/quote-dup containment pairs
+    "webtext_domain_rank",    # integer PageRank over the host link graph
+    "text_bpe_train",         # BPE merge-rule induction
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -136,6 +139,12 @@ SCALE2 = [
     # uniformly, ranks unchanged) — all replication-faithful.
     "webtext_html_extract", "webtext_warc_records", "text_familiarity",
     "text_decontaminate_score", "web_ingest", "webtext_robots_filter",
+    # domain_rank's node/edge dims are host-bounded (replication multiplies
+    # edge weights uniformly -> same rank order, same per-iteration cost
+    # shape); bpe_train's post-corpus-pass rounds are vocab-bounded.
+    # dedup_containment is excluded for the same distribution-bound pair-
+    # space reason as dedup_jaccard (identical-replica text squares pairs).
+    "webtext_domain_rank", "text_bpe_train",
 ]
 
 

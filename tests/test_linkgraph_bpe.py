@@ -1,0 +1,80 @@
+"""Unit tests for integer PageRank and BPE merge training — hand-computed
+fixtures independent of the oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tree_sitter_codeviews_spark.operators import bpe, linkgraph
+
+
+def test_pagerank_two_node_cycle(spark):
+    """a <-> b, 1 iteration: each sends its full 1e6 (out_deg 1), so
+    rank = 150000 + 85*1000000 div 100 = 1000000 — the cycle is the
+    fixpoint. A third isolated node gets only teleport mass 150000."""
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], ["host"])
+    r1 = {
+        r.host: r.rank_micro
+        for r in linkgraph.pagerank_integer(edges, nodes, iterations=1).collect()
+    }
+    assert r1 == {"a": 1_000_000, "b": 1_000_000, "c": 150_000}
+    # and the cycle stays at the fixpoint after more rounds
+    r5 = {
+        r.host: r.rank_micro
+        for r in linkgraph.pagerank_integer(edges, nodes, iterations=5).collect()
+    }
+    assert r5["a"] == r5["b"] == 1_000_000 and r5["c"] == 150_000
+
+
+def test_pagerank_split_and_truncation(spark):
+    """a -> b and a -> c (out_deg 2): each target gets 1000000 div 2 =
+    500000; rank_b = 150000 + 85*500000 div 100 = 575000. a receives
+    nothing -> 150000."""
+    edges = spark.createDataFrame([("a", "b"), ("a", "c")], ["src", "dst"])
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], ["host"])
+    r = {
+        x.host: x.rank_micro
+        for x in linkgraph.pagerank_integer(edges, nodes, iterations=1).collect()
+    }
+    assert r == {"a": 150_000, "b": 575_000, "c": 575_000}
+
+
+def test_bpe_train_hand_computed(spark):
+    """corpus 'ab ab cd': pairs (a,b)x2, (c,d)x1 -> merge 1 = (a,b).
+    After merging, 'ab' words are single symbols; merge 2 = (c,d)."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd")], ["doc_id", "text"]
+    )
+    rules = bpe.bpe_train(docs, merges=2).collect()
+    assert [(r.merge_rank, r.sym_a, r.sym_b, r.pair_count) for r in rules] == [
+        (1, "a", "b", 2),
+        (2, "c", "d", 1),
+    ]
+
+
+def test_bpe_greedy_disjoint_merge(spark):
+    """'abab' has pairs (a,b)x2 (b,a)x1; merge (a,b) must apply greedily
+    left-to-right and disjointly -> symbols (ab)(ab), so round 2's top
+    pair is (ab, ab) — the bracket encoding's whole point."""
+    docs = spark.createDataFrame([(1, "abab abab")], ["doc_id", "text"])
+    rules = bpe.bpe_train(docs, merges=2).collect()
+    assert (rules[0].sym_a, rules[0].sym_b) == ("a", "b")
+    assert (rules[1].sym_a, rules[1].sym_b) == ("ab", "ab")
+
+
+def test_containment_catches_subset_dup(spark):
+    """doc 2's shingle set is a strict subset of doc 1's -> containment
+    1.0 (1000000 ppm) even though Jaccard is only 2/5."""
+    from tree_sitter_codeviews_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    rows = dedup.containment_pairs_exact(docs, n=3, threshold_ppm=900_000).collect()
+    assert [(r.doc_id_a, r.doc_id_b, r.containment_ppm) for r in rows] == [
+        (1, 2, 1_000_000)
+    ]
+    # the Jaccard twin at 0.5 misses exactly this pair
+    j = dedup.jaccard_pairs_exact(docs, n=3, threshold=0.5).collect()
+    assert j == []

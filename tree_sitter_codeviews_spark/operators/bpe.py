@@ -1,0 +1,95 @@
+"""BPE tokenizer-vocabulary induction (Sennrich et al. 2016) as a Spark
+job: learn the top-k merge rules from corpus word frequencies.
+
+The training loop is the textbook shape every BPE/WordPiece trainer uses:
+ONE corpus-wide pass aggregates word frequencies (the only big-data
+stage), after which every merge round operates on the word-frequency
+table — a vocabulary-bounded dim orders of magnitude smaller than the
+corpus. Each round is a distributed pair-count aggregate plus a single
+argmax row collected to the driver (the merge rule — BPE's merge table is
+driver-sized BY DEFINITION, exactly like k-means centroids), then a
+map-side string replace applies the rule.
+
+Symbol encoding is the load-bearing trick for cross-engine exactness:
+words are encoded as bracket-delimited symbol runs — ``batch`` ->
+``(b)(a)(t)(c)(h)`` — so applying merge (a,b) is the plain string replace
+``(a)(b)`` -> ``(ab)``. Adjacent pairs share NO characters (unlike
+space-delimited encodings, where ``a b a b`` replacing ``' a b '``
+consumes the shared space and misses the second pair), so left-to-right
+non-overlapping ``replace`` in Spark and DuckDB both implement exactly
+BPE's greedy disjoint merge: ``(a)(b)(a)(b)`` -> ``(ab)(ab)``,
+``(a)(a)(a)`` -> ``(aa)(a)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_df
+
+
+def _encode(col):
+    """word -> '(c1)(c2)...' bracket-delimited symbol run."""
+    return F.concat(
+        F.lit("("),
+        F.array_join(F.split(col, ""), ")("),
+        F.lit(")"),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol pair counts over the (seq, n) vocab table."""
+    syms = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "\\)\\(")
+    pairs = vocab.select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("sym_a"),
+                    F.element_at(syms, i + 1).alias("sym_b"),
+                ),
+            )
+        ).alias("p"),
+    ).filter(F.size(syms) >= 2)
+    return pairs.groupBy("p.sym_a", "p.sym_b").agg(
+        F.sum("n").alias("pair_count")
+    )
+
+
+def bpe_train(docs: DataFrame, merges: int = 8) -> DataFrame:
+    """Learn the top-``merges`` BPE merge rules; returns (merge_rank,
+    sym_a, sym_b, pair_count).
+
+    Ties break deterministically (count desc, sym_a asc, sym_b asc), so
+    the whole merge sequence is reproducible — the DuckDB oracle unrolls
+    the same rounds and must produce the identical table.
+    """
+    spark = docs.sparkSession
+    counts = tokens_df(docs).groupBy("tok").agg(F.count("*").alias("n"))
+    vocab = counts.select(_encode(F.col("tok")).alias("seq"), "n")
+    # the corpus pass is done; everything below runs on the vocab dim
+    vocab = vocab.localCheckpoint()
+    rules = []
+    for rank in range(1, merges + 1):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("sym_a").asc(),
+                F.col("sym_b").asc(),
+            )
+            .first()
+        )
+        if best is None:
+            break
+        rules.append((rank, best.sym_a, best.sym_b, best.pair_count))
+        pat = f"({best.sym_a})({best.sym_b})"
+        rep = f"({best.sym_a}{best.sym_b})"
+        vocab = vocab.select(
+            F.replace(F.col("seq"), F.lit(pat), F.lit(rep)).alias("seq"), "n"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rules, "merge_rank INT, sym_a STRING, sym_b STRING, pair_count BIGINT"
+    )

@@ -435,3 +435,49 @@ def embedding_near_dups(embs: DataFrame, threshold: float = 0.95) -> DataFrame:
         .filter(F.col("cos_q") >= threshold)
         .select("vec_id_a", "vec_id_b", "cos_q")
     )
+
+
+def containment_pairs_exact(
+    docs: DataFrame, n: int = 3, threshold_ppm: int = 500_000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT over candidate pairs sharing >= 1 shingle:
+    ``containment(A,B) = |A∩B| / min(|A|,|B|)`` in exact integer ppm.
+
+    The asymmetric twin of ``jaccard_pairs_exact`` — the dedup literature's
+    answer to quote/subset duplication (Broder 1997 §2 defines containment
+    alongside resemblance): a short doc fully embedded in a long one has
+    tiny Jaccard (the union is huge) but containment 1.0, so Jaccard-only
+    pipelines systematically miss subset dups. Normalizing by the SMALLER
+    set keeps the measure symmetric in the pair ordering while still
+    catching either direction of embedding.
+
+    Same engine shape and scale story as Jaccard: inverted-index self-join
+    on the shingle key (pair space bounded by ``max_df`` stop-shingle
+    pruning at web scale), one per-pair intersection aggregate, broadcast-
+    size per-doc count dim joins. Integer ppm via ``* 1e6 div`` — no float
+    division, so the gate hash is order-exact."""
+    sh = shingles_df(docs, n)
+    if max_df is not None:
+        sh = prune_stop_shingles(sh, max_df)
+    sh = sh.localCheckpoint()  # 3 consumers, no subplan reuse
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(ca, "doc_id_a").join(cb, "doc_id_b")
+        .withColumn(
+            "containment_ppm",
+            F.expr("inter * 1000000 div least(na, nb)"),
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+        .select("doc_id_a", "doc_id_b", "containment_ppm")
+    )

@@ -2168,3 +2168,105 @@ def stream_url_dedup_sql() -> str:
 WITH {_CRAWL_CANON_CTES}
 SELECT DISTINCT canonical_url FROM canon
 """
+
+
+def dedup_containment_sql(threshold_ppm: int = 500_000) -> str:
+    """Exact containment pairs: |A∩B| * 1e6 // min(|A|,|B|) over the same
+    shared-shingle pair space as the Jaccard oracle."""
+    return f"""
+WITH {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(inter * 1000000 // least(ca.n, cb.n) AS BIGINT) AS containment_ppm
+FROM pairs
+JOIN cnt ca ON doc_id_a = ca.doc_id
+JOIN cnt cb ON doc_id_b = cb.doc_id
+WHERE inter * 1000000 // least(ca.n, cb.n) >= {threshold_ppm}
+"""
+
+
+def domain_rank_sql(iterations: int = 10) -> str:
+    """The 10 power iterations UNROLLED as CTE layers — same integer
+    truncation semantics as linkgraph.pagerank_integer (sum of
+    rank//out_deg per dst, then 150000 + 85*inbound//100), so every
+    iteration is bit-exact across engines."""
+    head = """
+WITH edges AS (
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 7 + 1) % 100) AS dst
+  FROM documents
+  UNION ALL
+  SELECT printf('host%04d.example', (doc_id // 3) % 100),
+         printf('host%04d.example', (doc_id * 13 + 2) % 100)
+  FROM documents
+),
+nodes AS (SELECT printf('host%04d.example', i) AS host
+          FROM (SELECT unnest(generate_series(0, 99)) AS i)),
+deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+ed AS (SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d USING (src)),
+r0 AS (SELECT host AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"""
+    layers = []
+    for k in range(1, iterations + 1):
+        layers.append(f"""
+c{k} AS (
+  SELECT ed.dst AS node, sum(r.rank_micro // ed.out_deg) AS inbound
+  FROM ed JOIN r{k - 1} r ON ed.src = r.node GROUP BY 1
+),
+r{k} AS (
+  SELECT n.host AS node,
+         CAST(150000 + 85 * coalesce(c.inbound, 0) // 100 AS BIGINT)
+           AS rank_micro
+  FROM nodes n LEFT JOIN c{k} c ON n.host = c.node
+)""")
+    return (
+        head + "," + ",".join(layers)
+        + f"\nSELECT node AS host, rank_micro FROM r{iterations}\n"
+    )
+
+
+def bpe_train_sql(merges: int = 8) -> str:
+    """The BPE training rounds UNROLLED: word-frequency table once, then
+    per round a weighted adjacent-pair count, a (count desc, pair asc)
+    argmax, and the bracket-delimited replace — the same greedy disjoint
+    merge semantics as operators/bpe.py (see its encoding note)."""
+    head = """
+WITH wc AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1
+),
+v0 AS (
+  SELECT '(' || array_to_string(string_split(tok, ''), ')(') || ')' AS seq, n
+  FROM wc
+)"""
+    layers = []
+    finals = []
+    for k in range(1, merges + 1):
+        layers.append(f"""
+p{k} AS (
+  SELECT s[i] AS sym_a, s[i + 1] AS sym_b, CAST(sum(n) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(substring(seq, 2, length(seq) - 2), ')(') AS s, n
+        FROM v{k - 1}),
+       unnest(generate_series(1, len(s) - 1)) AS t(i)
+  WHERE len(s) >= 2
+  GROUP BY 1, 2
+),
+b{k} AS (
+  SELECT sym_a, sym_b, pair_count FROM p{k}
+  ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1
+),
+v{k} AS (
+  SELECT replace(v.seq,
+                 '(' || b.sym_a || ')(' || b.sym_b || ')',
+                 '(' || b.sym_a || b.sym_b || ')') AS seq, v.n
+  FROM v{k - 1} v CROSS JOIN b{k} b
+)""")
+        finals.append(
+            f"SELECT CAST({k} AS INT) AS merge_rank, sym_a, sym_b,"
+            f" pair_count FROM b{k}"
+        )
+    return head + "," + ",".join(layers) + "\n" + "\nUNION ALL\n".join(finals)

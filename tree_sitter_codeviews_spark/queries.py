@@ -1455,3 +1455,51 @@ def dedup_stream_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(
         streaming.stream_dedup_canonical_urls(pages), mode="append"
     )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram containment pairs (|A∩B| / min set size, integer ppm)
+    — the asymmetric dedup measure that catches quote/subset duplication
+    Jaccard misses (a short doc embedded in a long one). Same inverted-
+    index + stop-shingle-prunable shape as dedup_jaccard."""
+    from .operators import dedup
+
+    return dedup.containment_pairs_exact(
+        _docs(spark, sf_dir), n=3, threshold_ppm=500_000
+    )
+
+
+def webtext_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the host link graph (the CommonCrawl-style
+    domain-centrality weighting a crawl pipeline prunes/prioritizes by).
+    Fixture: every doc emits two host->host links derived from its id
+    (its crawl host links to two deterministic targets; multi-edges keep
+    their multiplicity, matching the oracle). 10 power iterations in
+    exact micro-unit arithmetic — each is one join + one aggregate; the
+    oracle unrolls the same 10 layers in DuckDB."""
+    from .operators import linkgraph
+
+    docs = _docs(spark, sf_dir)
+    src = F.format_string(
+        "host%04d.example", F.expr("(doc_id div 3) % 100")
+    ).alias("src")
+    e1 = docs.select(src, F.format_string(
+        "host%04d.example", (F.col("doc_id") * 7 + 1) % 100).alias("dst"))
+    e2 = docs.select(src, F.format_string(
+        "host%04d.example", (F.col("doc_id") * 13 + 2) % 100).alias("dst"))
+    nodes = spark.range(100).select(
+        F.format_string("host%04d.example", F.col("id")).alias("host")
+    )
+    return linkgraph.pagerank_integer(e1.unionAll(e2), nodes, iterations=10)
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-vocabulary induction: the top-8 merge rules learned
+    from corpus word frequencies (Sennrich et al. 2016). One corpus pass
+    (word counts), then vocabulary-dim rounds: distributed pair-count
+    aggregate + single argmax row per round (the merge table is driver-
+    sized by definition, like k-means centroids). The rank-8 rule merges
+    a multi-char symbol — the rounds genuinely compound."""
+    from .operators import bpe
+
+    return bpe.bpe_train(_docs(spark, sf_dir), merges=8)
