@@ -74,6 +74,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q.dedup_containment,    # subset/quote-dup containment pairs (r4)
         "webtext_domain_rank": q.webtext_domain_rank,  # integer PageRank over the host link graph (r4)
         "text_bpe_train": q.text_bpe_train,          # BPE merge-rule induction (r4)
+        "webtext_outlinks": q.webtext_outlinks,      # outlink + anchor-text extraction (r4)
+        "webtext_hits": q.webtext_hits,              # integer HITS hub/authority scores (r4)
+        "webtext_snapshot_diff": q.webtext_snapshot_diff,  # crawl snapshot diff rollup (r4)
+        "text_dup_ngrams": q.text_dup_ngrams,        # ExactSubstr-style duplicated-ngram fraction (r4)
         # --- changed code paths this round -------------------------------
         "sql_event_windows": _sql_event_windows,  # sum quantized to integer micros (r4)
         "train_set": q.train_set,                 # decontamination leg checkpointed (r4)
@@ -220,6 +224,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": oracle.dedup_containment_sql(),
         "webtext_domain_rank": oracle.domain_rank_sql(),
         "text_bpe_train": oracle.bpe_train_sql(),
+        "webtext_outlinks": oracle.outlinks_sql(),
+        "webtext_hits": oracle.hits_sql(),
+        "webtext_snapshot_diff": oracle.snapshot_diff_sql(),
+        "text_dup_ngrams": oracle.dup_ngrams_sql(),
         "geo_entities_typed": oracle.entities_typed_sql(),
         "events_stream_windows": oracle.events_stream_windows_sql(),
         "events_stream_sessions": oracle.events_stream_sessions_sql(),

@@ -123,3 +123,94 @@ def test_robots_filter_prefix_semantics_and_plan(spark):
     # test as residual — a nested-loop over the corpus would not scale
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
+
+
+def test_outlink_extract_resolution_and_anchor_strip(spark):
+    html = (
+        '<html><body>'
+        '<a href="https://x.example/a">first <b>bold</b>  link</a>'
+        '<a href="/rel/path">rel</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="#frag">frag</a>'
+        '<a href="mailto:a@b.c">mail</a>'
+        '</body></html>'
+    )
+    rows = (
+        webtext.outlink_extract(
+            spark.createDataFrame(
+                [(1, "https://host.example/page", html)],
+                ["doc_id", "url", "html"],
+            )
+        )
+        .orderBy("link_idx")
+        .collect()
+    )
+    # javascript:, fragment and mailto: hrefs are dropped; indices keep
+    # their pre-filter element positions (stable provenance)
+    assert [(r.link_idx, r.dst_url, r.anchor_text) for r in rows] == [
+        (0, "https://x.example/a", "first bold link"),
+        (1, "https://host.example/rel/path", "rel"),
+    ]
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2"), ("u3", "h3")], ["url", "fp"]
+    )
+    new = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "HX"), ("u4", "h4")], ["url", "fp"]
+    )
+    got = {
+        r.url: r.status
+        for r in webtext.snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        "u1": "unchanged", "u2": "changed", "u3": "removed", "u4": "added"
+    }
+
+
+def test_dup_ngram_stats_hand_corpus(spark):
+    from tree_sitter_codeviews_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: 3 positional 3-grams; 'a b c' repeated (multiplicity 2)
+            (1, "a b c a b c"),          # grams: abc bca cab abc
+            (2, "a b c x y z"),          # grams: abc bcx cxy xyz
+            (3, "p q r s"),              # grams: pqr qrs (unique)
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.total_ngrams, r.dup_ngrams, r.dup_ppm)
+        for r in dedup.dup_ngram_stats(docs, n=3).collect()
+    }
+    # 'a b c' is the only cross-doc gram: doc1 has it twice (both positions
+    # count — multiplicity preserved), doc2 once, doc3 untouched.
+    assert got[1] == (4, 2, 500_000)
+    assert got[2] == (4, 1, 250_000)
+    assert got[3] == (2, 0, 0)
+
+
+def test_hits_integer_star_graph(spark):
+    """Hand graph: hub h0 points at a1,a2; h1 points at a1. a1 is the top
+    authority (2 inbound hubs), h0 the top hub (points at both
+    authorities). Max-normalized scores hit exactly 1e6 at the argmax."""
+    from tree_sitter_codeviews_spark.operators import linkgraph
+
+    edges = spark.createDataFrame(
+        [("h0", "a1"), ("h0", "a2"), ("h1", "a1")], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame(
+        [("h0",), ("h1",), ("a1",), ("a2",)], ["host"]
+    )
+    got = {
+        r.host: (r.hub_micro, r.auth_micro)
+        for r in linkgraph.hits_integer(edges, nodes, iterations=3).collect()
+    }
+    assert got["h0"][0] == 1_000_000          # best hub
+    assert got["a1"][1] == 1_000_000          # best authority
+    assert got["h1"][0] < got["h0"][0]        # fewer outlinks -> lower hub
+    assert got["a2"][1] < got["a1"][1]        # fewer in-hubs -> lower auth
+    assert got["a1"][0] == 0 and got["a2"][0] == 0    # pure authorities
+    assert got["h0"][1] == 0 and got["h1"][1] == 0    # pure hubs

@@ -481,3 +481,60 @@ def containment_pairs_exact(
         .filter(F.col("containment_ppm") >= threshold_ppm)
         .select("doc_id_a", "doc_id_b", "containment_ppm")
     )
+
+
+def dup_ngram_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the ExactSubstr-style
+    signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") that pairwise dedup cannot express: what share of a
+    doc's TEXT (n-gram token positions, multiplicity included) also occurs
+    verbatim in some OTHER document. Corpora threshold/crop on this where
+    whole-doc Jaccard would either keep heavily-quoted text or drop docs
+    for one shared boilerplate line.
+
+    Engine shape (the suffix-array of the paper re-expressed relationally,
+    the way a Spark pipeline would actually run it):
+      1. positional n-gram counts per doc — ``(doc_id, shingle, cnt)``,
+         one aggregate on the compound key (same exchange family as every
+         shingle op here);
+      2. shingle document-frequency — each row of (1) IS one distinct doc,
+         so ``df = count(*)`` per shingle: one aggregate, no distinct;
+      3. join df back on the shingle key (standard inverted-index
+         equi-join; at web scale hot shingles are exactly the stop-shingle
+         set ``jaccard_pairs_exact`` already bounds with ``max_df`` —
+         here they stay one aggregate row each, no pair explosion ever);
+      4. per-doc rollup: dup positions = sum(cnt) where df >= 2.
+
+    Integer ppm (``* 1e6 div``), no float division. Returns
+    (doc_id, total_ngrams, dup_ngrams, dup_ppm)."""
+    from pyspark.sql import Window
+
+    toks = tokens_df(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    pos_sh = (
+        toks.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"),
+                    F.lead("tok", n - 1).over(w).alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .drop("_t")
+    )
+    per_doc = pos_sh.groupBy("doc_id", "shingle").agg(
+        F.count("*").alias("cnt")
+    )
+    df_tbl = per_doc.groupBy("shingle").agg(F.count("*").alias("df"))
+    joined = per_doc.join(df_tbl, "shingle")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("total_ngrams"),
+            F.sum(F.when(F.col("df") >= 2, F.col("cnt")).otherwise(0)).alias(
+                "dup_ngrams"
+            ),
+        )
+        .select(
+            "doc_id",
+            "total_ngrams",
+            "dup_ngrams",
+            F.expr("dup_ngrams * 1000000 div total_ngrams").alias("dup_ppm"),
+        )
+    )

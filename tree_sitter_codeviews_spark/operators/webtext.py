@@ -194,3 +194,103 @@ def robots_filter(
         canon["path"].startswith(r["path_prefix"])
     )
     return canon.join(r, cond, "left_anti")
+
+
+def outlink_extract(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    with_src_host: bool = False,
+) -> DataFrame:
+    """Outlink + anchor-text extraction: the web-graph edge source every
+    crawl pipeline derives (CommonCrawl publishes exactly this as its
+    host/domain graph inputs; anchor text is a classic relevance signal).
+
+    Per page: pull every ``<a ... href="...">...</a>`` element with
+    ``regexp_extract_all``, posexplode for a stable in-page link index,
+    then per element extract the href and the TAG-STRIPPED, whitespace-
+    collapsed anchor text (nested ``<b>``/``<i>`` markup inside anchors is
+    common and must not leak into the signal). Link resolution follows the
+    deterministic subset of RFC 3986 a text pipeline needs: absolute
+    http(s) hrefs pass through, root-relative ``/path`` hrefs resolve
+    against the page's scheme+host, everything else (fragments,
+    javascript:, mailto:, protocol-relative) is dropped.
+
+    All patterns are lazy-span regexes valid identically under
+    java.util.regex and RE2 (no lookaround) — the same engine-parity
+    discipline as ``html_extract``. Returns (doc_id, link_idx, dst_url,
+    anchor_text), plus a leading ``src_host`` column when ``with_src_host``
+    (for host-graph aggregation — carried through the explode so callers
+    never re-join the page table). Pure per-row map work: explode fan-out
+    is bounded by links-per-page; no shuffle, fused with the scan."""
+    base = F.regexp_extract(F.col(url_col), "^https?://[^/]+", 0)
+    elems = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit('(?s)<a [^>]*href="[^"]*"[^>]*>.*?</a>'),
+        F.lit(0),
+    )
+    ex = pages.select(
+        "doc_id",
+        base.alias("base"),
+        F.posexplode(elems).alias("link_idx", "elem"),
+    )
+    href = F.regexp_extract(F.col("elem"), 'href="([^"]*)"', 1)
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_extract(F.col("elem"), "(?s)>(.*?)</a>", 1),
+                "<[^>]+>",
+                " ",
+            ),
+            "\\s+",
+            " ",
+        )
+    )
+    resolved = (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.startswith("/"), F.concat(F.col("base"), href))
+        .otherwise(F.lit(None))
+    )
+    src_cols = (
+        [F.regexp_replace(F.col("base"), "^https?://", "").alias("src_host")]
+        if with_src_host
+        else []
+    )
+    return (
+        ex.select(
+            *src_cols,
+            "doc_id",
+            "link_idx",
+            resolved.alias("dst_url"),
+            anchor.alias("anchor_text"),
+        )
+        .filter(F.col("dst_url").isNotNull())
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str = "url", fp_col: str = "fp"
+) -> DataFrame:
+    """Crawl snapshot diffing: classify every URL across two crawl
+    snapshots as added / removed / changed / unchanged — the re-crawl
+    scheduling + incremental-corpus primitive (only 'added'+'changed'
+    pages need re-extraction; 'removed' pages need tombstoning in the
+    training corpus).
+
+    One full-outer shuffle join on the page key, then a pure map-side
+    CASE over fingerprint presence/equality. At 100 TB both sides are
+    url-keyed page tables of the same corpus — the join keys are unique
+    per side (canonical urls), so there is no fan-out and no skew funnel;
+    AQE handles residual partition imbalance. Returns
+    (key, status, old_fp, new_fp)."""
+    o = old.select(F.col(key).alias("k"), F.col(fp_col).alias("old_fp"))
+    n = new.select(F.col(key).alias("k"), F.col(fp_col).alias("new_fp"))
+    st = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "k", "full_outer").select(
+        F.col("k").alias(key), st.alias("status"), "old_fp", "new_fp"
+    )

@@ -2270,3 +2270,157 @@ v{k} AS (
             f" pair_count FROM b{k}"
         )
     return head + "," + ",".join(layers) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def outlinks_sql() -> str:
+    """Independent rebuild of the linked-page fixture AND the outlink
+    extraction (element pull, href/anchor parse, RFC-3986-subset
+    resolution) in DuckDB/RE2 — same lazy-span patterns as the engine,
+    list indexing + range() for the stable in-page link index."""
+    return r"""
+WITH page AS (
+  SELECT doc_id,
+    printf('https://host%04d.example/page/%d', (doc_id // 3) % 100, doc_id)
+      AS url,
+    printf('<html><body><p>%s</p><a href="https://host%04d.example/doc/%d">read <b>more</b> %d</a> <a class="nav" href="/page/%d?ref=1">next page</a> <a href="javascript:void(0)">noop</a><a href="#top">top</a></body></html>',
+      text, (doc_id * 7 + 3) % 100, doc_id % 50, doc_id % 10, doc_id % 20)
+      AS html
+  FROM documents
+),
+el AS (
+  SELECT doc_id,
+         regexp_extract(url, '^https?://[^/]+') AS base,
+         regexp_extract_all(html,
+           '(?s)<a [^>]*href="[^"]*"[^>]*>.*?</a>') AS a
+  FROM page
+),
+ex AS (
+  SELECT doc_id, base, i AS link_idx, a[i + 1] AS elem
+  FROM el, unnest(range(len(a))) AS t(i)
+),
+parsed AS (
+  SELECT doc_id, link_idx, base,
+    regexp_extract(elem, 'href="([^"]*)"', 1) AS href,
+    trim(regexp_replace(regexp_replace(
+      regexp_extract(elem, '(?s)>(.*?)</a>', 1),
+      '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS anchor_text
+  FROM ex
+)
+SELECT doc_id, CAST(link_idx AS INT) AS link_idx,
+       CASE WHEN regexp_matches(href, '^https?://') THEN href
+            WHEN href LIKE '/%' THEN base || href END AS dst_url,
+       anchor_text
+FROM parsed
+WHERE regexp_matches(href, '^https?://') OR href LIKE '/%'
+"""
+
+
+def hits_sql(iterations: int = 5) -> str:
+    """The HITS power iterations UNROLLED — per iteration one auth layer
+    (sum of hub over in-edges, renormalized to max=1e6 with integer
+    truncation) and one hub layer (sum of the NEW auth over out-edges,
+    same renorm), bit-exact vs linkgraph.hits_integer.
+
+    Every layer CTE is MATERIALIZED: each is referenced twice (the max
+    aggregate and the renorm join), and DuckDB's default CTE inlining
+    duplicates the subtree per reference — ~4^k planning blowup that
+    hangs at k=5 (the same double-consumption that forces the engine's
+    per-iteration localCheckpoint). Materialization keeps both engines
+    linear in k."""
+    head = """
+WITH edges AS (
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 7 + 1) % 100) AS dst
+  FROM documents
+  UNION ALL
+  SELECT printf('host%04d.example', (doc_id // 3) % 100),
+         printf('host%04d.example', (doc_id * 13 + 2) % 100)
+  FROM documents
+),
+nodes AS (SELECT printf('host%04d.example', i) AS host
+          FROM (SELECT unnest(generate_series(0, 99)) AS i)),
+h0 AS (SELECT host AS node, CAST(1000000 AS BIGINT) AS hub FROM nodes)"""
+    layers = []
+    for k in range(1, iterations + 1):
+        layers.append(f"""
+ar{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub) AS raw
+  FROM edges e JOIN h{k - 1} h ON e.src = h.node GROUP BY 1
+),
+am{k} AS MATERIALIZED (SELECT max(raw) AS mx FROM ar{k}),
+a{k} AS MATERIALIZED (
+  SELECT n.host AS node,
+         CAST(coalesce(r.raw, 0) * 1000000 // m.mx AS BIGINT) AS auth
+  FROM nodes n LEFT JOIN ar{k} r ON n.host = r.node CROSS JOIN am{k} m
+),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth) AS raw
+  FROM edges e JOIN a{k} a ON e.dst = a.node GROUP BY 1
+),
+hm{k} AS MATERIALIZED (SELECT max(raw) AS mx FROM hr{k}),
+h{k} AS MATERIALIZED (
+  SELECT n.host AS node,
+         CAST(coalesce(r.raw, 0) * 1000000 // m.mx AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN hr{k} r ON n.host = r.node CROSS JOIN hm{k} m
+)""")
+    return (
+        head + "," + ",".join(layers)
+        + f"""
+SELECT h.node AS host, h.hub AS hub_micro, a.auth AS auth_micro
+FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node
+"""
+    )
+
+
+def snapshot_diff_sql() -> str:
+    """Independent rebuild of both crawl snapshots + the full-outer
+    classification + the host rollup."""
+    return """
+WITH u AS (
+  SELECT doc_id,
+    printf('https://host%04d.example/page/%d', (doc_id // 3) % 100, doc_id)
+      AS url,
+    text
+  FROM documents
+),
+olds AS (SELECT url, md5(text) AS old_fp FROM u WHERE doc_id % 10 != 7),
+news AS (
+  SELECT url,
+         CASE WHEN doc_id % 5 = 0 THEN md5(text || ' v2')
+              ELSE md5(text) END AS new_fp
+  FROM u WHERE doc_id % 10 != 3
+),
+d AS (
+  SELECT coalesce(olds.url, news.url) AS url,
+    CASE WHEN old_fp IS NULL THEN 'added'
+         WHEN new_fp IS NULL THEN 'removed'
+         WHEN old_fp = new_fp THEN 'unchanged'
+         ELSE 'changed' END AS status
+  FROM olds FULL OUTER JOIN news ON olds.url = news.url
+)
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, status,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM d GROUP BY 1, 2
+"""
+
+
+def dup_ngrams_sql() -> str:
+    """Positional (multiplicity-preserving) 3-gram counts, shingle
+    document frequency, per-doc duplicated share in integer ppm."""
+    return """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ps AS (
+  SELECT doc_id, w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+  FROM toks, unnest(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+pd AS (SELECT doc_id, shingle, count(*) AS cnt FROM ps GROUP BY 1, 2),
+dfq AS (SELECT shingle, count(*) AS df FROM pd GROUP BY 1)
+SELECT doc_id,
+  CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+  CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_ngrams,
+  CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) * 1000000 // sum(cnt)
+    AS BIGINT) AS dup_ppm
+FROM pd JOIN dfq USING (shingle)
+GROUP BY 1
+"""

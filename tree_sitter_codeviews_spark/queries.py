@@ -1503,3 +1503,98 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import bpe
 
     return bpe.bpe_train(_docs(spark, sf_dir), merges=8)
+
+
+def _linked_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic HTML fixture with outlinks: each page carries one
+    absolute anchor (with nested <b> markup in the anchor text), one
+    root-relative anchor, and two droppable hrefs (javascript:, fragment).
+    Mirrored independently by ``oracle.outlinks_sql``."""
+    html = F.format_string(
+        '<html><body><p>%s</p>'
+        '<a href="https://host%04d.example/doc/%d">read <b>more</b> %d</a> '
+        '<a class="nav" href="/page/%d?ref=1">next page</a> '
+        '<a href="javascript:void(0)">noop</a>'
+        '<a href="#top">top</a></body></html>',
+        F.col("text"), (F.col("doc_id") * 7 + 3) % 100,
+        F.col("doc_id") % 50, F.col("doc_id") % 10, F.col("doc_id") % 20,
+    )
+    url = F.format_string(
+        "https://host%04d.example/page/%d",
+        F.expr("(doc_id div 3) % 100"), F.col("doc_id"),
+    )
+    return docs.select("doc_id", url.alias("url"), html.alias("html"))
+
+
+def webtext_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink + anchor-text extraction over the linked-page fixture: the
+    web-graph edge source (CommonCrawl host/domain-graph shape). Absolute
+    hrefs pass through, root-relative resolve against the page host,
+    javascript:/fragment links drop; anchor text is tag-stripped. Pure
+    per-row regexp work — zero shuffle."""
+    from .operators import webtext
+
+    return webtext.outlink_extract(_linked_pages(_docs(spark, sf_dir)))
+
+
+def webtext_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HITS hub/authority scores over the same host link graph as
+    webtext_domain_rank (PageRank prunes globally; HITS separates hub
+    quality from authority quality for crawl seed selection). 5 power
+    iterations, L-infinity renormalization in exact micro-units; the
+    oracle unrolls the same 10 join+aggregate layers in DuckDB."""
+    from .operators import linkgraph
+
+    docs = _docs(spark, sf_dir)
+    src = F.format_string(
+        "host%04d.example", F.expr("(doc_id div 3) % 100")
+    ).alias("src")
+    e1 = docs.select(src, F.format_string(
+        "host%04d.example", (F.col("doc_id") * 7 + 1) % 100).alias("dst"))
+    e2 = docs.select(src, F.format_string(
+        "host%04d.example", (F.col("doc_id") * 13 + 2) % 100).alias("dst"))
+    nodes = spark.range(100).select(
+        F.format_string("host%04d.example", F.col("id")).alias("host")
+    )
+    return linkgraph.hits_integer(e1.unionAll(e2), nodes, iterations=5)
+
+
+def webtext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diffing rolled up per host: snapshot A drops
+    doc_id%10==7 (those become 'added' in B), snapshot B drops
+    doc_id%10==3 ('removed') and rewrites content for doc_id%5==0
+    ('changed'); everything else is 'unchanged'. One full-outer join on
+    the unique page URL + one host-level aggregate — the incremental
+    re-crawl planning query (only added+changed need re-extraction)."""
+    from .operators import webtext
+
+    docs = _docs(spark, sf_dir)
+    url = F.format_string(
+        "https://host%04d.example/page/%d",
+        F.expr("(doc_id div 3) % 100"), F.col("doc_id"),
+    )
+    old = docs.filter(F.col("doc_id") % 10 != 7).select(
+        url.alias("url"), F.md5("text").alias("fp")
+    )
+    new_fp = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.md5(F.concat(F.col("text"), F.lit(" v2"))),
+    ).otherwise(F.md5("text"))
+    new = docs.filter(F.col("doc_id") % 10 != 3).select(
+        url.alias("url"), new_fp.alias("fp")
+    )
+    diff = webtext.snapshot_diff(old, new)
+    return diff.groupBy(
+        F.regexp_extract("url", "^https?://([^/]+)", 1).alias("host"),
+        "status",
+    ).agg(F.count("*").alias("n_urls"))
+
+
+def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-3-gram fraction (ExactSubstr-style cross-doc
+    verbatim-overlap signal, Lee et al. 2022) in exact integer ppm —
+    positional counts, shingle document frequency, one inverted-index
+    join, one doc rollup."""
+    from .operators import dedup
+
+    return dedup.dup_ngram_stats(_docs(spark, sf_dir), n=3)
