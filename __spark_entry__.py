@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_hits": q.webtext_hits,              # integer HITS hub/authority scores (r4)
         "webtext_snapshot_diff": q.webtext_snapshot_diff,  # crawl snapshot diff rollup (r4)
         "text_dup_ngrams": q.text_dup_ngrams,        # ExactSubstr-style duplicated-ngram fraction (r4)
+        "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4)
+        "webtext_anchor_index": q.webtext_anchor_index,  # per-target anchor-text index (r4)
         # --- changed code paths this round -------------------------------
         "sql_event_windows": _sql_event_windows,  # sum quantized to integer micros (r4)
         "train_set": q.train_set,                 # decontamination leg checkpointed (r4)
@@ -228,6 +230,8 @@ def oracle_sql() -> dict[str, str]:
         "webtext_hits": oracle.hits_sql(),
         "webtext_snapshot_diff": oracle.snapshot_diff_sql(),
         "text_dup_ngrams": oracle.dup_ngrams_sql(),
+        "webtext_host_graph": oracle.host_graph_sql(),
+        "webtext_anchor_index": oracle.anchor_index_sql(),
         "geo_entities_typed": oracle.entities_typed_sql(),
         "events_stream_windows": oracle.events_stream_windows_sql(),
         "events_stream_sessions": oracle.events_stream_sessions_sql(),

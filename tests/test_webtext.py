@@ -214,3 +214,39 @@ def test_hits_integer_star_graph(spark):
     assert got["a2"][1] < got["a1"][1]        # fewer in-hubs -> lower auth
     assert got["a1"][0] == 0 and got["a2"][0] == 0    # pure authorities
     assert got["h0"][1] == 0 and got["h1"][1] == 0    # pure hubs
+
+
+def test_host_graph_drops_intra_host_edges(spark):
+    from tree_sitter_codeviews_spark.operators import linkgraph
+
+    links = spark.createDataFrame(
+        [
+            ("a.example", "https://b.example/x"),
+            ("a.example", "https://b.example/y"),
+            ("a.example", "https://a.example/nav"),   # intra-host: dropped
+            ("b.example", "https://a.example/z"),
+        ],
+        ["src_host", "dst_url"],
+    )
+    got = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in linkgraph.host_graph(links).collect()
+    }
+    assert got == {("a.example", "b.example"): 2, ("b.example", "a.example"): 1}
+    kept = linkgraph.host_graph(links, keep_self=True).count()
+    assert kept == 3
+
+
+def test_anchor_text_index_modal_tie_break(spark):
+    links = spark.createDataFrame(
+        [
+            ("u", "zeta"), ("u", "zeta"),          # cnt 2
+            ("u", "alpha"), ("u", "alpha"),        # cnt 2 -> wins tie (lex)
+            ("u", "beta"),                          # cnt 1
+        ],
+        ["dst_url", "anchor_text"],
+    )
+    row = webtext.anchor_text_index(links).first()
+    assert (row.n_links, row.n_anchors) == (5, 3)
+    assert row.top_anchor == "alpha"
+    assert row.top_anchor_links == 2

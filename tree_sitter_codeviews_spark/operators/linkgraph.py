@@ -150,3 +150,34 @@ def hits_integer(
         hubs.join(auths, "node")
         .select(F.col("node").alias("host"), "hub_micro", "auth_micro")
     )
+
+
+def host_graph(
+    links: DataFrame,
+    src_col: str = "src_host",
+    dst_url_col: str = "dst_url",
+    keep_self: bool = False,
+) -> DataFrame:
+    """Aggregate page-level outlinks into the weighted host->host graph —
+    the CommonCrawl host/domain-graph product (what ``pagerank_integer``
+    and ``hits_integer`` consume): (src_host, dst_host, n_links).
+
+    Intra-host edges are dropped by default (site navigation dominates
+    raw link counts and carries no cross-site endorsement — the standard
+    domain-graph convention); ``keep_self`` retains them.
+
+    Scale shape: one map-side host projection off the link table, one
+    aggregate keyed by (src_host, dst_host) — the host-pair dim, orders
+    smaller than the page-level link table (partial aggregation collapses
+    per-partition duplicates before the shuffle). No window, no join."""
+    e = links.select(
+        F.col(src_col).alias("src_host"),
+        F.regexp_extract(F.col(dst_url_col), "^https?://([^/]+)", 1).alias(
+            "dst_host"
+        ),
+    )
+    if not keep_self:
+        e = e.filter(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links")
+    )

@@ -294,3 +294,36 @@ def snapshot_diff(
     return o.join(n, "k", "full_outer").select(
         F.col("k").alias(key), st.alias("status"), "old_fp", "new_fp"
     )
+
+
+def anchor_text_index(
+    links: DataFrame,
+    dst_col: str = "dst_url",
+    anchor_col: str = "anchor_text",
+) -> DataFrame:
+    """Anchor-text aggregation per link target — the classic anchor index
+    (how OTHER pages describe a URL: a relevance/description signal search
+    and corpus-labeling pipelines both consume): per dst_url the inbound
+    link count, distinct anchor phrasings, and the modal anchor with a
+    deterministic tie-break (highest count, then lexicographically
+    smallest — ``min_by`` over the (-count, anchor) struct, so the gate
+    hash is order-exact; the modal anchor's count is then just
+    ``max(count)``).
+
+    Two stacked aggregates: (dst, anchor) counts, then the dst rollup —
+    both partial-aggregate-friendly, no window over the link table, no
+    join. At crawl scale the hot keys are mega-linked URLs; they collapse
+    to one row per distinct anchor in pass 1, bounding pass-2 fan-in by
+    anchor vocabulary, not inbound degree."""
+    per = links.groupBy(
+        F.col(dst_col).alias("dst_url"),
+        F.col(anchor_col).alias("anchor_text"),
+    ).agg(F.count("*").alias("cnt"))
+    return per.groupBy("dst_url").agg(
+        F.sum("cnt").alias("n_links"),
+        F.count("*").alias("n_anchors"),
+        F.expr(
+            "min_by(anchor_text, struct(-cnt, anchor_text))"
+        ).alias("top_anchor"),
+        F.max("cnt").alias("top_anchor_links"),
+    )

@@ -2272,13 +2272,13 @@ v{k} AS (
     return head + "," + ",".join(layers) + "\n" + "\nUNION ALL\n".join(finals)
 
 
-def outlinks_sql() -> str:
-    """Independent rebuild of the linked-page fixture AND the outlink
-    extraction (element pull, href/anchor parse, RFC-3986-subset
-    resolution) in DuckDB/RE2 — same lazy-span patterns as the engine,
-    list indexing + range() for the stable in-page link index."""
-    return r"""
-WITH page AS (
+# the linked-page fixture + the outlink extraction (element pull,
+# href/anchor parse, RFC-3986-subset resolution) in DuckDB/RE2 — same
+# lazy-span patterns as the engine, list indexing + range() for the
+# stable in-page link index. Ends with CTE
+# `links(doc_id, link_idx, src_host, dst_url, anchor_text)`.
+_OUTLINKS_CTES = r"""
+page AS (
   SELECT doc_id,
     printf('https://host%04d.example/page/%d', (doc_id // 3) % 100, doc_id)
       AS url,
@@ -2305,13 +2305,67 @@ parsed AS (
       regexp_extract(elem, '(?s)>(.*?)</a>', 1),
       '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS anchor_text
   FROM ex
+),
+links AS (
+  SELECT doc_id, CAST(link_idx AS INT) AS link_idx,
+         regexp_replace(base, '^https?://', '') AS src_host,
+         CASE WHEN regexp_matches(href, '^https?://') THEN href
+              WHEN href LIKE '/%' THEN base || href END AS dst_url,
+         anchor_text
+  FROM parsed
+  WHERE regexp_matches(href, '^https?://') OR href LIKE '/%'
+)"""
+
+
+def outlinks_sql() -> str:
+    """Outlink rows off the shared CTE block (see _OUTLINKS_CTES)."""
+    return f"""
+WITH {_OUTLINKS_CTES}
+SELECT doc_id, link_idx, dst_url, anchor_text FROM links
+"""
+
+
+def host_graph_sql() -> str:
+    """Weighted host->host edges off the shared outlink CTEs; intra-host
+    edges excluded (the domain-graph convention the engine defaults to)."""
+    return f"""
+WITH {_OUTLINKS_CTES}
+SELECT src_host,
+       regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM links
+WHERE src_host != regexp_extract(dst_url, '^https?://([^/]+)', 1)
+GROUP BY 1, 2
+"""
+
+
+def anchor_index_sql() -> str:
+    """Per-target anchor aggregation: inbound link count, distinct anchor
+    phrasings, and the modal anchor under the (count desc, anchor asc)
+    tie-break — a row_number window, the independent formulation of the
+    engine's min_by-over-(-cnt, anchor) struct ordering."""
+    return f"""
+WITH {_OUTLINKS_CTES},
+per AS (
+  SELECT dst_url, anchor_text, count(*) AS cnt
+  FROM links GROUP BY 1, 2
+),
+ranked AS (
+  SELECT dst_url, anchor_text, cnt,
+         row_number() OVER (PARTITION BY dst_url
+                            ORDER BY cnt DESC, anchor_text) AS rn
+  FROM per
+),
+agg AS (
+  SELECT dst_url,
+         CAST(sum(cnt) AS BIGINT) AS n_links,
+         CAST(count(*) AS BIGINT) AS n_anchors,
+         CAST(max(cnt) AS BIGINT) AS top_anchor_links
+  FROM per GROUP BY 1
 )
-SELECT doc_id, CAST(link_idx AS INT) AS link_idx,
-       CASE WHEN regexp_matches(href, '^https?://') THEN href
-            WHEN href LIKE '/%' THEN base || href END AS dst_url,
-       anchor_text
-FROM parsed
-WHERE regexp_matches(href, '^https?://') OR href LIKE '/%'
+SELECT a.dst_url, a.n_links, a.n_anchors,
+       r.anchor_text AS top_anchor, a.top_anchor_links
+FROM agg a JOIN ranked r ON a.dst_url = r.dst_url AND r.rn = 1
 """
 
 

@@ -1598,3 +1598,27 @@ def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
     return dedup.dup_ngram_stats(_docs(spark, sf_dir), n=3)
+
+
+def webtext_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted host->host link graph aggregated from page-level outlinks
+    (the CommonCrawl domain-graph product the centrality queries consume);
+    intra-host navigation edges dropped. Extraction is shuffle-free; the
+    host-pair aggregate is the only exchange."""
+    from .operators import linkgraph, webtext
+
+    links = webtext.outlink_extract(
+        _linked_pages(_docs(spark, sf_dir)), with_src_host=True
+    )
+    return linkgraph.host_graph(links)
+
+
+def webtext_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index per link target: inbound links, distinct anchor
+    phrasings, modal anchor with deterministic (count desc, anchor asc)
+    tie-break. Two stacked partial-aggregate-friendly groupBys — hot
+    mega-linked URLs collapse in pass 1."""
+    from .operators import webtext
+
+    links = webtext.outlink_extract(_linked_pages(_docs(spark, sf_dir)))
+    return webtext.anchor_text_index(links)
