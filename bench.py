@@ -82,6 +82,12 @@ HEADLINE = [
     "dedup_containment",      # subset/quote-dup containment pairs
     "webtext_domain_rank",    # integer PageRank over the host link graph
     "text_bpe_train",         # BPE merge-rule induction
+    "webtext_outlinks",       # outlink + anchor-text extraction (scan-bound)
+    "webtext_hits",           # integer HITS hub/authority iterations
+    "webtext_snapshot_diff",  # full-outer snapshot classification + host rollup
+    "text_dup_ngrams",        # duplicated-ngram fraction (positional shingle df)
+    "webtext_host_graph",     # host->host domain-graph aggregation
+    "webtext_anchor_index",   # per-target modal-anchor aggregation
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -145,6 +151,17 @@ SCALE2 = [
     # dedup_containment is excluded for the same distribution-bound pair-
     # space reason as dedup_jaccard (identical-replica text squares pairs).
     "webtext_domain_rank", "text_bpe_train",
+    # r4 wave 2: outlinks/host_graph/anchor_index are per-row extraction +
+    # dim-keyed aggregates (linear); hits' rank table is host-bounded and
+    # replication multiplies raw sums uniformly before the max-renorm
+    # (identical scores, same per-iteration cost shape); snapshot_diff is
+    # a unique-url-keyed full-outer join (linear). text_dup_ngrams is
+    # cost-faithful but semantics-shifted under identical-replica text
+    # (every shingle's df multiplies by REPL2 so dup_ppm saturates at 1e6;
+    # the positional-count + df-join aggregates it measures stay linear —
+    # same caveat class as text_boilerplate_strip above).
+    "webtext_outlinks", "webtext_hits", "webtext_snapshot_diff",
+    "webtext_host_graph", "webtext_anchor_index", "text_dup_ngrams",
 ]
 
 
