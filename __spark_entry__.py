@@ -80,6 +80,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_ngrams": q.text_dup_ngrams,        # ExactSubstr-style duplicated-ngram fraction (r4)
         "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4)
         "webtext_anchor_index": q.webtext_anchor_index,  # per-target anchor-text index (r4)
+        "webtext_inverted_index": q.webtext_inverted_index,  # token->postings index build (r4)
+        "webtext_tfidf_topk": q.webtext_tfidf_topk,  # integer tf-idf top terms per doc (r4)
+        "webtext_crawl_schedule": q.webtext_crawl_schedule,  # politeness frontier scheduling (r4)
+        "webtext_recrawl_priority": q.webtext_recrawl_priority,  # change-rate recrawl model (r4)
+        "webtext_host_templates": q.webtext_host_templates,  # host-scoped template detection (r4)
+        "webtext_geo_hosts": q.webtext_geo_hosts,  # geo cell rollup of the crawl (r4)
         # --- changed code paths this round -------------------------------
         "sql_event_windows": _sql_event_windows,  # sum quantized to integer micros (r4)
         "train_set": q.train_set,                 # decontamination leg checkpointed (r4)
@@ -232,6 +238,12 @@ def oracle_sql() -> dict[str, str]:
         "text_dup_ngrams": oracle.dup_ngrams_sql(),
         "webtext_host_graph": oracle.host_graph_sql(),
         "webtext_anchor_index": oracle.anchor_index_sql(),
+        "webtext_inverted_index": oracle.inverted_index_sql(),
+        "webtext_tfidf_topk": oracle.tfidf_topk_sql(),
+        "webtext_crawl_schedule": oracle.crawl_schedule_sql(),
+        "webtext_recrawl_priority": oracle.recrawl_priority_sql(),
+        "webtext_host_templates": oracle.host_templates_sql(),
+        "webtext_geo_hosts": oracle.geo_hosts_sql(),
         "geo_entities_typed": oracle.entities_typed_sql(),
         "events_stream_windows": oracle.events_stream_windows_sql(),
         "events_stream_sessions": oracle.events_stream_sessions_sql(),

@@ -25,7 +25,7 @@ Scale notes (100 TB crawl):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .curation import canonicalize_url
@@ -326,4 +326,158 @@ def anchor_text_index(
             "min_by(anchor_text, struct(-cnt, anchor_text))"
         ).alias("top_anchor"),
         F.max("cnt").alias("top_anchor_links"),
+    )
+
+
+def crawl_schedule(
+    frontier: DataFrame,
+    budget: int = 5,
+    base_delay_ms: int = 1000,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    delay_col: str = "delay_ms",
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: per host, keep the top
+    ``budget`` URLs by (priority desc, url asc) and assign each a fetch
+    offset on the host's own clock — ``(rank - 1) * delay`` — so no host
+    is hit faster than its crawl delay while hosts proceed in parallel
+    (the per-host-queue discipline of every polite crawler: Heritrix's
+    host queues, Nutch's ``generate`` step).
+
+    ``frontier`` carries (url, priority) and optionally a per-host
+    ``delay_ms`` (e.g. from robots.txt ``Crawl-delay``); missing delays
+    fall back to ``base_delay_ms``. The host is derived from the URL
+    map-side — no join against a page table.
+
+    One window per host (rank) + a filter: the shuffle is keyed by host,
+    and the per-host budget cap means output is bounded by
+    ``n_hosts * budget`` regardless of frontier size — the frontier can
+    be billions of URLs; the schedule is dim-sized. Skewed mega-hosts
+    cost one partition's top-k, not a cross-host straggler."""
+    host = F.regexp_extract(F.col(url_col), "^https?://([^/]+)", 1)
+    delay = (
+        F.coalesce(F.col(delay_col), F.lit(base_delay_ms))
+        if delay_col in frontier.columns
+        else F.lit(base_delay_ms)
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col(priority_col).desc(), F.col(url_col).asc()
+    )
+    return (
+        frontier.withColumn("host", host)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= budget)
+        .select(
+            "host",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col(url_col).alias("url"),
+            F.col(priority_col).cast("long").alias("priority"),
+            ((F.col("rnk") - 1) * delay).cast("long").alias("fetch_offset_ms"),
+        )
+    )
+
+
+def recrawl_priority(
+    fetches: DataFrame,
+    key_col: str = "url",
+    snap_col: str = "snap",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Change-rate estimation across k crawl snapshots — the freshness
+    model behind recrawl scheduling (Cho & Garcia-Molina 2003's change-
+    frequency estimator, reduced to its integer core): per URL, compare
+    each fetch's fingerprint to the previous snapshot's via ``lag`` and
+    report observed transitions, changes, and the change rate in exact
+    integer ppm (``changes * 1e6 div transitions``). URLs that change
+    every snapshot rank first for re-crawl; never-changed URLs decay to
+    the bottom.
+
+    One window (lag over snap within url) + one aggregate — both keyed
+    by url, one shuffle reused across the two (the window's hash
+    partitioning satisfies the aggregate's distribution). At crawl scale
+    k is small (snapshot count), so rows-per-key is bounded and there is
+    no skew funnel."""
+    w = Window.partitionBy(key_col).orderBy(F.col(snap_col).asc())
+    lagged = fetches.withColumn("prev_fp", F.lag(fp_col).over(w))
+    chg = F.when(
+        F.col("prev_fp").isNull(), F.lit(None).cast("int")
+    ).otherwise((F.col("prev_fp") != F.col(fp_col)).cast("int"))
+    return (
+        lagged.withColumn("chg", chg)
+        .groupBy(F.col(key_col).alias("url"))
+        .agg(
+            F.count("*").cast("long").alias("n_fetches"),
+            F.count("chg").cast("long").alias("n_transitions"),
+            F.coalesce(F.sum("chg"), F.lit(0)).cast("long").alias("n_changes"),
+        )
+        .withColumn(
+            "change_ppm",
+            F.when(F.col("n_transitions") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("n_changes * 1000000 div n_transitions").cast("long")
+            ),
+        )
+    )
+
+
+def host_templates(
+    pages: DataFrame,
+    min_share_ppm: int = 500_000,
+    min_pages: int = 2,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Host-scoped template (boilerplate) detection — the per-domain
+    paragraph-dedup CCNet applies before global dedup: a sentence that
+    appears on at least ``min_share_ppm``/1e6 of a host's pages is chrome
+    (nav, footer, cookie banner), not content. Global df-cuts miss this
+    (a template is rare globally but universal within its host).
+
+    Pipeline: sentence-split each page map-side ('. ' boundaries), hash
+    each sentence, count distinct pages per (host, sentence-hash), join
+    the per-host page count, flag sentences over the share threshold, and
+    roll up per host: template count and the template share of total
+    sentence occurrences in exact integer ppm.
+
+    Two aggregates + one host-keyed join (the page-count dim is host-
+    sized — broadcastable). The per-(host, hash) aggregate collapses
+    template repetition before the rollup, so hot template sentences on
+    mega-hosts cost one row each downstream."""
+    host = F.regexp_extract(F.col(url_col), "^https?://([^/]+)", 1)
+    sent = pages.select(
+        host.alias("host"),
+        F.col(url_col).alias("u"),
+        F.explode(F.split(F.col(text_col), "\\. ")).alias("s"),
+    ).filter(F.col("s") != "")
+    per = sent.groupBy("host", F.xxhash64("s").alias("sh")).agg(
+        F.count_distinct("u").alias("n_pages_with"),
+        F.count("*").alias("n_occ"),
+    )
+    hp = pages.groupBy(host.alias("host")).agg(
+        F.count_distinct(F.col(url_col)).alias("n_pages")
+    )
+    flagged = per.join(F.broadcast(hp), "host").withColumn(
+        "is_template",
+        (F.col("n_pages") >= min_pages)
+        & (
+            F.expr("n_pages_with * 1000000 div n_pages")
+            >= F.lit(min_share_ppm)
+        ),
+    )
+    return (
+        flagged.groupBy("host")
+        .agg(
+            F.max("n_pages").cast("long").alias("n_pages"),
+            F.sum(F.col("is_template").cast("long"))
+            .cast("long")
+            .alias("n_templates"),
+            F.sum("n_occ").cast("long").alias("n_sentences"),
+            F.sum(F.when(F.col("is_template"), F.col("n_occ")).otherwise(0))
+            .cast("long")
+            .alias("template_occ"),
+        )
+        .withColumn(
+            "template_ppm",
+            F.expr("template_occ * 1000000 div n_sentences").cast("long"),
+        )
     )

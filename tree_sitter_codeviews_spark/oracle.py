@@ -2478,3 +2478,196 @@ SELECT doc_id,
 FROM pd JOIN dfq USING (shingle)
 GROUP BY 1
 """
+
+
+_TOKEN_TF_CTES = """
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT token, doc_id, count(*) AS tf
+  FROM toks WHERE token != '' GROUP BY 1, 2
+)"""
+
+
+def inverted_index_sql(top_postings: int = 5) -> str:
+    """Token-level inverted index: df / total_tf over ALL postings, plus
+    the bounded top-k posting preview via an independent row_number +
+    ordered string_agg formulation (the engine uses a rank-prefiltered
+    collect + array_sort over (-tf, doc_id) structs)."""
+    return f"""
+WITH {_TOKEN_TF_CTES},
+ranked AS (
+  SELECT token, doc_id, tf,
+         row_number() OVER (PARTITION BY token
+                            ORDER BY tf DESC, doc_id) AS rn
+  FROM tf
+),
+scal AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY 1
+),
+prev AS (
+  SELECT token,
+         string_agg(CAST(doc_id AS VARCHAR), ','
+                    ORDER BY tf DESC, doc_id) AS postings
+  FROM ranked WHERE rn <= {top_postings} GROUP BY 1
+)
+SELECT s.token, s.df, s.total_tf, p.postings
+FROM scal s JOIN prev p USING (token)
+"""
+
+
+def tfidf_topk_sql(k: int = 3) -> str:
+    """Integer tf-idf top-k per document: idf_ppm = N * 1e6 // df (both
+    engines truncate on positive operands, so div == //)."""
+    return f"""
+WITH {_TOKEN_TF_CTES},
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         t.tf * (n.n_docs * 1000000 // d.df) AS score
+  FROM tf t JOIN dfq d USING (token) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, token, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score
+FROM r WHERE rnk <= {k}
+"""
+
+
+def crawl_schedule_sql(budget: int = 5, base_delay_ms: int = 1000) -> str:
+    """Politeness frontier schedule: per-host row_number over (priority
+    desc, url asc), budget cap, fetch offset = (rank-1) * host delay."""
+    return f"""
+WITH fr AS (
+  SELECT printf('https://host%04d.example/doc/%d',
+                (doc_id * 7) % 50, doc_id) AS url,
+         (doc_id * 37) % 1000 AS priority,
+         CASE WHEN ((doc_id * 7) % 50) % 2 = 0
+              THEN 600 + (((doc_id * 7) % 50) % 4) * 200 END AS delay_ms
+  FROM documents
+),
+w AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         url, priority, coalesce(delay_ms, {base_delay_ms}) AS delay,
+         row_number() OVER (
+           PARTITION BY regexp_extract(url, '^https?://([^/]+)', 1)
+           ORDER BY priority DESC, url) AS rnk
+  FROM fr
+)
+SELECT host, CAST(rnk AS INT) AS rnk, url,
+       CAST(priority AS BIGINT) AS priority,
+       CAST((rnk - 1) * delay AS BIGINT) AS fetch_offset_ms
+FROM w WHERE rnk <= {budget}
+"""
+
+
+def recrawl_priority_sql() -> str:
+    """Change-rate estimation: lag fingerprint comparison across 4
+    snapshots, changes over transitions in integer ppm. The fixture's
+    version = least(snap, doc_id%4) plants rates {{0, 1/3, 2/3, 1}}."""
+    return """
+WITH f AS (
+  SELECT printf('https://host%04d.example/page/%d',
+                (doc_id // 3) % 100, doc_id) AS url,
+         snap,
+         md5(printf('%s#v%d', text, least(snap, doc_id % 4))) AS fp
+  FROM documents, unnest(range(4)) AS t(snap)
+),
+l AS (
+  SELECT url, fp,
+         lag(fp) OVER (PARTITION BY url ORDER BY snap) AS prev_fp
+  FROM f
+),
+c AS (
+  SELECT url,
+         CASE WHEN prev_fp IS NULL THEN NULL
+              WHEN prev_fp != fp THEN 1 ELSE 0 END AS chg
+  FROM l
+)
+SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(count(chg) AS BIGINT) AS n_transitions,
+       CAST(coalesce(sum(chg), 0) AS BIGINT) AS n_changes,
+       CAST(CASE WHEN count(chg) = 0 THEN 0
+                 ELSE coalesce(sum(chg), 0) * 1000000 // count(chg) END
+            AS BIGINT) AS change_ppm
+FROM c GROUP BY 1
+"""
+
+
+def host_templates_sql(
+    min_share_ppm: int = 500_000, min_pages: int = 2
+) -> str:
+    """Host-scoped template detection. Groups by the raw sentence string
+    where the engine groups by xxhash64(sentence) — equivalent modulo
+    hash collisions, so hash injectivity is itself under test."""
+    return f"""
+WITH pg AS (
+  SELECT printf('https://host%04d.example/page/%d',
+                (doc_id // 3) % 100, doc_id) AS url,
+         printf('Welcome to host %d. Cookie notice applies. %s',
+                (doc_id // 3) % 100, text) AS text
+  FROM documents
+),
+sent AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, url,
+         unnest(string_split_regex(text, '\\. ')) AS s
+  FROM pg
+),
+per AS (
+  SELECT host, s, count(DISTINCT url) AS n_pages_with,
+         count(*) AS n_occ
+  FROM sent WHERE s != '' GROUP BY 1, 2
+),
+hp AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         count(DISTINCT url) AS n_pages
+  FROM pg GROUP BY 1
+),
+fl AS (
+  SELECT per.host, n_occ, n_pages,
+         (n_pages >= {min_pages}
+          AND n_pages_with * 1000000 // n_pages >= {min_share_ppm})
+           AS is_t
+  FROM per JOIN hp USING (host)
+)
+SELECT host, CAST(max(n_pages) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_templates,
+       CAST(sum(n_occ) AS BIGINT) AS n_sentences,
+       CAST(sum(CASE WHEN is_t THEN n_occ ELSE 0 END) AS BIGINT)
+         AS template_occ,
+       CAST(sum(CASE WHEN is_t THEN n_occ ELSE 0 END) * 1000000
+            // sum(n_occ) AS BIGINT) AS template_ppm
+FROM fl GROUP BY 1
+"""
+
+
+def geo_hosts_sql() -> str:
+    """Geo rollup of the crawl by host cell: integer Morton encode of the
+    deterministic host grid coordinates + one aggregate; res-5 parent by
+    right shift. Shares cells.morton_sql with every other cell oracle."""
+    m = cells.morton_sql("x", "y", 7)
+    return f"""
+WITH h AS (
+  SELECT ((doc_id // 3) % 100) AS hostnum FROM documents
+),
+c AS (
+  SELECT hostnum, (hostnum * 13) % 128 AS x, (hostnum * 29) % 128 AS y
+  FROM h
+),
+g AS (SELECT CAST({m} AS BIGINT) AS cell_id7, hostnum FROM c)
+SELECT cell_id7, CAST(cell_id7 >> 4 AS BIGINT) AS cell_id5,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT hostnum) AS BIGINT) AS n_hosts
+FROM g GROUP BY 1
+"""

@@ -1622,3 +1622,132 @@ def webtext_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     links = webtext.outlink_extract(_linked_pages(_docs(spark, sf_dir)))
     return webtext.anchor_text_index(links)
+
+
+def webtext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level inverted index over the document corpus: per token its
+    document frequency, total term frequency, and the top-5 posting doc
+    ids by (tf desc, doc_id asc) as a bounded comma-joined preview. Two
+    stacked aggregates; the collect side is rank-prefiltered so no token
+    ever collects more than 5 rows (stop-token safety)."""
+    from .operators import ir
+
+    return ir.inverted_index(_docs(spark, sf_dir), top_postings=5)
+
+
+def webtext_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by integer tf-idf
+    (idf_ppm = N * 1e6 div df — monotone in log(N/df), bit-exact across
+    engines). tf aggregate + vocabulary-keyed df dim + one per-doc
+    row_number window with (score desc, token asc) tie-break."""
+    from .operators import ir
+
+    return ir.tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+def webtext_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware frontier scheduling: top-5 URLs per host by
+    (priority desc, url asc), each assigned a fetch offset on the host's
+    clock — rank * the host's crawl delay (robots Crawl-delay where
+    planted, 1000 ms default). Fixture: 50 hosts via (doc_id*7)%50,
+    priority (doc_id*37)%1000, even hosts carry an explicit delay
+    600+200*(host%4). Output is bounded by hosts * budget regardless of
+    frontier size."""
+    from .operators import webtext
+
+    docs = _docs(spark, sf_dir)
+    hostnum = (F.col("doc_id") * 7) % 50
+    frontier = docs.select(
+        F.format_string(
+            "https://host%04d.example/doc/%d", hostnum, F.col("doc_id")
+        ).alias("url"),
+        ((F.col("doc_id") * 37) % 1000).alias("priority"),
+        F.when(
+            hostnum % 2 == 0, F.lit(600) + (hostnum % 4) * 200
+        ).alias("delay_ms"),
+    )
+    return webtext.crawl_schedule(frontier, budget=5, base_delay_ms=1000)
+
+
+def webtext_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate estimation across 4 crawl snapshots (Cho &
+    Garcia-Molina-style change-frequency core in integer ppm): per URL,
+    lag-compare fingerprints across snapshots, count changes over
+    transitions. Fixture plants the full rate spectrum: doc_id%4 = r
+    changes exactly r times across 3 transitions (version =
+    least(snap, r)) -> change_ppm in {0, 333333, 666666, 1000000}."""
+    from .operators import webtext
+
+    docs = _docs(spark, sf_dir)
+    snaps = docs.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("snap")
+    )
+    fetches = snaps.select(
+        F.format_string(
+            "https://host%04d.example/page/%d",
+            F.expr("(doc_id div 3) % 100"), F.col("doc_id"),
+        ).alias("url"),
+        "snap",
+        F.md5(
+            F.format_string(
+                "%s#v%d",
+                F.col("text"),
+                F.least(F.col("snap"), F.col("doc_id") % 4),
+            )
+        ).alias("fp"),
+    )
+    return webtext.recrawl_priority(fetches)
+
+
+def webtext_host_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped template detection (the per-domain paragraph-dedup
+    CCNet applies before global dedup): sentences on >=50% of a host's
+    pages are chrome. Fixture plants two boilerplate sentences per host
+    page ('Welcome to host N', 'Cookie notice applies') ahead of the doc
+    body; hosts have ~5 pages at sf0.001, so the planted chrome clears
+    the share threshold and unique bodies don't."""
+    from .operators import webtext
+
+    docs = _docs(spark, sf_dir)
+    hostnum = F.expr("(doc_id div 3) % 100")
+    pages = docs.select(
+        F.format_string(
+            "https://host%04d.example/page/%d", hostnum, F.col("doc_id")
+        ).alias("url"),
+        F.format_string(
+            "Welcome to host %d. Cookie notice applies. %s",
+            hostnum, F.col("text"),
+        ).alias("text"),
+    )
+    return webtext.host_templates(pages, min_share_ppm=500_000, min_pages=2)
+
+
+def webtext_geo_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial rollup of the crawl by hosting location (the
+    geo-distribution read every crawl operator tracks): each host maps to
+    a deterministic res-7 grid cell (x = host*13 % 128, y = host*29 %
+    128 — a geo-IP dim in fixture form), pages aggregate per cell, and
+    the res-5 parent supports the coarse rollup. Pure integer Morton
+    encode (cells.morton_col) + one aggregate — the webtext x geospatial
+    composition, no floats anywhere."""
+    from . import cells
+
+    docs = _docs(spark, sf_dir)
+    hostnum = F.expr("(doc_id div 3) % 100")
+    x = (hostnum * 13) % 128
+    y = (hostnum * 29) % 128
+    cell7 = cells.morton_col(x.cast("long"), y.cast("long"), 7)
+    return (
+        docs.select(
+            hostnum.alias("hostnum"), cell7.alias("cell_id7")
+        )
+        .groupBy("cell_id7")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.count_distinct("hostnum").cast("long").alias("n_hosts"),
+        )
+        .withColumn(
+            "cell_id5", cells.parent_col(F.col("cell_id7"), 2).cast("long")
+        )
+        .select("cell_id7", "cell_id5", "n_pages", "n_hosts")
+    )
