@@ -86,6 +86,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_recrawl_priority": q.webtext_recrawl_priority,  # change-rate recrawl model (r4)
         "webtext_host_templates": q.webtext_host_templates,  # host-scoped template detection (r4)
         "webtext_geo_hosts": q.webtext_geo_hosts,  # geo cell rollup of the crawl (r4)
+        "text_gopher_filter": q.text_gopher_filter,  # Gopher rule battery + reasons bitmask (r4)
+        "webtext_wet_export": q.webtext_wet_export,  # WET re-serialization round-trip (r4)
+        "webtext_url_templates": q.webtext_url_templates,  # URL path-template mining (r4)
+        "webtext_stream_outlinks": q.webtext_stream_outlinks,  # streaming host-graph maintenance (r4)
+        "webtext_site_clusters": q.webtext_site_clusters,  # CC site/mirror clustering (r4)
+        "webtext_robots_parse": q.webtext_robots_parse,  # RFC 9309 robots.txt parsing (r4)
         # --- changed code paths this round -------------------------------
         "sql_event_windows": _sql_event_windows,  # sum quantized to integer micros (r4)
         "train_set": q.train_set,                 # decontamination leg checkpointed (r4)
@@ -244,6 +250,12 @@ def oracle_sql() -> dict[str, str]:
         "webtext_recrawl_priority": oracle.recrawl_priority_sql(),
         "webtext_host_templates": oracle.host_templates_sql(),
         "webtext_geo_hosts": oracle.geo_hosts_sql(),
+        "text_gopher_filter": oracle.gopher_filter_sql(),
+        "webtext_wet_export": oracle.wet_export_sql(),
+        "webtext_url_templates": oracle.url_templates_sql(),
+        "webtext_stream_outlinks": oracle.stream_outlinks_sql(),
+        "webtext_site_clusters": oracle.site_clusters_sql(),
+        "webtext_robots_parse": oracle.robots_parse_sql(),
         "geo_entities_typed": oracle.entities_typed_sql(),
         "events_stream_windows": oracle.events_stream_windows_sql(),
         "events_stream_sessions": oracle.events_stream_sessions_sql(),

@@ -88,6 +88,18 @@ HEADLINE = [
     "text_dup_ngrams",        # duplicated-ngram fraction (positional shingle df)
     "webtext_host_graph",     # host->host domain-graph aggregation
     "webtext_anchor_index",   # per-target modal-anchor aggregation
+    "webtext_inverted_index", # token->postings index build (bounded previews)
+    "webtext_tfidf_topk",     # integer tf-idf top terms per doc
+    "webtext_crawl_schedule", # politeness frontier scheduling (host top-k)
+    "webtext_recrawl_priority",  # lag-based change-rate estimation
+    "webtext_host_templates", # host-scoped template detection
+    "webtext_geo_hosts",      # Morton cell rollup of the crawl
+    "text_gopher_filter",     # Gopher rule battery (map-side, bitmask)
+    "webtext_wet_export",     # WET re-serialization round-trip digest
+    "webtext_url_templates",  # URL path-template mining
+    "webtext_stream_outlinks",  # streaming edge-set maintenance drain
+    "webtext_site_clusters",  # CC mirror/site clustering
+    "webtext_robots_parse",   # RFC 9309 robots.txt parsing
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -162,6 +174,23 @@ SCALE2 = [
     # same caveat class as text_boilerplate_strip above).
     "webtext_outlinks", "webtext_hits", "webtext_snapshot_diff",
     "webtext_host_graph", "webtext_anchor_index", "text_dup_ngrams",
+    # r4 wave 3: inverted_index/tfidf are vocab+doc-keyed aggregates
+    # (linear; idf_ppm is replication-INVARIANT — N and df both x10);
+    # crawl_schedule/recrawl/geo_hosts are host- or url-keyed linear work
+    # with dim-bounded outputs. host_templates' cost is linear (its
+    # replica-duplicate bodies shift per-host shares deterministically —
+    # cost-faithful, semantics-caveated like text_dup_ngrams above).
+    "webtext_inverted_index", "webtext_tfidf_topk",
+    "webtext_crawl_schedule", "webtext_recrawl_priority",
+    "webtext_host_templates", "webtext_geo_hosts",
+    # r4 wave 4: gopher_filter/wet_export/url_templates are per-row or
+    # per-chunk map+agg work (linear); robots_parse is a fixed-size
+    # 50-host dim (measures parser cost, replication-invariant);
+    # site_clusters' graph is host-bounded; stream_outlinks' edge state
+    # is bounded by the distinct-edge vocabulary.
+    "text_gopher_filter", "webtext_wet_export", "webtext_url_templates",
+    "webtext_stream_outlinks", "webtext_site_clusters",
+    "webtext_robots_parse",
 ]
 
 

@@ -375,3 +375,59 @@ def decontaminate_score(
             ).alias("contamination_ppm"),
         )
     )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    max_symbol_ppm: int = 100_000,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, App. A —
+    the filter battery every pre-training corpus applies before dedup):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio cap,
+    and a minimum distinct-stopword requirement. Emits per doc the raw
+    measurements, a REASONS BITMASK (1=wordcount, 2=meanlen, 4=symbols,
+    8=stopwords) and the keep verdict — pipelines filter on ``keep`` but
+    audit on the bitmask (which rule fired where is the tuning signal).
+
+    Exactness discipline: every ratio test is integer cross-multiplied
+    (``sum_len between min*n and max*n``, ``symbols * 1e6 <= cap * n``) —
+    no float division anywhere, so the oracle is bit-exact. One map-side
+    pass over the corpus: zero shuffle, fused with the scan; the stopword
+    set is a 6-element array literal evaluated per row (no join)."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in")])
+    m = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("sum_len"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("^[#$%&*+=@^~]+$") | (w == "..."))
+        ).cast("long").alias("n_symbols"),
+        F.size(F.array_intersect(stop, words)).cast("long").alias("n_stopwords"),
+    )
+    r_words = ~F.col("n_words").between(min_words, max_words)
+    r_len = ~F.col("sum_len").between(
+        F.lit(min_mean_len) * F.col("n_words"),
+        F.lit(max_mean_len) * F.col("n_words"),
+    )
+    r_sym = (F.col("n_symbols") * F.lit(1_000_000)) > (
+        F.lit(max_symbol_ppm) * F.col("n_words")
+    )
+    r_stop = F.col("n_stopwords") < min_stopwords
+    reasons = (
+        r_words.cast("long")
+        + F.shiftleft(r_len.cast("long"), 1)
+        + F.shiftleft(r_sym.cast("long"), 2)
+        + F.shiftleft(r_stop.cast("long"), 3)
+    )
+    return m.withColumn("reasons", reasons.cast("long")).withColumn(
+        "keep", F.col("reasons") == 0
+    )

@@ -481,3 +481,138 @@ def host_templates(
             F.expr("template_occ * 1000000 div n_sentences").cast("long"),
         )
     )
+
+
+def wet_export(
+    recs: DataFrame,
+    blob_col: str = "blob_id",
+    idx_col: str = "rec_idx",
+) -> DataFrame:
+    """WET-style chunk serialization — the inverse of ``warc_split``: each
+    record re-framed as ``WARC/1.0\\nWARC-Target-URI: <uri>\\n
+    Content-Length: <n>\\n\\n<body>\\n\\n`` and concatenated per chunk in
+    record order (the sink side of a crawl re-export / corpus shard
+    writer). ``wet_export(warc_split(blobs)) == blobs`` is the round-trip
+    contract the gate checks by md5.
+
+    One groupBy per chunk with an order-restoring ``array_sort`` over
+    (rec_idx, frame) structs — the same deterministic-reassembly idiom as
+    ``strip_boilerplate``; records-per-chunk is bounded (real WARC chunks
+    are ~1 GiB), so the per-group collect is bounded by construction.
+    Emits (blob_id, n_records, payload_chars, payload_md5) — the payload
+    digest rather than the payload itself, so the gate row stays scalar
+    while still pinning every byte."""
+    frame = F.format_string(
+        "WARC/1.0\nWARC-Target-URI: %s\nContent-Length: %d\n\n%s\n\n",
+        F.col("uri"), F.length("body"), F.col("body"),
+    )
+    payload = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(idx_col).alias("i"), frame.alias("rec"))
+                )
+            ),
+            lambda s: s["rec"],
+        ),
+        "",
+    )
+    return (
+        recs.groupBy(F.col(blob_col).alias("blob_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            payload.alias("_payload"),
+        )
+        .select(
+            "blob_id",
+            "n_records",
+            F.length("_payload").cast("long").alias("payload_chars"),
+            F.md5("_payload").alias("payload_md5"),
+        )
+    )
+
+
+def url_templates(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL path-template mining: strip scheme/host/query/fragment, split
+    the path into segments, replace purely-numeric segments with ``{n}``,
+    and count pages + distinct URLs per (host, template) — the sitemap-
+    structure signal crawl scheduling and boilerplate-URL pruning both
+    consume (e.g. ``/cat/{n}/item/{n}`` identifies a product-listing
+    generator; millions of URLs, one template row).
+
+    Segmentation is split/transform/array_join — no lookaround regex, so
+    java.util.regex and RE2/DuckDB agree. Map-side projection + one
+    (host, template)-keyed aggregate; output is bounded by the site's
+    template vocabulary, not its URL count."""
+    host = F.regexp_extract(F.col(url_col), "^https?://([^/]+)", 1)
+    path = F.regexp_replace(
+        F.regexp_extract(F.col(url_col), "^https?://[^/]+(/[^?#]*)", 1),
+        "/+$", "",
+    )
+    template = F.array_join(
+        F.transform(
+            F.split(path, "/"),
+            lambda s: F.when(s.rlike("^[0-9]+$"), F.lit("{n}")).otherwise(s),
+        ),
+        "/",
+    )
+    return pages.select(
+        host.alias("host"),
+        template.alias("template"),
+        F.col(url_col).alias("u"),
+    ).groupBy("host", "template").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.count_distinct("u").cast("long").alias("n_urls"),
+    )
+
+
+def robots_parse(robots: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """robots.txt parsing into the (host, agent, rule_type, value) rules
+    dim that ``robots_filter`` applies — the parse side of the crawl-
+    politeness pair. Implements the core of RFC 9309 grouping: lines
+    belong to the most recent ``User-agent:`` group above them;
+    consecutive User-agent lines share the following rules (a group can
+    name several agents); Disallow/Allow/Crawl-delay records are emitted
+    per (agent, rule); comments (#) and blank lines are skipped.
+
+    The stateful \"current group\" line-parser becomes two windows over
+    (host, line_no): a running count of group BOUNDARIES (a User-agent
+    line whose predecessor is not itself a User-agent line) assigns each
+    line its group id, then rules join to their group's agents through a
+    (host, group)-keyed equi-join (agents-per-group is bounded tiny).
+    robots.txt files are KBs — the per-host window partitions are bounded
+    by file line count, so the window shuffle is dim-sized, never
+    corpus-sized."""
+    lines = robots.select(
+        "host",
+        F.posexplode(F.split(F.col(payload_col), "\n")).alias("line_no", "ln"),
+    ).select(
+        "host", "line_no",
+        F.trim(F.regexp_replace("ln", "#.*$", "")).alias("ln"),
+    ).filter(F.col("ln") != "")
+    kind = (
+        F.when(F.lower("ln").startswith("user-agent:"), F.lit("agent"))
+        .when(F.lower("ln").startswith("disallow:"), F.lit("disallow"))
+        .when(F.lower("ln").startswith("allow:"), F.lit("allow"))
+        .when(F.lower("ln").startswith("crawl-delay:"), F.lit("crawl-delay"))
+    )
+    value = F.trim(F.regexp_extract("ln", "^[^:]+:(.*)$", 1))
+    typed = lines.select(
+        "host", "line_no", kind.alias("kind"), value.alias("value")
+    ).filter(F.col("kind").isNotNull())
+    w = Window.partitionBy("host").orderBy("line_no")
+    boundary = (
+        (F.col("kind") == "agent")
+        & (F.coalesce(F.lag("kind").over(w), F.lit("")) != "agent")
+    ).cast("int")
+    grouped = typed.withColumn("grp", F.sum(boundary).over(w))
+    agents = grouped.filter(F.col("kind") == "agent").select(
+        "host", "grp", F.col("value").alias("agent")
+    )
+    rules = grouped.filter(F.col("kind") != "agent").select(
+        "host", "grp", F.col("kind").alias("rule_type"), "value", "line_no"
+    )
+    return agents.join(rules, ["host", "grp"]).select(
+        "host", "agent", "rule_type", "value",
+        F.col("line_no").cast("long").alias("line_no"),
+    )

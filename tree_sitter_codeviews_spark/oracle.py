@@ -2671,3 +2671,230 @@ SELECT cell_id7, CAST(cell_id7 >> 4 AS BIGINT) AS cell_id5,
        CAST(count(DISTINCT hostnum) AS BIGINT) AS n_hosts
 FROM g GROUP BY 1
 """
+
+
+def gopher_filter_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    max_symbol_ppm: int = 100_000,
+    min_stopwords: int = 2,
+) -> str:
+    """Gopher-rule battery: independent list-op measurement (list_filter /
+    list_sum / list_contains vs the engine's higher-order column fns) over
+    the same planted-violation fixture; every ratio integer
+    cross-multiplied. Stopword count = sum of list_contains (an
+    independent formulation of the engine's array_intersect size)."""
+    return f"""
+WITH t0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0
+              THEN regexp_replace(text, '\\b(the|a|of|and|to|in)\\b',
+                                  'zz', 'g')
+              ELSE text END AS text
+  FROM documents
+),
+t1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || repeat(' #', 20)
+              ELSE text END AS text
+  FROM t0
+),
+t2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' ' || repeat('z', 1500)
+              ELSE text END AS text
+  FROM t1
+),
+m AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w != '') AS ws
+  FROM t2
+),
+meas AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+         AS BIGINT) AS sum_len,
+    CAST(len(list_filter(ws,
+      w -> regexp_matches(w, '^[#$%&*+=@^~]+$') OR w = '...'))
+         AS BIGINT) AS n_symbols,
+    CAST(CAST(list_contains(ws, 'the') AS INT)
+       + CAST(list_contains(ws, 'a') AS INT)
+       + CAST(list_contains(ws, 'of') AS INT)
+       + CAST(list_contains(ws, 'and') AS INT)
+       + CAST(list_contains(ws, 'to') AS INT)
+       + CAST(list_contains(ws, 'in') AS INT) AS BIGINT) AS n_stopwords
+  FROM m
+),
+r AS (
+  SELECT doc_id, n_words, sum_len, n_symbols, n_stopwords,
+    CASE WHEN n_words BETWEEN {min_words} AND {max_words}
+         THEN 0 ELSE 1 END
+    + CASE WHEN sum_len BETWEEN {min_mean_len} * n_words
+                            AND {max_mean_len} * n_words
+           THEN 0 ELSE 2 END
+    + CASE WHEN n_symbols * 1000000 > {max_symbol_ppm} * n_words
+           THEN 4 ELSE 0 END
+    + CASE WHEN n_stopwords < {min_stopwords} THEN 8 ELSE 0 END AS reasons
+  FROM meas
+)
+SELECT doc_id, n_words, sum_len, n_symbols, n_stopwords,
+       CAST(reasons AS BIGINT) AS reasons, reasons = 0 AS keep
+FROM r
+"""
+
+
+def wet_export_sql() -> str:
+    """Round-trip oracle for wet_export: builds each WARC chunk DIRECTLY
+    (string_agg ordered by doc_id) and digests it — never splits or
+    re-exports, so a matching md5 proves warc_split -> wet_export is
+    byte-lossless."""
+    return """
+WITH rec AS (
+  SELECT doc_id, doc_id // 5 AS blob_id,
+    'WARC/1.0' || chr(10)
+    || printf('WARC-Target-URI: https://host%04d.example/doc/%d',
+              doc_id % 100, doc_id) || chr(10)
+    || printf('Content-Length: %d', length(text)) || chr(10) || chr(10)
+    || text || chr(10) || chr(10) AS r
+  FROM documents
+),
+blob AS (
+  SELECT blob_id, count(*) AS n_records,
+         string_agg(r, '' ORDER BY doc_id) AS payload
+  FROM rec GROUP BY 1
+)
+SELECT blob_id, CAST(n_records AS BIGINT) AS n_records,
+       CAST(length(payload) AS BIGINT) AS payload_chars,
+       md5(payload) AS payload_md5
+FROM blob
+"""
+
+
+def url_templates_sql() -> str:
+    """URL path-template mining over the three planted generators."""
+    return """
+WITH p AS (SELECT doc_id, doc_id // 3 AS gid FROM documents),
+u AS (
+  SELECT doc_id,
+    'https://' || printf('host%02d.example', gid % 20)
+    || CASE WHEN doc_id % 3 = 0 THEN printf('/doc/%d', doc_id)
+            WHEN doc_id % 3 = 1
+              THEN printf('/cat/%d/item/%d?ref=promo', gid % 10, doc_id)
+            ELSE '/page/about' END AS url
+  FROM p
+),
+parsed AS (
+  SELECT url,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_replace(
+           regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1),
+           '/+$', '') AS path
+  FROM u
+),
+tpl AS (
+  SELECT host, url,
+         array_to_string(
+           list_transform(string_split(path, '/'),
+             s -> CASE WHEN regexp_matches(s, '^[0-9]+$')
+                       THEN '{n}' ELSE s END),
+           '/') AS template
+  FROM parsed
+)
+SELECT host, template,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+FROM tpl GROUP BY 1, 2
+"""
+
+
+def stream_outlinks_sql() -> str:
+    """Per-host distinct-target fan-out off the shared outlink CTEs — the
+    batch truth the drained streaming edge set must reproduce exactly
+    (state = one row per distinct edge, so the rollup is an exact count,
+    no estimator anywhere)."""
+    return f"""
+WITH {_OUTLINKS_CTES}
+SELECT src_host,
+       CAST(count(DISTINCT dst_url) AS BIGINT) AS n_targets
+FROM links GROUP BY 1
+"""
+
+
+def site_clusters_sql() -> str:
+    """Undirected components of the deterministic host permutation graph
+    (h -> (7h+4) mod 96) via recursive-CTE closure + size rollup."""
+    return """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT ((doc_id // 3) % 100) AS src,
+         (((doc_id // 3) % 100) * 7 + 4) % 96 AS dst
+  FROM documents WHERE ((doc_id // 3) % 100) < 96
+),
+u AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+nn AS (SELECT DISTINCT a AS node FROM u),
+r(node, comp) AS (
+  SELECT node, node FROM nn
+  UNION
+  SELECT u.b, r.comp FROM r JOIN u ON u.a = r.node
+),
+cc AS (SELECT node, min(comp) AS component FROM r GROUP BY 1)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(count(*) AS BIGINT) AS n_hosts
+FROM cc GROUP BY 1
+"""
+
+
+def robots_parse_sql() -> str:
+    """RFC 9309 grouping via the INDEPENDENT gaps-and-islands formulation:
+    agent-run id = rn - row_number-among-agents (constant per consecutive
+    run), each rule binds to the max preceding island — vs the engine's
+    boundary-count windows. Rules before any User-agent line drop out in
+    both (no island to bind to)."""
+    return """
+WITH h AS (SELECT unnest(generate_series(0, 49)) AS hn),
+rb AS (
+  SELECT printf('host%04d.example', hn) AS host,
+    '# robots' || chr(10) || 'User-agent: *' || chr(10)
+    || 'Disallow: /private' || chr(10)
+    || CASE WHEN hn % 3 = 0 THEN 'Allow: /public' || chr(10) ELSE '' END
+    || printf('Crawl-delay: %d', hn % 5 + 1) || chr(10) || chr(10)
+    || 'User-agent: gptbot' || chr(10) || 'User-agent: ccbot' || chr(10)
+    || 'Disallow: /' || chr(10) AS payload
+  FROM h
+),
+sp AS (SELECT host, string_split(payload, chr(10)) AS arr FROM rb),
+lines AS (
+  SELECT host, i - 1 AS line_no,
+         trim(regexp_replace(arr[i], '#.*$', '')) AS ln
+  FROM sp, unnest(generate_series(1, len(arr))) AS t(i)
+),
+typed AS (
+  SELECT host, line_no,
+    CASE WHEN lower(ln) LIKE 'user-agent:%' THEN 'agent'
+         WHEN lower(ln) LIKE 'disallow:%' THEN 'disallow'
+         WHEN lower(ln) LIKE 'allow:%' THEN 'allow'
+         WHEN lower(ln) LIKE 'crawl-delay:%' THEN 'crawl-delay' END AS kind,
+    trim(regexp_extract(ln, '^[^:]+:(.*)$', 1)) AS value
+  FROM lines WHERE ln <> ''
+),
+t2 AS (
+  SELECT host, line_no, kind, value,
+         row_number() OVER (PARTITION BY host ORDER BY line_no) AS rn
+  FROM typed WHERE kind IS NOT NULL
+),
+ag AS (
+  SELECT host, rn, value,
+         rn - row_number() OVER (PARTITION BY host ORDER BY rn) AS island
+  FROM t2 WHERE kind = 'agent'
+),
+ru AS (SELECT * FROM t2 WHERE kind <> 'agent')
+SELECT ru.host, ag.value AS agent, ru.kind AS rule_type, ru.value,
+       CAST(ru.line_no AS BIGINT) AS line_no
+FROM ru JOIN ag ON ru.host = ag.host AND ag.rn < ru.rn
+WHERE ag.island = (
+  SELECT max(a2.island) FROM ag a2
+  WHERE a2.host = ru.host AND a2.rn < ru.rn
+)
+"""

@@ -1273,29 +1273,7 @@ def webtext_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     the integrity check a real ingest quarantines on."""
     from .operators import webtext
 
-    docs = _docs(spark, sf_dir)
-    rec = F.format_string(
-        "WARC/1.0\nWARC-Target-URI: https://host%04d.example/doc/%d\n"
-        "Content-Length: %d\n\n%s\n\n",
-        F.col("doc_id") % 100, F.col("doc_id"),
-        F.length("text"), F.col("text"),
-    )
-    blobs = (
-        docs.select(
-            F.expr("doc_id div 5").alias("blob_id"),
-            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
-        )
-        .groupBy("blob_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("s")), lambda s: s["rec"]
-                ),
-                "",
-            ).alias("payload")
-        )
-    )
-    return webtext.warc_split(blobs)
+    return webtext.warc_split(_warc_blobs(_docs(spark, sf_dir)))
 
 
 def webtext_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1751,3 +1729,169 @@ def webtext_geo_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cell_id7", "cell_id5", "n_pages", "n_hosts")
     )
+
+
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filtering (Rae et al. 2021 App. A subset) with
+    a per-rule reasons bitmask. The fixture plants each violation class
+    deterministically on top of the corpus text: doc_id%7==0 gains 20
+    symbol tokens (symbol-ratio rule), doc_id%13==0 gains one 1500-char
+    token (mean-word-length rule), doc_id%17==0 has its stopwords
+    rewritten to 'zz' (stopword rule); natural short docs exercise the
+    word-count rule. All rules integer cross-multiplied — zero floats."""
+    from .operators import curation
+
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    text = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.regexp_replace(text, "\\b(the|a|of|and|to|in)\\b", "zz"),
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(text, F.expr("repeat(' #', 20)")),
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(text, F.lit(" "), F.expr("repeat('z', 1500)")),
+    ).otherwise(text)
+    return curation.gopher_filter(docs.select("doc_id", text.alias("text")))
+
+
+def _warc_blobs(docs: DataFrame) -> DataFrame:
+    """The WARC chunk fixture shared by webtext_warc_records and
+    webtext_wet_export: five docs per chunk, concatenated in doc_id order
+    via array_sort on (doc_id, record) structs. Mirrored independently by
+    the oracles' string_agg-ordered build."""
+    rec = F.format_string(
+        "WARC/1.0\nWARC-Target-URI: https://host%04d.example/doc/%d\n"
+        "Content-Length: %d\n\n%s\n\n",
+        F.col("doc_id") % 100, F.col("doc_id"),
+        F.length("text"), F.col("text"),
+    )
+    return (
+        docs.select(
+            F.expr("doc_id div 5").alias("blob_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("blob_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["rec"]
+                ),
+                "",
+            ).alias("payload")
+        )
+    )
+
+
+def webtext_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET chunk re-serialization round-trip: the shared WARC blob fixture
+    is SPLIT into records (warc_split) and re-exported (wet_export); the
+    gate compares (n_records, payload_chars, payload_md5) per chunk
+    against an oracle that builds the chunks directly and never splits —
+    so split -> export is proven byte-lossless, not just shape-lossless."""
+    from .operators import webtext
+
+    blobs = _warc_blobs(_docs(spark, sf_dir))
+    return webtext.wet_export(webtext.warc_split(blobs))
+
+
+def webtext_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-template mining: numeric path segments generalize to
+    '{n}', pages and distinct URLs count per (host, template). Fixture
+    plants three generators per site: /doc/{n} (doc_id%3==0),
+    /cat/{n}/item/{n} with a tracking query to strip (%3==1), and the
+    static /page/about (%3==2)."""
+    from .operators import webtext
+
+    docs = _docs(spark, sf_dir)
+    gid = F.expr("doc_id div 3")
+    host = F.format_string("host%02d.example", gid % 20)
+    path = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.format_string("/doc/%d", F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.format_string(
+                "/cat/%d/item/%d?ref=promo", gid % 10, F.col("doc_id")
+            ),
+        )
+        .otherwise(F.lit("/page/about"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    return webtext.url_templates(pages)
+
+
+def webtext_stream_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING host-graph maintenance: the linked-page fixture as a
+    pure projection over the document stream, outlink extraction map-side
+    in-stream, stateful edge-set dedup (one state row per distinct
+    (src_host, dst_url) edge), drained availableNow in append mode; the
+    per-host fan-out rollup then runs as a BATCH aggregate over the
+    maintained edge set — the incremental form of webtext_host_graph's
+    batch build, at one state store."""
+    from . import streaming
+
+    sdocs = streaming.stream_documents(spark, sf_dir)
+    pages = _linked_pages(sdocs)
+    edges = streaming.run_available_now(
+        streaming.stream_outlink_edges(pages), mode="append"
+    )
+    return edges.groupBy("src_host").agg(
+        F.count("*").cast("long").alias("n_targets")
+    )
+
+
+def webtext_site_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-cluster formation: connected components over a deterministic
+    host->host mirror/alias graph (h -> (7h+4) mod 96 — a permutation, so
+    the undirected components are its cycles: non-trivial sizes), then a
+    per-component rollup (size + representative = min host id). The
+    domain-clustering composition (CC reused from graph_iter) a crawl
+    runs to group mirror sites before per-site budgeting."""
+    from .operators import graph_iter
+
+    docs = _docs(spark, sf_dir)
+    hostnum = F.expr("(doc_id div 3) % 100")
+    edges = (
+        docs.select(hostnum.alias("src"))
+        .filter(F.col("src") < 96)
+        .select("src", ((F.col("src") * 7 + 4) % 96).alias("dst"))
+        .distinct()
+    )
+    cc = graph_iter.connected_components(edges)
+    return cc.groupBy(F.col("component").cast("long").alias("component")).agg(
+        F.count("*").cast("long").alias("n_hosts"),
+    )
+
+
+def webtext_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt PARSING into the rules dim robots_filter applies (RFC
+    9309 grouping: rules bind to the most recent User-agent group;
+    consecutive User-agent lines share one group). Fixture: one robots.txt
+    per host with a comment line, a '*' group (Disallow /private,
+    Crawl-delay 1+h%5, plus Allow /public on h%3==0) and a two-agent
+    group (gptbot+ccbot sharing 'Disallow: /') — the multi-agent group is
+    the case naive line-pairing parsers get wrong."""
+    from .operators import webtext
+
+    hosts = spark.range(50).select(
+        F.format_string("host%04d.example", F.col("id")).alias("host"),
+        F.col("id").alias("h"),
+    )
+    payload = F.concat(
+        F.lit("# robots\nUser-agent: *\nDisallow: /private\n"),
+        F.when(F.col("h") % 3 == 0, F.lit("Allow: /public\n")).otherwise(
+            F.lit("")
+        ),
+        F.format_string("Crawl-delay: %d\n", F.col("h") % 5 + 1),
+        F.lit("\nUser-agent: gptbot\nUser-agent: ccbot\nDisallow: /\n"),
+    )
+    robots = hosts.select("host", payload.alias("payload"))
+    return webtext.robots_parse(robots)

@@ -226,3 +226,29 @@ def stream_dedup_canonical_urls(pages: DataFrame) -> DataFrame:
         pages.select(canonicalize_url(F.col("url")).alias("canonical_url"))
         .dropDuplicates(["canonical_url"])
     )
+
+
+def stream_outlink_edges(pages: DataFrame) -> DataFrame:
+    """Streaming web-graph EDGE-SET maintenance: outlink extraction as a
+    pure streaming projection (``webtext.outlink_extract`` is per-row
+    regexp work — streaming-safe by construction), then stateful
+    ``dropDuplicates`` on the (src_host, dst_url) edge key — state is one
+    row per distinct edge, the streaming minimum for an incrementally
+    maintained link graph (the CommonCrawl host-graph build as a
+    continuous job; production bounds state with
+    dropDuplicatesWithinWatermark over the recrawl window).
+
+    Deliberately NOT a chained second stateful aggregate: host-level
+    rollups run as BATCH queries over the maintained edge set (the gate
+    query drains append-mode and rolls up), keeping the stream at one
+    state store. An in-stream ``approx_count_distinct`` fan-out was
+    measured unusable at exactness-grade precision (rsd=0.001 is ~1.5 MB
+    of dense HLL registers PER HOST per microbatch commit) and is only an
+    estimate at practical precision — the wrong trade for a gate that
+    checks exact values."""
+    from .operators import webtext
+
+    links = webtext.outlink_extract(pages, with_src_host=True)
+    return links.select("src_host", "dst_url").dropDuplicates(
+        ["src_host", "dst_url"]
+    )
