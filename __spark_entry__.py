@@ -92,6 +92,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_stream_outlinks": q.webtext_stream_outlinks,  # streaming host-graph maintenance (r4)
         "webtext_site_clusters": q.webtext_site_clusters,  # CC site/mirror clustering (r4)
         "webtext_robots_parse": q.webtext_robots_parse,  # RFC 9309 robots.txt parsing (r4)
+        "webtext_token_budget": q.webtext_token_budget,  # largest-remainder mixture quotas (r4)
+        "webtext_robots_e2e": q.webtext_robots_e2e,  # parse->apply equivalence vs hand-built rules (r4)
+        "webtext_domain_lang": q.webtext_domain_lang,  # per-domain language mix + modal lang (r4)
+        "dedup_incremental": q.dedup_incremental,  # cross-snapshot anti-join dedup (r4)
         # --- changed code paths this round -------------------------------
         "sql_event_windows": _sql_event_windows,  # sum quantized to integer micros (r4)
         "train_set": q.train_set,                 # decontamination leg checkpointed (r4)
@@ -256,6 +260,10 @@ def oracle_sql() -> dict[str, str]:
         "webtext_stream_outlinks": oracle.stream_outlinks_sql(),
         "webtext_site_clusters": oracle.site_clusters_sql(),
         "webtext_robots_parse": oracle.robots_parse_sql(),
+        "webtext_token_budget": oracle.token_budget_sql(),
+        "webtext_robots_e2e": oracle.robots_filter_sql(),
+        "webtext_domain_lang": oracle.domain_lang_sql(),
+        "dedup_incremental": oracle.dedup_incremental_sql(),
         "geo_entities_typed": oracle.entities_typed_sql(),
         "events_stream_windows": oracle.events_stream_windows_sql(),
         "events_stream_sessions": oracle.events_stream_sessions_sql(),

@@ -100,6 +100,10 @@ HEADLINE = [
     "webtext_stream_outlinks",  # streaming edge-set maintenance drain
     "webtext_site_clusters",  # CC mirror/site clustering
     "webtext_robots_parse",   # RFC 9309 robots.txt parsing
+    "webtext_token_budget",   # largest-remainder mixture quotas
+    "webtext_robots_e2e",     # robots parse->apply end-to-end
+    "webtext_domain_lang",    # per-domain language mix (Arrow langid)
+    "dedup_incremental",      # cross-snapshot anti-join dedup
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -191,6 +195,13 @@ SCALE2 = [
     "text_gopher_filter", "webtext_wet_export", "webtext_url_templates",
     "webtext_stream_outlinks", "webtext_site_clusters",
     "webtext_robots_parse",
+    # r4 wave 5: token_budget's rank dim is host-bounded and its scan is
+    # the distributed two-phase; robots_e2e applies a fixed rules dim to
+    # the replicated corpus (linear); domain_lang is the langid UDF +
+    # host rollup (linear, Arrow-batched); dedup_incremental is two
+    # uniform hash-keyed shuffles (linear).
+    "webtext_token_budget", "webtext_robots_e2e", "webtext_domain_lang",
+    "dedup_incremental",
 ]
 
 

@@ -431,3 +431,78 @@ def gopher_filter(
     return m.withColumn("reasons", reasons.cast("long")).withColumn(
         "keep", F.col("reasons") == 0
     )
+
+
+def apportion_budget(
+    weights: DataFrame,
+    budget: int,
+    key_col: str = "host",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer sampling
+    budget across sources — the mixture-quota step of corpus building
+    (allocate B training tokens across domains/sources proportional to
+    their size, exactly: ``sum(alloc) == budget`` with no float drift).
+
+    base_i = B * w_i div W; the leftover B - sum(base) units go one each
+    to the largest (B * w_i) mod W remainders, (remainder desc, key asc)
+    tie-broken. Exact integer arithmetic throughout.
+
+    The global remainder rank uses the same two-phase scan as
+    ``pack_sequences`` (range-partition on the sort key, per-partition
+    row_number, numPartitions-row driver collect broadcast back) — NOT an
+    unpartitioned window: at web scale the "dim" is tens of millions of
+    registered domains, so the rank must be distributed. The leftover
+    count and total are scalar aggregates crossed in as 1-row broadcasts.
+    """
+    tot = weights.agg(
+        F.sum(weight_col).cast("long").alias("_w_total"),
+    )
+    j = weights.join(F.broadcast(tot)).select(
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("long").alias("weight"),
+        F.expr(f"CAST({budget} AS BIGINT) * {weight_col} div _w_total")
+        .cast("long")
+        .alias("base_quota"),
+        F.expr(f"(CAST({budget} AS BIGINT) * {weight_col}) % _w_total")
+        .cast("long")
+        .alias("rem"),
+    )
+    lo = j.agg(
+        (F.lit(budget).cast("long") - F.sum("base_quota")).alias("_leftover")
+    )
+    ranged = (
+        j.repartitionByRange(F.col("rem").desc(), F.col("key").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("_pid").orderBy(
+        F.col("rem").desc(), F.col("key").asc()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n")).orderBy(
+        "_pid"
+    ).collect()
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["_n"]
+    off_df = ranged.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    rank = (F.col("_off") + F.row_number().over(w)).cast("long")
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .join(F.broadcast(lo))
+        .withColumn("_rank", rank)
+        .withColumn(
+            "extra", (F.col("_rank") <= F.col("_leftover")).cast("long")
+        )
+        .select(
+            F.col("key").alias(key_col),
+            F.col("weight").alias(weight_col),
+            "base_quota",
+            "rem",
+            "extra",
+            (F.col("base_quota") + F.col("extra")).cast("long").alias("alloc"),
+        )
+    )

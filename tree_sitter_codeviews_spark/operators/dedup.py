@@ -538,3 +538,32 @@ def dup_ngram_stats(docs: DataFrame, n: int = 3) -> DataFrame:
             F.expr("dup_ngrams * 1000000 div total_ngrams").alias("dup_ppm"),
         )
     )
+
+
+def incremental_new_hashes(
+    new: DataFrame,
+    old_hashes: DataFrame,
+    text_col: str = "text",
+    hash_col: str = "text_hash",
+) -> DataFrame:
+    """Incremental cross-snapshot dedup: the content rows of the NEW crawl
+    snapshot that enter the corpus — not seen in the previous snapshot's
+    hash set (left ANTI join) and first-seen within the new batch
+    (min doc_id per hash, the same first-fetch-wins argmin as
+    ``url_canonical_dedup``). The only-new-content-trains step of a
+    continuously refreshed corpus: the old corpus never re-reads, only
+    its hash set (a fraction of its bytes) joins.
+
+    Two shuffles on the content hash (anti join + argmin group), both
+    uniform by construction (md5 keys); at 100 TB the old-hash side is a
+    hash-only projection orders smaller than the corpus and both sides
+    partition on the same key."""
+    nh = new.select(
+        F.md5(F.col(text_col)).alias(hash_col), F.col("doc_id")
+    )
+    fresh = nh.join(
+        old_hashes.select(hash_col), hash_col, "left_anti"
+    )
+    return fresh.groupBy(hash_col).agg(
+        F.min("doc_id").cast("long").alias("first_doc_id")
+    )

@@ -2898,3 +2898,82 @@ WHERE ag.island = (
   WHERE a2.host = ru.host AND a2.rn < ru.rn
 )
 """
+
+
+def token_budget_sql(budget: int = 1_000_000) -> str:
+    """Largest-remainder apportionment via the single-window independent
+    formulation (the engine distributes the rank two-phase); exact
+    integer quotas, sum(alloc) == budget by construction."""
+    return f"""
+WITH w AS (
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS host,
+         sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY 1
+),
+t AS (SELECT sum(n_tokens) AS wt FROM w),
+j AS (
+  SELECT host, n_tokens,
+         {budget} * n_tokens // wt AS base_quota,
+         ({budget} * n_tokens) % wt AS rem
+  FROM w CROSS JOIN t
+),
+lo AS (SELECT {budget} - sum(base_quota) AS leftover FROM j),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rnk FROM j
+)
+SELECT host, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(base_quota AS BIGINT) AS base_quota,
+       CAST(rem AS BIGINT) AS rem,
+       CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base_quota + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM r CROSS JOIN lo
+"""
+
+
+def domain_lang_sql() -> str:
+    """Per-domain language rollup over the shared langid oracle (nested
+    as a subquery CTE) — modal language via the independent row_number
+    formulation of the engine's min_by struct ordering."""
+    return f"""
+WITH lid AS ({text_langid_sql()}),
+per AS (
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS host,
+         pred_lang, count(*) AS cnt
+  FROM lid GROUP BY 1, 2
+),
+rk AS (
+  SELECT host, pred_lang, cnt,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY cnt DESC, pred_lang) AS rn
+  FROM per
+),
+agg AS (
+  SELECT host, CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM per GROUP BY 1
+)
+SELECT a.host, a.n_docs, a.n_langs, r.pred_lang AS top_lang
+FROM agg a JOIN rk r ON a.host = r.host AND r.rn = 1
+"""
+
+
+def dedup_incremental_sql() -> str:
+    """Cross-snapshot incremental dedup: NOT IN the old hash set + first-
+    seen argmin within the new batch."""
+    return """
+WITH olds AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 != 7
+),
+news AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 != 3
+),
+nh AS (SELECT md5(text) AS text_hash, doc_id FROM news),
+fresh AS (
+  SELECT * FROM nh WHERE text_hash NOT IN (SELECT h FROM olds)
+)
+SELECT text_hash, CAST(min(doc_id) AS BIGINT) AS first_doc_id
+FROM fresh GROUP BY 1
+"""

@@ -1895,3 +1895,110 @@ def webtext_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     robots = hosts.select("host", payload.alias("payload"))
     return webtext.robots_parse(robots)
+
+
+def webtext_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of a 1M-token sampling budget
+    across crawl hosts proportional to their token mass — the mixture-
+    quota step of corpus building; sum(alloc) == budget EXACTLY. The
+    remainder rank is the two-phase distributed scan (pack_sequences
+    idiom), never an unpartitioned window: at web scale the host dim is
+    tens of millions of domains."""
+    from .operators import curation
+
+    docs = _docs(spark, sf_dir)
+    weights = docs.groupBy(
+        F.format_string(
+            "host%04d.example", F.expr("(doc_id div 3) % 100")
+        ).alias("host")
+    ).agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long")
+        .alias("n_tokens")
+    )
+    return curation.apportion_budget(weights, budget=1_000_000)
+
+
+def webtext_robots_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots PARSE -> APPLY equivalence: per-host robots.txt payloads
+    carrying the same disallow semantics as webtext_robots_filter's rules
+    dim (h%5==2 -> /doc/1, h%3==0 -> /doc/2) plus a decoy 'archiver'
+    group that must NOT leak into the '*' rules; robots_parse extracts
+    the '*' disallow rules, robots_filter applies them. The oracle is
+    robots_filter_sql VERBATIM — matching it proves the parser feeds the
+    filter exactly what hand-built rules would."""
+    from .operators import webtext
+
+    hosts = spark.range(100).select(
+        F.format_string("host%04d.example", F.col("id")).alias("host"),
+        F.col("id").alias("h"),
+    )
+    payload = F.concat(
+        F.lit(
+            "# autogenerated\nUser-agent: archiver\n"
+            "Disallow: /everything-else\n\nUser-agent: *\n"
+        ),
+        F.when(F.col("h") % 5 == 2, F.lit("Disallow: /doc/1\n")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("h") % 3 == 0, F.lit("Disallow: /doc/2\n")).otherwise(
+            F.lit("")
+        ),
+        F.lit("Crawl-delay: 2\n"),
+    )
+    rules = (
+        webtext.robots_parse(hosts.select("host", payload.alias("payload")))
+        .filter((F.col("agent") == "*") & (F.col("rule_type") == "disallow"))
+        .select("host", F.col("value").alias("path_prefix"))
+    )
+    return webtext.robots_filter(_crawl_pages(_docs(spark, sf_dir)), rules)
+
+
+def webtext_domain_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain language mix (the language-routing signal a multilingual
+    crawl pipeline partitions by): the vectorized langid heuristic per
+    page, rolled up per host — page count, distinct predicted languages,
+    and the modal language under (count desc, lang asc) min_by tie-break.
+    Composition of the Arrow langid UDF with the anchor-index rollup
+    idiom; host dim orders smaller than the corpus."""
+    from .operators import textstats
+
+    docs = _docs(spark, sf_dir)
+    lid = textstats.langid(docs).join(
+        docs.select(
+            "doc_id",
+            F.format_string(
+                "host%04d.example", F.expr("(doc_id div 3) % 100")
+            ).alias("host"),
+        ),
+        "doc_id",
+    )
+    per = lid.groupBy("host", "pred_lang").agg(F.count("*").alias("cnt"))
+    return per.groupBy("host").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.expr("min_by(pred_lang, struct(-cnt, pred_lang))").alias(
+            "top_lang"
+        ),
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup: old snapshot = doc_id%10!=7, new
+    snapshot = doc_id%10!=3 with doc_id%5==0 content rewritten (the
+    snapshot_diff fixture's change model) — the new-or-changed content
+    rows entering the corpus, anti-joined against the old hash set and
+    first-seen-deduped within the batch."""
+    from .operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 10 != 7).select(
+        F.md5("text").alias("text_hash")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit(" v2")),
+    ).otherwise(F.col("text"))
+    new = docs.filter(F.col("doc_id") % 10 != 3).select(
+        "doc_id", new_text.alias("text")
+    )
+    return dedup.incremental_new_hashes(new, old.distinct())
