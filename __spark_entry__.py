@@ -96,6 +96,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_robots_e2e": q.webtext_robots_e2e,  # parse->apply equivalence vs hand-built rules (r4)
         "webtext_domain_lang": q.webtext_domain_lang,  # per-domain language mix + modal lang (r4)
         "dedup_incremental": q.dedup_incremental,  # cross-snapshot anti-join dedup (r4)
+        "multimodal_ahash": q.multimodal_ahash,  # perceptual average-hash over binary payloads (r4)
+        "text_bigram_lm": q.text_bigram_lm,  # bigram conditional-probability LM table (r4)
+        "webtext_domain_reputation": q.webtext_domain_reputation,  # PR+HITS+dup composite (r4)
+        "webtext_geo_regions": q.webtext_geo_regions,  # crawl pages per polygon region via PIP (r4)
         # --- changed code paths this round -------------------------------
         "sql_event_windows": _sql_event_windows,  # sum quantized to integer micros (r4)
         "train_set": q.train_set,                 # decontamination leg checkpointed (r4)
@@ -264,6 +268,10 @@ def oracle_sql() -> dict[str, str]:
         "webtext_robots_e2e": oracle.robots_filter_sql(),
         "webtext_domain_lang": oracle.domain_lang_sql(),
         "dedup_incremental": oracle.dedup_incremental_sql(),
+        "multimodal_ahash": oracle.ahash_sql(),
+        "text_bigram_lm": oracle.bigram_lm_sql(),
+        "webtext_domain_reputation": oracle.domain_reputation_sql(),
+        "webtext_geo_regions": oracle.geo_regions_sql(),
         "geo_entities_typed": oracle.entities_typed_sql(),
         "events_stream_windows": oracle.events_stream_windows_sql(),
         "events_stream_sessions": oracle.events_stream_sessions_sql(),

@@ -104,6 +104,10 @@ HEADLINE = [
     "webtext_robots_e2e",     # robots parse->apply end-to-end
     "webtext_domain_lang",    # per-domain language mix (Arrow langid)
     "dedup_incremental",      # cross-snapshot anti-join dedup
+    "multimodal_ahash",       # Arrow binary average-hash (mapInPandas)
+    "text_bigram_lm",         # bigram conditional-probability table
+    "webtext_domain_reputation",  # PR+HITS+dup composite (end-to-end)
+    "webtext_geo_regions",    # PIP join over the host dim + page rollup
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -202,6 +206,13 @@ SCALE2 = [
     # uniform hash-keyed shuffles (linear).
     "webtext_token_budget", "webtext_robots_e2e", "webtext_domain_lang",
     "dedup_incremental",
+    # r4 wave 6: ahash is one Arrow pass per payload (linear);
+    # bigram_lm's aggregates are vocab-keyed (replication multiplies
+    # counts uniformly -> identical cond_ppm, same cost shape);
+    # domain_reputation's rank tables are host-bounded; geo_regions'
+    # point set IS the host dim (fixed) with a linear page-count join.
+    "multimodal_ahash", "text_bigram_lm", "webtext_domain_reputation",
+    "webtext_geo_regions",
 ]
 
 

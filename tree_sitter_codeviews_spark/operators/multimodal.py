@@ -198,3 +198,80 @@ def resample(payloads: DataFrame, out_len: int = 128) -> DataFrame:
             })
 
     return payloads.select("doc_id", "payload").mapInPandas(run, RESAMPLE_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("ahash_hi", T.LongType()),
+    T.StructField("ahash_lo", T.LongType()),
+])
+
+
+def ahash_py(b: bytes) -> tuple[int, int]:
+    """Reference scalar average-hash: 64 byte-blocks, bit j set iff block
+    mean > global mean, compared via exact integer cross-multiplication
+    (block_sum * n > total_sum * block_len — no float division anywhere).
+    Returned as (hi32, lo32) halves so neither engine touches the int64
+    sign bit. Empty blocks (n < 64) contribute 0 bits."""
+    n = len(b)
+    if n == 0:
+        return 0, 0
+    total = sum(b)
+    hi = lo = 0
+    for j in range(64):
+        s = (j * n) // 64
+        e = ((j + 1) * n) // 64
+        if e > s:
+            blk = sum(b[s:e])
+            if blk * n > total * (e - s):
+                if j < 32:
+                    lo |= 1 << j
+                else:
+                    hi |= 1 << (j - 32)
+    return hi, lo
+
+
+def ahash(payloads: DataFrame) -> DataFrame:
+    """Perceptual average-hash over the opaque media payload (aHash — the
+    cheap member of the pHash family; at production the input is the
+    decoded, downsampled 8x8 luma grid; here the deterministic stand-in
+    payload bytes ARE the pixels, so the gate value-checks the Arrow
+    binary plumbing byte-for-byte against a SQL oracle that recomputes
+    the hash from the characters).
+
+    ``mapInPandas`` with numpy prefix-sum block sums per row — one
+    Arrow batch pass, no Python-per-byte work. Emits the 64-bit hash as
+    two 32-bit halves (keeps both engines off the int64 sign bit); near-
+    dup pairing over these hashes reuses the simhash pigeonhole blocking
+    (dedup.py) unchanged."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "ahash_hi": [], "ahash_lo": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                hi = lo = 0
+                if n:
+                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                    total = int(arr.sum())
+                    bounds = [(j * n) // 64 for j in range(65)]
+                    # prefix sums (not reduceat: duplicate boundaries on
+                    # short payloads collapse blocks there)
+                    pref = np.concatenate(([0], np.cumsum(arr)))
+                    for j in range(64):
+                        s, e = bounds[j], bounds[j + 1]
+                        if e > s:
+                            blk = int(pref[e] - pref[s])
+                            if blk * n > total * (e - s):
+                                if j < 32:
+                                    lo |= 1 << j
+                                else:
+                                    hi |= 1 << (j - 32)
+                out["doc_id"].append(int(doc_id))
+                out["n_bytes"].append(n)
+                out["ahash_hi"].append(hi)
+                out["ahash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return payloads.select("doc_id", "payload").mapInPandas(run, AHASH_SCHEMA)

@@ -6,7 +6,7 @@ string kernels, no per-row Python)."""
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -230,4 +230,49 @@ def normalized_docs(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.length(norm).alias("n_norm_chars"),
         F.md5(norm).alias("norm_hash"),
+    )
+
+
+def bigram_lm(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Count-based bigram LM induction: per token the top-``k`` next-token
+    continuations with exact integer conditional probability
+    (``cnt * 1e6 div first_cnt`` ppm) — the n-gram LM backbone of corpus
+    QUALITY scoring (the KenLM role in CCNet, reduced to its count core;
+    the familiarity operator consumes unigram stats, this is the order-2
+    table).
+
+    Positional bigrams via slice-pair zip (no self-join), one
+    (token, next) aggregate, the first-token marginal derived FROM the
+    bigram table (sum over continuations — the proper conditional
+    denominator), and a per-token row_number window whose partitions are
+    bounded by vocabulary fan-out, not corpus size."""
+    toks = docs.select(
+        F.split(F.col(text_col), " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                F.slice(F.col("w"), 2, F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("token"), b.alias("next_token")),
+            )
+        ).alias("p")
+    ).select("p.token", "p.next_token")
+    bg = pairs.groupBy("token", "next_token").agg(F.count("*").alias("cnt"))
+    first = bg.groupBy("token").agg(F.sum("cnt").alias("first_cnt"))
+    w = Window.partitionBy("token").orderBy(
+        F.col("cnt").desc(), F.col("next_token").asc()
+    )
+    return (
+        bg.join(first, "token")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "token",
+            F.col("rnk").cast("int").alias("rnk"),
+            "next_token",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("cnt * 1000000 div first_cnt").cast("long")
+            .alias("cond_ppm"),
+        )
     )

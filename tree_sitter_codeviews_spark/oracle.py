@@ -2977,3 +2977,129 @@ fresh AS (
 SELECT text_hash, CAST(min(doc_id) AS BIGINT) AS first_doc_id
 FROM fresh GROUP BY 1
 """
+
+
+def ahash_sql() -> str:
+    """Average-hash recomputed from the text CHARACTERS (ord == byte for
+    the ascii corpus) — block boundaries j*n//64, block-vs-global mean by
+    integer cross-multiplication, bits packed into two 32-bit halves; an
+    independent per-(doc, block) lateral formulation of the engine's
+    Arrow prefix-sum pass."""
+    return """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                      i -> ord(substr(text, i, 1))))
+              AS BIGINT) AS total
+  FROM documents
+),
+b AS (
+  SELECT doc_id, text, n, total, j,
+         (j * n) // 64 AS lo, ((j + 1) * n) // 64 AS hi
+  FROM d, unnest(range(64)) AS t(j)
+),
+s AS (
+  SELECT doc_id, n, j,
+         CASE WHEN hi > lo THEN
+           CAST(list_sum(list_transform(range(lo + 1, hi + 1),
+                                        i -> ord(substr(text, i, 1))))
+                AS BIGINT) * n > total * (hi - lo)
+         ELSE FALSE END AS bit
+  FROM b
+)
+SELECT doc_id, CAST(max(n) AS INT) AS n_bytes,
+       CAST(sum(CASE WHEN bit AND j >= 32
+                     THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)
+            AS BIGINT) AS ahash_hi,
+       CAST(sum(CASE WHEN bit AND j < 32
+                     THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS ahash_lo
+FROM s GROUP BY 1
+"""
+
+
+def bigram_lm_sql(k: int = 3) -> str:
+    """Bigram conditional-probability table: positional pairs, the
+    first-token marginal from the bigram table, integer ppm."""
+    return f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+p AS (
+  SELECT w[i + 1] AS token, w[i + 2] AS next_token
+  FROM t, unnest(range(len(w) - 1)) AS x(i)
+),
+bg AS (SELECT token, next_token, count(*) AS cnt FROM p GROUP BY 1, 2),
+f AS (SELECT token, sum(cnt) AS first_cnt FROM bg GROUP BY 1),
+r AS (
+  SELECT bg.token, next_token, cnt, first_cnt,
+         row_number() OVER (PARTITION BY bg.token
+                            ORDER BY cnt DESC, next_token) AS rnk
+  FROM bg JOIN f USING (token)
+)
+SELECT token, CAST(rnk AS INT) AS rnk, next_token,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1000000 // first_cnt AS BIGINT) AS cond_ppm
+FROM r WHERE rnk <= {k}
+"""
+
+
+def domain_reputation_sql() -> str:
+    """Composite of the three already-verified link/curation oracles:
+    PageRank + HITS nested as subquery CTEs, the crawl canonical-URL
+    dup rate, and the exact-integer reputation formula."""
+    return f"""
+WITH pr AS ({domain_rank_sql()}),
+hh AS ({hits_sql()}),
+{_CRAWL_CANON_CTES.lstrip()},
+hosts2 AS (
+  SELECT regexp_extract(canonical_url, '^https?://([^/]+)', 1) AS host,
+         canonical_url
+  FROM canon
+),
+dup AS (
+  SELECT host,
+         CAST((count(*) - count(DISTINCT canonical_url)) * 1000000
+              // count(*) AS BIGINT) AS dup_ppm
+  FROM hosts2 GROUP BY 1
+)
+SELECT pr.host, pr.rank_micro, hh.auth_micro, hh.hub_micro,
+       CAST(coalesce(dup.dup_ppm, 0) AS BIGINT) AS dup_ppm,
+       CAST((5 * pr.rank_micro + 3 * hh.auth_micro + 2 * hh.hub_micro)
+            // 10 - coalesce(dup.dup_ppm, 0) // 10 AS BIGINT)
+         AS reputation_micro
+FROM pr JOIN hh ON pr.host = hh.host
+LEFT JOIN dup ON pr.host = dup.host
+"""
+
+
+def geo_regions_sql() -> str:
+    """Pages per polygon region with the host dim as the point set: the
+    shared pts CTE re-sourced to DISTINCT host ids, pure ray-cast parity
+    (no interior short-circuit — the independent formulation), page
+    counts joined per host."""
+    host_pts = _pts_cte().replace(
+        "FROM documents",
+        "FROM (SELECT DISTINCT (doc_id // 3) % 100 AS doc_id"
+        " FROM documents)",
+    )
+    return f"""
+WITH {host_pts}, {_edges_cte()}, {_admin_cte()},
+hits AS (
+  SELECT doc_id, polygon_id FROM (
+    SELECT p.doc_id, e.polygon_id, count(*) AS c
+    FROM pts p JOIN edges e ON ({_CROSSING})
+    GROUP BY 1, 2
+  ) WHERE c % 2 = 1
+),
+pg AS (
+  SELECT (doc_id // 3) % 100 AS h, count(*) AS n_pages
+  FROM documents GROUP BY 1
+)
+SELECT h.polygon_id, a.admin_level,
+       CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_hosts,
+       CAST(sum(p.n_pages) AS BIGINT) AS n_pages
+FROM hits h JOIN admin a USING (polygon_id) JOIN pg p ON p.h = h.doc_id
+GROUP BY 1, 2
+"""

@@ -2002,3 +2002,114 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", new_text.alias("text")
     )
     return dedup.incremental_new_hashes(new, old.distinct())
+
+
+def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over the opaque media payload column (the
+    cheap pHash-family member): 64 block-mean bits per payload via exact
+    integer cross-multiplication, emitted as two 32-bit halves. The
+    payload bytes ARE the deterministic stand-in pixels, so the oracle
+    recomputes the hash from the characters — the Arrow binary plumbing
+    is value-checked byte-for-byte. Near-dup pairing over these hashes
+    reuses the simhash pigeonhole blocking unchanged."""
+    from .operators import multimodal
+
+    return multimodal.ahash(multimodal.payloads_df(_docs(spark, sf_dir)))
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM: top-3 continuations per token with exact
+    integer conditional probability (ppm) — the order-2 companion of
+    text_familiarity's unigram stats (the KenLM role in CCNet quality
+    scoring, reduced to its count core)."""
+    from .operators import textstats
+
+    return textstats.bigram_lm(_docs(spark, sf_dir), k=3)
+
+
+def webtext_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END domain reputation: integer PageRank (10 iters) + HITS
+    hub/authority (5 iters) over the host link graph joined with the
+    crawl-fixture duplicate-fetch rate, combined into one exact-integer
+    composite ((5*rank + 3*auth + 2*hub) div 10 - dup_ppm div 10) — the
+    crawl-prioritization score a scheduler budgets by. The link-side twin
+    of train_set/web_ingest: three already-verified operators composed
+    and value-checked WHOLE."""
+    from .operators import linkgraph
+    from .operators.curation import canonicalize_url
+
+    docs = _docs(spark, sf_dir)
+    src = F.format_string(
+        "host%04d.example", F.expr("(doc_id div 3) % 100")
+    ).alias("src")
+    e1 = docs.select(src, F.format_string(
+        "host%04d.example", (F.col("doc_id") * 7 + 1) % 100).alias("dst"))
+    e2 = docs.select(src, F.format_string(
+        "host%04d.example", (F.col("doc_id") * 13 + 2) % 100).alias("dst"))
+    edges = e1.unionAll(e2)
+    nodes = spark.range(100).select(
+        F.format_string("host%04d.example", F.col("id")).alias("host")
+    )
+    pr = linkgraph.pagerank_integer(edges, nodes, iterations=10)
+    hi = linkgraph.hits_integer(edges, nodes, iterations=5).select(
+        F.col("host"), "hub_micro", "auth_micro"
+    )
+    dup = (
+        _crawl_pages(docs)
+        .select(canonicalize_url(F.col("url")).alias("cu"))
+        .select(
+            F.regexp_extract("cu", "^https?://([^/]+)", 1).alias("host"),
+            "cu",
+        )
+        .groupBy("host")
+        .agg(
+            F.expr(
+                "(count(*) - count(DISTINCT cu)) * 1000000 div count(*)"
+            ).cast("long").alias("dup_ppm")
+        )
+    )
+    return (
+        pr.join(hi, "host")
+        .join(dup, "host", "left")
+        .withColumn("dup_ppm", F.coalesce(F.col("dup_ppm"), F.lit(0)).cast("long"))
+        .withColumn(
+            "reputation_micro",
+            F.expr(
+                "(5 * rank_micro + 3 * auth_micro + 2 * hub_micro) div 10"
+                " - dup_ppm div 10"
+            ).cast("long"),
+        )
+        .select(
+            "host", "rank_micro", "auth_micro", "hub_micro", "dup_ppm",
+            "reputation_micro",
+        )
+    )
+
+
+def webtext_geo_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl pages per geographic REGION: each host's deterministic point
+    (the shared skewed-point derivation, reused on host ids) runs through
+    the full two-phase PIP join against the polygon layer (interior-cell
+    short-circuit + exact ray-cast refine), then the crawl's per-host
+    page counts roll up per (polygon, admin_level) — the second
+    geo x webtext graft composition, exercising the flagship PIP
+    machinery over the crawl host dim."""
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select(
+        F.expr("(doc_id div 3) % 100").alias("doc_id")
+    ).distinct()
+    pts = pages_src.points_from_ids(hosts).withColumn(
+        "cell", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+    )
+    joined = pip_join.pip_join(pts, spark, keys=("doc_id",))
+    pages = docs.groupBy(
+        F.expr("(doc_id div 3) % 100").alias("h")
+    ).agg(F.count("*").alias("n_pages"))
+    return (
+        joined.join(pages, joined["doc_id"] == pages["h"])
+        .groupBy("polygon_id", "admin_level")
+        .agg(
+            F.count_distinct(joined["doc_id"]).cast("long").alias("n_hosts"),
+            F.sum("n_pages").cast("long").alias("n_pages"),
+        )
+    )
