@@ -448,33 +448,33 @@ def apportion_budget(
     to the largest (B * w_i) mod W remainders, (remainder desc, key asc)
     tie-broken. Exact integer arithmetic throughout.
 
-    The global remainder rank uses the same two-phase scan as
-    ``pack_sequences`` (range-partition on the sort key, per-partition
-    row_number, numPartitions-row driver collect broadcast back) — NOT an
-    unpartitioned window: at web scale the "dim" is tens of millions of
-    registered domains, so the rank must be distributed. The leftover
-    count and total are scalar aggregates crossed in as 1-row broadcasts.
+    The two scalars (total weight, leftover) are single-value driver
+    collects folded back as literals — the pack_sequences discipline —
+    so the RETURNED plan carries no SinglePartition exchange at all (a
+    plan-pinned regression test); the global remainder rank uses the
+    same two-phase scan as ``pack_sequences`` (range-partition on the
+    sort key, per-partition row_number, numPartitions-row offsets
+    broadcast back): at web scale the "dim" is tens of millions of
+    registered domains, so the rank must be distributed.
     """
-    tot = weights.agg(
-        F.sum(weight_col).cast("long").alias("_w_total"),
+    w_total = int(
+        weights.agg(F.sum(weight_col).cast("long")).first()[0]
     )
-    j = weights.join(F.broadcast(tot)).select(
+    j = weights.select(
         F.col(key_col).alias("key"),
         F.col(weight_col).cast("long").alias("weight"),
-        F.expr(f"CAST({budget} AS BIGINT) * {weight_col} div _w_total")
+        F.expr(f"CAST({budget} AS BIGINT) * {weight_col} div {w_total}")
         .cast("long")
         .alias("base_quota"),
-        F.expr(f"(CAST({budget} AS BIGINT) * {weight_col}) % _w_total")
+        F.expr(f"(CAST({budget} AS BIGINT) * {weight_col}) % {w_total}")
         .cast("long")
         .alias("rem"),
-    )
-    lo = j.agg(
-        (F.lit(budget).cast("long") - F.sum("base_quota")).alias("_leftover")
-    )
+    ).localCheckpoint()  # three consumers (leftover agg, counts, final)
+    leftover = budget - int(j.agg(F.sum("base_quota")).first()[0])
     ranged = (
         j.repartitionByRange(F.col("rem").desc(), F.col("key").asc())
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint()  # two consumers; freeze the pids
     )
     w = Window.partitionBy("_pid").orderBy(
         F.col("rem").desc(), F.col("key").asc()
@@ -492,11 +492,8 @@ def apportion_budget(
     rank = (F.col("_off") + F.row_number().over(w)).cast("long")
     return (
         ranged.join(F.broadcast(off_df), "_pid")
-        .join(F.broadcast(lo))
         .withColumn("_rank", rank)
-        .withColumn(
-            "extra", (F.col("_rank") <= F.col("_leftover")).cast("long")
-        )
+        .withColumn("extra", (F.col("_rank") <= leftover).cast("long"))
         .select(
             F.col("key").alias(key_col),
             F.col("weight").alias(weight_col),
