@@ -167,3 +167,37 @@ def test_inverted_index_bounded_postings(spark):
     assert stop.df == 10 and stop.total_tf == 20
     # preview bounded at 3 even though df is 10; tf ties -> doc_id asc
     assert stop.postings == "0,1,2"
+
+
+def test_run_crawl_job_and_resume(spark, tmp_path):
+    """The crawl-loop job end-to-end on sf0.001, then a second run with
+    the same job-id: every stage must resume from its checkpoint (the
+    second run recomputes nothing — asserted via the stage markers)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_crawl",
+        os.path.join(os.path.dirname(__file__), "..", "jobs", "run_crawl.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = [
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--checkpoint-root", str(tmp_path), "--job-id", "t1",
+    ]
+    mod.main(argv, spark=spark)
+    stage_root = os.path.join(str(tmp_path), "t1", "stages")
+    stages = set(os.listdir(stage_root))
+    assert {"pages", "blobs", "records", "extracted", "quality",
+            "outlinks", "host_graph", "rank", "schedule"} <= stages
+    marks = {
+        s: os.path.getmtime(os.path.join(stage_root, s)) for s in stages
+    }
+    mod.main(argv, spark=spark)  # resume: no stage rewritten
+    for s in stages:
+        assert os.path.getmtime(os.path.join(stage_root, s)) == marks[s], s
+    # the schedule output is non-trivial and budget-capped per host
+    sched = spark.read.parquet(os.path.join(stage_root, "schedule"))
+    assert sched.count() > 0
+    assert sched.groupBy("host").count().agg({"count": "max"}).first()[0] <= 5
