@@ -59,6 +59,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- cast fix (VERDICT r3 next-round #1) --------------------------
         "events_json_stats": rel.events_json_stats,
         # --- new this round ----------------------------------------------
+        "emb_kmeans": q.emb_kmeans,                  # integer Lloyd's k-means, trained IVF quantizer (r4w3)
+        "dedup_semantic": q.dedup_semantic,          # SemDeDup: near-dups within k-means clusters (r4w3)
+        "text_dsir_weights": q.text_dsir_weights,    # DSIR hashed-bigram importance weights (r4w3)
+        "geo_quadkey": q.geo_quadkey,                # Bing-style quadkey tile addresses + prefix parent (r4w3)
+        "geo_rect_overlay": q.geo_rect_overlay,      # PBSM rect overlay join, duplicate-free reporting (r4w3)
+        "events_trajectory": rel.events_trajectory,  # per-user trajectory rollup (geo sessionization, r4w3)
+        "webtext_snapshot_drift": q.webtext_snapshot_drift,  # unigram L1 drift between snapshots (r4w3)
         "graph_sdfg_interproc": q.graph_sdfg_interproc,  # argument_to_parameter + return_to_caller families (r4)
         "text_repetition": q.text_repetition,        # Gopher-style 2-gram repetition signals (r4)
         "dedup_url_canonical": q.dedup_url_canonical,  # crawl-URL canonicalization dedup (r4)
@@ -232,6 +239,13 @@ def oracle_sql() -> dict[str, str]:
         "graph_rda": oracle.graph_rda_sql(),
         "graph_sdfg": oracle.graph_sdfg_sql(),
         "graph_sdfg_interproc": oracle.graph_sdfg_interproc_sql(),
+        "emb_kmeans": oracle.emb_kmeans_sql(),
+        "dedup_semantic": oracle.dedup_semantic_sql(),
+        "text_dsir_weights": oracle.text_dsir_weights_sql(),
+        "geo_quadkey": oracle.geo_quadkey_sql(),
+        "geo_rect_overlay": oracle.geo_rect_overlay_sql(),
+        "events_trajectory": oracle.events_trajectory_sql(),
+        "webtext_snapshot_drift": oracle.webtext_snapshot_drift_sql(),
         "text_repetition": oracle.repetition_sql(),
         "dedup_url_canonical": oracle.url_canonical_dedup_sql(),
         "text_source_mix": oracle.source_mix_sql(),

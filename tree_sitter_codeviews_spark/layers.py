@@ -155,3 +155,46 @@ def polygon_edges_sql_values() -> str:
 def polygon_admin_sql_values() -> str:
     rows = ", ".join(f"({p['polygon_id']}, {p['admin_level']})" for p in POLYGONS)
     return f"(VALUES {rows})"
+
+
+# ---------------------------------------------------------------------------
+# overlay layers: integer-grid rectangles (GIS polygon-overlay exact case)
+# ---------------------------------------------------------------------------
+# Zones: a fixed dim of N_ZONES half-open rects [x0,x1)×[y0,y1) in res-10
+# grid cells — the "admin/zoning layer" an overlay joins page footprints
+# against. Parcels are per-doc rects (PARCEL_*_SQL below), so the overlay's
+# big side scales with the corpus while the zone dim stays broadcastable.
+
+N_ZONES = 40
+
+
+def zone_rects() -> list[tuple[int, int, int, int, int]]:
+    """(zone_id, x0, y0, x1, y1) — deterministic LCG placement, widths
+    32..127 cells, fully inside the res-10 grid."""
+    rows = []
+    for z in range(N_ZONES):
+        x0 = (z * 48271 + 17) % (GRID_N - 128)
+        y0 = (z * 16807 + 101) % (GRID_N - 128)
+        w = 32 + (z * 69621) % 96
+        h = 32 + (z * 37 + 5) % 96
+        rows.append((z, x0, y0, x0 + w, y0 + h))
+    return rows
+
+
+def zone_rects_sql_values() -> str:
+    """`(VALUES ...) AS z(zone_id, zx0, zy0, zx1, zy1)` body for oracles."""
+    rows = ", ".join(f"({z}, {x0}, {y0}, {x1}, {y1})" for z, x0, y0, x1, y1 in zone_rects())
+    return f"(VALUES {rows})"
+
+
+# per-doc parcel rect: anchored at the doc's point, half-open, width/height
+# 4..35 cells, clamped to the grid edge (all exact integer arithmetic)
+PARCEL_W_SQL = "(4 + (doc_id * 69621) % 32)"
+PARCEL_H_SQL = "(4 + (doc_id * 37 + 5) % 32)"
+
+
+# ---------------------------------------------------------------------------
+# event points (trajectories): plain LCG grid coords, no hot-cell skew
+# ---------------------------------------------------------------------------
+EVT_GX_SQL = "(event_id * 48271 + 7) % 1024"
+EVT_GY_SQL = "(event_id * 16807 + 12345) % 1024"

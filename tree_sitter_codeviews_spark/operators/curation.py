@@ -503,3 +503,67 @@ def apportion_budget(
             (F.col("base_quota") + F.col("extra")).cast("long").alias("alloc"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score each doc by how much its hashed-n-gram features look like a
+    TARGET distribution relative to the raw corpus, for importance
+    resampling toward the target.
+
+    Features are word bigrams hashed into ``buckets`` (md5 28-bit prefix —
+    the engine↔oracle-portable hasher, as in ``textstats``); the per-bucket
+    log-ratio uses the BIT-LENGTH log2 proxy ``bitlen(count+1)`` =
+    ``length(bin(count+1))`` — exact integer, identical in Spark and DuckDB,
+    monotone in the count, so bucket ratios rank the same way the float
+    ``log p_target/p_raw`` would at the resolution that matters for
+    resampling tiers (no ``ln``: float transcendentals are not bit-identical
+    across engines and the gate hashes values).
+
+    Scale shape: the feature dim is bounded by ``buckets`` (broadcast), both
+    distribution passes are partial-aggregated groupBys on the bucket key
+    (uniform by hashing), and scoring is one broadcast join + one per-doc
+    rollup. Nothing collects.
+    """
+    w = F.split(F.col(text_col), " ")
+    bg = (
+        docs.select("doc_id", "lang", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id", "lang",
+            F.explode(F.expr(
+                "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"
+            )).alias("g"),
+        )
+        .withColumn(
+            "b",
+            F.conv(F.substring(F.md5(F.col("g")), 1, 7), 16, 10).cast("long")
+            % buckets,
+        )
+        .select("doc_id", "lang", "b")
+    )
+    raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = (
+        bg.filter(F.col("lang") == target_lang)
+        .groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    )
+    llr = raw.join(tgt, "b", "left").select(
+        "b",
+        (
+            F.length(F.bin(F.coalesce(F.col("tc"), F.lit(0)) + 1))
+            - F.length(F.bin(F.col("rc") + 1))
+        ).cast("long").alias("l"),
+    )
+    return (
+        bg.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("l").alias("dsir_score"),
+        )
+    )

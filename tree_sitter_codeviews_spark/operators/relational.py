@@ -397,3 +397,32 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+def events_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory rollup — the geospatial sessionization shape
+    (sort a user's pings by time, lag to the previous position, accumulate
+    movement): (user_id, n_points, path_len, n_stops, max_step) with
+    positions on the integer res-10 grid (layers.EVT_*_SQL — exact, no
+    trig; L1 step length keeps everything BIGINT). The window partitions
+    by user (uniform key) and orders by (ts, event_id) so ties are
+    deterministic; one window pass + one per-user aggregate."""
+    from .. import layers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    step = (
+        F.abs(F.col("ex") - F.lag("ex").over(w))
+        + F.abs(F.col("ey") - F.lag("ey").over(w))
+    )
+    stepped = ev.withColumn("step", step)
+    return stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.coalesce(F.sum("step"), F.lit(0)).cast("long").alias("path_len"),
+        F.sum(F.when(F.col("step") <= 16, 1).otherwise(0)).cast("long").alias("n_stops"),
+        F.coalesce(F.max("step"), F.lit(0)).cast("long").alias("max_step"),
+    )

@@ -3103,3 +3103,183 @@ SELECT h.polygon_id, a.admin_level,
 FROM hits h JOIN admin a USING (polygon_id) JOIN pg p ON p.h = h.doc_id
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 3: k-means / SemDeDup / DSIR / quadkey / overlay / trajectory /
+# snapshot drift
+# ---------------------------------------------------------------------------
+
+def _kmeans_cte(k: int = 8, iters: int = 2, dim: int = 64) -> tuple[str, str]:
+    """CTE chain unrolling ``cluster.kmeans_fit``'s Lloyd iterations:
+    assignment a{i} against centroids c{i} (exact int64 distances via
+    DOUBLE dots of ×1000-quantized vectors — integral and < 2^53, so
+    exact; argmin packed as dist*100+cluster), update c{i+1} by
+    per-dimension truncated division (DuckDB ``//`` == the engine's
+    toward-zero division), empty clusters keeping the previous centroid.
+    Returns (cte_body, final_assignment_name)."""
+    parts = [
+        """q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for i in range(iters + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id,
+         min(CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])
+             - 2 * list_dot_product(qv::DOUBLE[], cv::DOUBLE[])
+             + list_dot_product(cv::DOUBLE[], cv::DOUBLE[]) AS BIGINT) * 100 + cluster) AS m
+  FROM q CROSS JOIN c{i}
+  GROUP BY vec_id
+)""")
+        if i < iters:
+            parts.append(f"""s{i} AS (
+  SELECT a.m % 100 AS cluster, g.d AS d, sum(q.qv[g.d]) AS s, count(*) AS n
+  FROM a{i} a JOIN q USING (vec_id)
+  CROSS JOIN generate_series(1, {dim}) AS g(d)
+  GROUP BY 1, 2
+)""")
+            parts.append(f"""c{i + 1} AS (
+  SELECT c.cluster, coalesce(u.cv, c.cv) AS cv
+  FROM c{i} c LEFT JOIN (
+    SELECT cluster, list(CAST(s // n AS BIGINT) ORDER BY d) AS cv
+    FROM s{i} GROUP BY cluster
+  ) u USING (cluster)
+)""")
+    return ",\n".join(parts), f"a{iters}"
+
+
+def emb_kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    cte, final = _kmeans_cte(k=k, iters=iters)
+    return f"""
+WITH {cte}
+SELECT vec_id, CAST(m % 100 AS BIGINT) AS cluster, CAST(m // 100 AS BIGINT) AS dist_q
+FROM {final}
+"""
+
+
+def dedup_semantic_sql(k: int = 8, iters: int = 2, threshold: float = 0.4) -> str:
+    cte, final = _kmeans_cte(k=k, iters=iters)
+    return f"""
+WITH {cte},
+asg AS (SELECT vec_id, CAST(m % 100 AS BIGINT) AS cluster FROM {final}),
+qna AS (
+  SELECT q.vec_id, q.qv,
+         list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) AS norm,
+         asg.cluster
+  FROM q JOIN asg USING (vec_id)
+)
+SELECT vec_id_a, vec_id_b, cluster, cos_q FROM (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.cluster AS cluster,
+         round(list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[])
+               / sqrt(a.norm * b.norm), 6) AS cos_q
+  FROM qna a JOIN qna b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+) WHERE cos_q >= {threshold}
+"""
+
+
+def text_dsir_weights_sql(target_lang: str = "en", buckets: int = 1024) -> str:
+    """Same md5-28-bit bucket hash and bit-length log2 proxy as
+    ``curation.dsir_weights`` — every value exact BIGINT."""
+    return f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(w[i + 1] || ' ' || w[i + 2]), 1, 7))::BIGINT % {buckets} AS b
+  FROM toks, unnest(range(len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+raw AS (SELECT b, count(*) AS rc FROM bg GROUP BY 1),
+tgt AS (SELECT b, count(*) AS tc FROM bg WHERE lang = '{target_lang}' GROUP BY 1),
+llr AS (
+  SELECT raw.b AS b,
+         CAST(length(bin(coalesce(tc, 0) + 1)) - length(bin(rc + 1)) AS BIGINT) AS l
+  FROM raw LEFT JOIN tgt USING (b)
+)
+SELECT doc_id, count(*) AS n_bigrams, CAST(sum(l) AS BIGINT) AS dsir_score
+FROM bg JOIN llr USING (b)
+GROUP BY 1
+"""
+
+
+def geo_quadkey_sql() -> str:
+    digits = " || ".join(
+        f"CAST((gy >> {layers.GRID_RES - i}) % 2 * 2 + (gx >> {layers.GRID_RES - i}) % 2 AS VARCHAR)"
+        for i in range(1, layers.GRID_RES + 1)
+    )
+    return f"""
+WITH {_pts0_only()}
+SELECT doc_id, qk AS quadkey, substr(qk, 1, 4) AS qk4
+FROM (SELECT doc_id, {digits} AS qk FROM pts0)
+"""
+
+
+def geo_rect_overlay_sql() -> str:
+    """Plain quadratic greatest/least intersection — the engine's cover-cell
+    PBSM join must emit exactly this pair set (each pair once)."""
+    return f"""
+WITH {_pts0_only()},
+parcels AS (
+  SELECT doc_id, gx AS ax0, gy AS ay0,
+         least(gx + {layers.PARCEL_W_SQL}, {layers.GRID_N}) AS ax1,
+         least(gy + {layers.PARCEL_H_SQL}, {layers.GRID_N}) AS ay1
+  FROM pts0
+),
+zones AS (SELECT * FROM {layers.zone_rects_sql_values()} AS z(zone_id, bx0, by0, bx1, by1))
+SELECT doc_id, zone_id,
+       greatest(ax0, bx0) AS ix0, greatest(ay0, by0) AS iy0,
+       least(ax1, bx1) AS ix1, least(ay1, by1) AS iy1,
+       CAST((least(ax1, bx1) - greatest(ax0, bx0))
+            * (least(ay1, by1) - greatest(ay0, by0)) AS BIGINT) AS area
+FROM parcels CROSS JOIN zones
+WHERE least(ax1, bx1) > greatest(ax0, bx0)
+  AND least(ay1, by1) > greatest(ay0, by0)
+"""
+
+
+def events_trajectory_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+st AS (
+  SELECT user_id,
+         abs(ex - lag(ex) OVER w) + abs(ey - lag(ey) OVER w) AS step
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) AS n_points,
+       CAST(coalesce(sum(step), 0) AS BIGINT) AS path_len,
+       CAST(sum(CASE WHEN step <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_stops,
+       CAST(coalesce(max(step), 0) AS BIGINT) AS max_step
+FROM st GROUP BY 1
+"""
+
+
+def webtext_snapshot_drift_sql() -> str:
+    return """
+WITH tk AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok, doc_id % 2 AS snap
+  FROM documents
+),
+cnt AS (
+  SELECT lang, tok,
+         sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS c1
+  FROM tk WHERE tok <> ''
+  GROUP BY 1, 2
+),
+tot AS (SELECT lang, sum(c0) AS t0, sum(c1) AS t1 FROM cnt GROUP BY 1)
+SELECT lang,
+       CAST(sum(abs(c0 * 1000000 // t0 - c1 * 1000000 // t1)) AS BIGINT) AS l1_drift_ppm,
+       count(*) AS n_tokens_vocab
+FROM cnt JOIN tot USING (lang)
+GROUP BY 1
+"""

@@ -2113,3 +2113,119 @@ def webtext_geo_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pages").cast("long").alias("n_pages"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 3: clustering / importance resampling / overlay / quadkey /
+# trajectories / snapshot drift
+# ---------------------------------------------------------------------------
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Lloyd's k-means over the quantized embedding corpus — the
+    TRAINED coarse quantizer ann.ivf_topk defers to at 10^12 rows (fixed
+    k ~ sqrt(N) centroids instead of a corpus-fraction sample). k=8,
+    2 Lloyd updates, every step exact int64; the oracle unrolls the same
+    two iterations (assignment / truncated-div centroid update) in SQL."""
+    from .operators import cluster
+
+    return cluster.kmeans_assign(_embs(spark, sf_dir), k=8, iters=2)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding near-dup pairs WITHIN k-means
+    clusters — the cluster equi-join bounds the pair space by cluster size
+    (pick k ~ N/1000 at corpus scale), never corpus-quadratic. Verify is
+    the same exact quantized cosine as dedup_embedding."""
+    from .operators import cluster
+
+    return cluster.semantic_dups(_embs(spark, sf_dir), k=8, iters=2, threshold=0.4)
+
+
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram log-ratio
+    score of each doc against the lang='en' target slice, for importance
+    resampling toward the target distribution. Feature dim bounded by the
+    1024 hash buckets (broadcast); bit-length log2 proxy keeps every value
+    exact BIGINT on both engines."""
+    from .operators import curation
+
+    return curation.dsir_weights(_docs(spark, sf_dir), target_lang="en")
+
+
+def geo_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quadkey, qk4): Bing-maps-style quadkey tile addresses at
+    zoom 10 — the Morton cell id rendered as base-4 digit string, whose
+    PREFIX structure makes tile parentage a string operation (qk4 = zoom-4
+    parent = first 4 digits). Pure JVM bit arithmetic fused with the scan;
+    no shuffle (plan pinned in tests)."""
+    pts = pages_src.doc_points_df(spark, sf_dir)
+    digits = [
+        (
+            (F.shiftright(F.col("gy"), layers.GRID_RES - i) % 2) * 2
+            + (F.shiftright(F.col("gx"), layers.GRID_RES - i) % 2)
+        ).cast("string")
+        for i in range(1, layers.GRID_RES + 1)
+    ]
+    return pts.select(
+        "doc_id",
+        F.concat(*digits).alias("quadkey"),
+    ).withColumn("qk4", F.substring("quadkey", 1, 4))
+
+
+def geo_rect_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle overlay join: per-doc page-footprint parcels × the fixed
+    zone layer, exact integer intersection areas — the axis-aligned case of
+    GIS polygon overlay. Scale path = cover-cell equi-join with the
+    duplicate-free PBSM reporting rule (operators/overlay.py); the zone dim
+    is 40 rows, but the plan never cross-joins the corpus."""
+    from .operators import overlay
+
+    parcels = pages_src.doc_points_df(spark, sf_dir).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("gx").alias("ax0"),
+        F.col("gy").alias("ay0"),
+        F.least(F.col("gx") + F.expr(layers.PARCEL_W_SQL), F.lit(layers.GRID_N)).alias("ax1"),
+        F.least(F.col("gy") + F.expr(layers.PARCEL_H_SQL), F.lit(layers.GRID_N)).alias("ay1"),
+    )
+    zones = spark.createDataFrame(
+        layers.zone_rects(), "b_id long, bx0 long, by0 long, bx1 long, by1 long"
+    )
+    return (
+        overlay.rect_overlay(parcels, zones, shift=6)
+        .select(
+            F.col("a_id").alias("doc_id"), F.col("b_id").alias("zone_id"),
+            "ix0", "iy0", "ix1", "iy1", "area",
+        )
+    )
+
+
+def webtext_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-distribution drift between two crawl snapshots
+    (doc_id parity splits the corpus into snapshot halves, as
+    webtext_snapshot_diff does): L1 distance of the unigram distributions
+    in exact integer ppm — the monitoring stat that detects corpus rot /
+    topic shift between crawls. Vocab-keyed aggregates only (uniform);
+    per-lang totals are a tiny dim joined back broadcast."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("snap", (F.col("doc_id") % 2).cast("long"))
+    )
+    cnt = toks.groupBy("lang", "tok").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tot = cnt.groupBy("lang").agg(
+        F.sum("c0").alias("t0"), F.sum("c1").alias("t1")
+    )
+    ppm = cnt.join(F.broadcast(tot), "lang").select(
+        "lang",
+        F.abs(
+            F.expr("c0 * 1000000 div t0") - F.expr("c1 * 1000000 div t1")
+        ).alias("d"),
+    )
+    return ppm.groupBy("lang").agg(
+        F.sum("d").cast("long").alias("l1_drift_ppm"),
+        F.count(F.lit(1)).alias("n_tokens_vocab"),
+    )
