@@ -66,6 +66,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_rect_overlay": q.geo_rect_overlay,      # PBSM rect overlay join, duplicate-free reporting (r4w3)
         "events_trajectory": rel.events_trajectory,  # per-user trajectory rollup (geo sessionization, r4w3)
         "webtext_snapshot_drift": q.webtext_snapshot_drift,  # unigram L1 drift between snapshots (r4w3)
+        "webtext_communities": q.webtext_communities,  # LPA host communities, packed modal argmax (r4w4)
+        "text_bpe_apply": q.text_bpe_apply,          # BPE tokenizer application to the corpus (r4w4)
+        "text_novelty": q.text_novelty,              # per-doc first-seen shingle novelty (r4w4)
+        "text_length_quantiles": q.text_length_quantiles,  # exact per-source p50/p90/p99 (r4w4)
         "graph_sdfg_interproc": q.graph_sdfg_interproc,  # argument_to_parameter + return_to_caller families (r4)
         "text_repetition": q.text_repetition,        # Gopher-style 2-gram repetition signals (r4)
         "dedup_url_canonical": q.dedup_url_canonical,  # crawl-URL canonicalization dedup (r4)
@@ -246,6 +250,10 @@ def oracle_sql() -> dict[str, str]:
         "geo_rect_overlay": oracle.geo_rect_overlay_sql(),
         "events_trajectory": oracle.events_trajectory_sql(),
         "webtext_snapshot_drift": oracle.webtext_snapshot_drift_sql(),
+        "webtext_communities": oracle.webtext_communities_sql(),
+        "text_bpe_apply": oracle.text_bpe_apply_sql(),
+        "text_novelty": oracle.text_novelty_sql(),
+        "text_length_quantiles": oracle.text_length_quantiles_sql(),
         "text_repetition": oracle.repetition_sql(),
         "dedup_url_canonical": oracle.url_canonical_dedup_sql(),
         "text_source_mix": oracle.source_mix_sql(),

@@ -108,6 +108,17 @@ HEADLINE = [
     "text_bigram_lm",         # bigram conditional-probability table
     "webtext_domain_reputation",  # PR+HITS+dup composite (end-to-end)
     "webtext_geo_regions",    # PIP join over the host dim + page rollup
+    "emb_kmeans",             # integer Lloyd's k-means (Arrow GEMM assignment)
+    "dedup_semantic",         # SemDeDup: near-dups within k-means clusters
+    "text_dsir_weights",      # DSIR hashed-bigram importance weights
+    "geo_quadkey",            # base-4 quadkey tile addressing (scan-bound)
+    "geo_rect_overlay",       # PBSM cover-cell rect overlay join
+    "events_trajectory",      # per-user trajectory window rollup
+    "webtext_snapshot_drift", # unigram L1 drift between snapshots
+    "webtext_communities",    # LPA host communities (3 modal iterations)
+    "text_bpe_apply",         # BPE tokenizer application (JVM replace chain)
+    "text_novelty",           # first-seen shingle novelty (dedup monitoring)
+    "text_length_quantiles",  # exact per-source length percentiles
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -213,6 +224,31 @@ SCALE2 = [
     # point set IS the host dim (fixed) with a linear page-count join.
     "multimodal_ahash", "text_bigram_lm", "webtext_domain_reputation",
     "webtext_geo_regions",
+    # r4 wave 7: emb_kmeans' per-iteration cost is one GEMM pass + a
+    # k-row aggregate (linear in corpus, k and iters fixed — the
+    # assignment cost is the measured quantity). dsir's bucket dim is
+    # fixed at 1024 and replication multiplies both distributions
+    # uniformly (identical llr, linear scoring). quadkey is scan-bound
+    # encode; rect_overlay is linear (parcels x fixed 40-zone dim);
+    # trajectory is a per-user window (replica ids extend the user key
+    # space, uniform); snapshot_drift is vocab-keyed with per-token ppm
+    # replication-invariant. dedup_semantic stays EXCLUDED: with k fixed
+    # at 8, a 10x corpus makes each cluster 10x and the intra-cluster
+    # pair space 100x (production scales k with N — the sf2 number would
+    # measure a config mismatch, not a scale-up; same class as
+    # dedup_jaccard's exclusion).
+    "emb_kmeans", "text_dsir_weights", "geo_quadkey", "geo_rect_overlay",
+    "events_trajectory", "webtext_snapshot_drift",
+    # r4 wave 8: communities' graph is host-bounded (replication multiplies
+    # edge multiplicities uniformly -> identical modal labels, same
+    # per-iteration cost shape); bpe_apply's merge table is learned from
+    # uniformly-scaled word counts (identical rules) and application is
+    # per-token map work (linear); length_quantiles is rank selection over
+    # the bounded source dim (linear sort per source). text_novelty stays
+    # EXCLUDED: identical-replica text makes every replica-doc's shingles
+    # non-novel (first-seen collapses to replica 0 — the measured quantity
+    # becomes the replication artifact, same class as dedup_jaccard).
+    "webtext_communities", "text_bpe_apply", "text_length_quantiles",
 ]
 
 

@@ -93,3 +93,35 @@ def bpe_train(docs: DataFrame, merges: int = 8) -> DataFrame:
     return spark.createDataFrame(
         rules, "merge_rank INT, sym_a STRING, sym_b STRING, pair_count BIGINT"
     )
+
+
+def bpe_apply(docs: DataFrame, merges: int = 8) -> DataFrame:
+    """Apply the learned merge table to the WHOLE corpus — the production
+    tokenize step that follows ``bpe_train`` (train once on word counts,
+    then encode every document). Returns per-doc tokenization stats:
+    (doc_id, n_words, n_tokens, n_chars) where n_tokens counts symbols
+    after all merges (n_tokens/n_chars is the compression the vocabulary
+    buys).
+
+    The merge table is collected (driver-sized BY DEFINITION — ``merges``
+    rows) and applied as a chain of JVM ``replace`` expressions fused with
+    the token scan: zero Python, zero extra shuffles beyond the final
+    per-doc aggregate. The bracket encoding makes each replace exactly
+    BPE's greedy disjoint merge (see the module note)."""
+    rules = bpe_train(docs, merges).orderBy("merge_rank").collect()
+    enc = _encode(F.col("tok"))
+    for r in rules:
+        enc = F.replace(
+            enc,
+            F.lit(f"({r['sym_a']})({r['sym_b']})"),
+            F.lit(f"({r['sym_a']}{r['sym_b']})"),
+        )
+    toks = tokens_df(docs).select(
+        "doc_id", enc.alias("enc"), F.length("tok").alias("nc")
+    )
+    n_sym = F.length("enc") - F.length(F.replace(F.col("enc"), F.lit("(")))
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(n_sym).cast("long").alias("n_tokens"),
+        F.sum("nc").cast("long").alias("n_chars"),
+    )

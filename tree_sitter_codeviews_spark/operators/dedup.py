@@ -567,3 +567,33 @@ def incremental_new_hashes(
     return fresh.groupBy(hash_col).agg(
         F.min("doc_id").cast("long").alias("first_doc_id")
     )
+
+
+def novelty_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc shingle NOVELTY against the whole corpus: the share of a
+    doc's distinct n-gram shingles whose globally-first occurrence (min
+    doc_id — ingestion order) is this doc. The dedup-monitoring curve a
+    crawl pipeline tracks per snapshot: novelty collapsing toward 0 means
+    the crawl is re-fetching what it already has.
+
+    (doc_id, n_shingles, n_novel, novelty_ppm) in exact integer ppm.
+    Scale: one min-aggregate on the shingle key and one join back on the
+    same key (both uniform by hashing; the first-occurrence dim is
+    vocab-sized — shuffle join, deliberately not broadcast), then a
+    per-doc rollup."""
+    sh = shingles_df(docs, n)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+            F.expr(
+                "sum(case when first_doc = doc_id then 1 else 0 end)"
+                " * 1000000 div count(*)"
+            ).alias("novelty_ppm"),
+        )
+    )

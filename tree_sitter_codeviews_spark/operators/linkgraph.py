@@ -181,3 +181,53 @@ def host_graph(
     return e.groupBy("src_host", "dst_host").agg(
         F.count("*").alias("n_links")
     )
+
+
+def label_propagation(
+    edges: DataFrame, nodes: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. 2007)
+    over an undirected view of (src, dst) edges — the community-detection
+    pass a crawl pipeline runs on the host graph (mirror families, link
+    farms) one level above ``connected_components``' reachability.
+
+    Labels are 28-bit md5 prefixes of the host name (engine↔oracle
+    portable, stable under any node ordering). Each iteration every node
+    takes the MODAL label among its neighbors (multiplicity counted,
+    multi-edges included), ties to the SMALLEST label; isolated nodes
+    keep their label. The modal argmax is packed into one BIGINT —
+    ``cnt * 2^29 + (2^28-1 - label)`` — so a plain ``max`` aggregate
+    resolves (count desc, label asc) identically in Spark and DuckDB,
+    and the whole run is bit-reproducible (no async/random order: the
+    classic LPA nondeterminism is removed by the synchronous schedule +
+    deterministic tie-break).
+
+    Scale: per iteration one shuffle on src (label join) and one on dst
+    (modal aggregate); the undirected edge frame is localCheckpointed
+    once and reused every round. Labels converge to community ids in
+    O(diameter) rounds; ``iterations`` is fixed so the oracle unrolls.
+    """
+    und = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    lbl = nodes.select(
+        "host",
+        F.conv(F.substring(F.md5(F.col("host")), 1, 7), 16, 10)
+        .cast("long").alias("lbl"),
+    )
+    for _ in range(iterations):
+        cnt = (
+            und.join(lbl.withColumnRenamed("host", "src"), "src")
+            .groupBy("dst", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        modal = cnt.groupBy("dst").agg(
+            (
+                F.lit(268435455)
+                - F.max(F.col("cnt") * 536870912 + (F.lit(268435455) - F.col("lbl")))
+                % 536870912
+            ).alias("new_lbl")
+        ).withColumnRenamed("dst", "host")
+        lbl = lbl.join(modal, "host", "left").select(
+            "host", F.coalesce("new_lbl", "lbl").alias("lbl")
+        )
+    return lbl.select("host", F.col("lbl").alias("community"))

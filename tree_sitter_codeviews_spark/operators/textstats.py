@@ -276,3 +276,33 @@ def bigram_lm(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
             .alias("cond_ppm"),
         )
     )
+
+
+def length_quantiles(docs: DataFrame) -> DataFrame:
+    """Exact per-source doc-length quantiles (p50/p90/p99 of n_chars) by
+    deterministic rank selection: row_number over (n_chars, doc_id) and
+    pick rank ceil(q*n) — the corpus-health panel a curation pipeline
+    watches per source/snapshot.
+
+    Exact per-group quantiles fundamentally sort each group; the window
+    funnels each source into one task, acceptable because the source dim
+    is bounded (a mixture has tens of sources, not millions) and the
+    selection rule must be exact to gate on. At corpus scale swap in a
+    two-phase range-partitioned selection or an approx sketch when ±ε
+    is tolerable."""
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select("source", "n_chars", "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("source")))
+
+    def pick(q: int):
+        return F.max(
+            F.when(F.col("rn") == F.expr(f"({q} * n + 99) div 100"), F.col("n_chars"))
+        ).cast("long")
+
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pick(50).alias("p50_chars"),
+        pick(90).alias("p90_chars"),
+        pick(99).alias("p99_chars"),
+    )

@@ -3283,3 +3283,134 @@ SELECT lang,
 FROM cnt JOIN tot USING (lang)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 4: label-propagation communities / BPE application / novelty /
+# exact length quantiles
+# ---------------------------------------------------------------------------
+
+def webtext_communities_sql(iterations: int = 3) -> str:
+    """Synchronous LPA unrolled: same md5-28-bit init labels, same packed
+    modal argmax (cnt * 2^29 + (2^28-1 - label), max), same
+    isolated-node coalesce as linkgraph.label_propagation."""
+    head = """
+WITH e AS (
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 7 + 1) % 100) AS dst
+  FROM documents
+  UNION ALL
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 13 + 2) % 100) AS dst
+  FROM documents
+),
+und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+nodes AS (SELECT printf('host%04d.example', i) AS host FROM range(100) t(i)),
+l0 AS (
+  SELECT host, ('0x' || substr(md5(host), 1, 7))::BIGINT AS lbl FROM nodes
+)"""
+    layers = []
+    for k in range(1, iterations + 1):
+        layers.append(f"""
+c{k} AS (
+  SELECT u.dst AS host, l.lbl AS lbl, count(*) AS cnt
+  FROM und u JOIN l{k - 1} l ON u.src = l.host
+  GROUP BY 1, 2
+),
+m{k} AS (
+  SELECT host,
+         268435455 - (max(cnt * 536870912 + (268435455 - lbl)) % 536870912) AS lbl
+  FROM c{k} GROUP BY 1
+),
+l{k} AS (
+  SELECT p.host, coalesce(m.lbl, p.lbl) AS lbl
+  FROM l{k - 1} p LEFT JOIN m{k} m USING (host)
+)""")
+        final = f"SELECT host, CAST(lbl AS BIGINT) AS community FROM l{iterations}"
+    return head + "," + ",".join(layers) + "\n" + final
+
+
+def text_bpe_apply_sql(merges: int = 8) -> str:
+    """bpe_train's unrolled rounds re-learn the merge table, then the
+    corpus token table runs through the same replace chain, one CTE layer
+    per rule."""
+    head = """
+WITH wc AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1
+),
+v0 AS (
+  SELECT '(' || array_to_string(string_split(tok, ''), ')(') || ')' AS seq, n
+  FROM wc
+),
+t0 AS (
+  SELECT doc_id,
+         '(' || array_to_string(string_split(tok, ''), ')(') || ')' AS enc,
+         length(tok) AS nc
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+)"""
+    layers = []
+    for k in range(1, merges + 1):
+        layers.append(f"""
+p{k} AS (
+  SELECT s[i] AS sym_a, s[i + 1] AS sym_b, CAST(sum(n) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(substring(seq, 2, length(seq) - 2), ')(') AS s, n
+        FROM v{k - 1}),
+       unnest(generate_series(1, len(s) - 1)) AS t(i)
+  WHERE len(s) >= 2
+  GROUP BY 1, 2
+),
+b{k} AS (
+  SELECT sym_a, sym_b FROM p{k}
+  ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1
+),
+v{k} AS (
+  SELECT replace(v.seq,
+                 '(' || b.sym_a || ')(' || b.sym_b || ')',
+                 '(' || b.sym_a || b.sym_b || ')') AS seq, v.n
+  FROM v{k - 1} v CROSS JOIN b{k} b
+),
+t{k} AS (
+  SELECT t.doc_id,
+         replace(t.enc,
+                 '(' || b.sym_a || ')(' || b.sym_b || ')',
+                 '(' || b.sym_a || b.sym_b || ')') AS enc, t.nc
+  FROM t{k - 1} t CROSS JOIN b{k} b
+)""")
+    final = f"""
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(length(enc) - length(replace(enc, '(', ''))) AS BIGINT) AS n_tokens,
+       CAST(sum(nc) AS BIGINT) AS n_chars
+FROM t{merges} GROUP BY 1"""
+    return head + "," + ",".join(layers) + final
+
+
+def text_novelty_sql() -> str:
+    return f"""
+WITH {_SHINGLES_CTE},
+first AS (SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY 1)
+SELECT sh.doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN fd = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN fd = sh.doc_id THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM sh JOIN first USING (shingle)
+GROUP BY 1
+"""
+
+
+def text_length_quantiles_sql() -> str:
+    picks = ", ".join(
+        f"CAST(max(CASE WHEN rn = ({q} * n + 99) // 100 THEN n_chars END) AS BIGINT) AS p{q}_chars"
+        for q in (50, 90, 99)
+    )
+    return f"""
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, {picks}
+FROM r GROUP BY 1
+"""

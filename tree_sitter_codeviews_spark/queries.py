@@ -2229,3 +2229,55 @@ def webtext_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").cast("long").alias("l1_drift_ppm"),
         F.count(F.lit(1)).alias("n_tokens_vocab"),
     )
+
+
+def webtext_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-community detection by deterministic synchronous label
+    propagation over the same host link graph as webtext_domain_rank —
+    the mirror-family / link-farm grouping pass one level above
+    connected components. 3 unrolled iterations, modal-label argmax
+    packed into one BIGINT (count desc, label asc) so both engines
+    resolve ties identically."""
+    from .operators import linkgraph
+
+    docs = _docs(spark, sf_dir)
+    src = F.format_string(
+        "host%04d.example", F.expr("(doc_id div 3) % 100")
+    ).alias("src")
+    e1 = docs.select(src, F.format_string(
+        "host%04d.example", (F.col("doc_id") * 7 + 1) % 100).alias("dst"))
+    e2 = docs.select(src, F.format_string(
+        "host%04d.example", (F.col("doc_id") * 13 + 2) % 100).alias("dst"))
+    nodes = spark.range(100).select(
+        F.format_string("host%04d.example", F.col("id")).alias("host")
+    )
+    return linkgraph.label_propagation(e1.unionAll(e2), nodes, iterations=3)
+
+
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: encode the whole corpus with the
+    bpe_train merge table (train once -> tokenize everything, the
+    production step after vocabulary induction). Per-doc
+    (n_words, n_tokens, n_chars); merge chain fused with the token scan
+    as JVM replaces; oracle re-learns the same rules and applies them
+    via unrolled CTE layers."""
+    from .operators import bpe
+
+    return bpe.bpe_apply(_docs(spark, sf_dir), merges=8)
+
+
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle novelty vs the whole corpus (share of the doc's
+    3-gram shingles first seen in this doc, by ingestion order) — the
+    crawl-health dedup-monitoring curve."""
+    from .operators import dedup
+
+    return dedup.novelty_stats(_docs(spark, sf_dir), n=3)
+
+
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source p50/p90/p99 doc-length quantiles by deterministic
+    rank selection — the corpus-health panel per source."""
+    from .operators import textstats
+
+    return textstats.length_quantiles(_docs(spark, sf_dir))
