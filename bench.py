@@ -119,6 +119,8 @@ HEADLINE = [
     "text_bpe_apply",         # BPE tokenizer application (JVM replace chain)
     "text_novelty",           # first-seen shingle novelty (dedup monitoring)
     "text_length_quantiles",  # exact per-source length percentiles
+    "geo_route_cells",        # trajectory DDA rasterization to res-5 cells
+    "geo_tile_autocorr",      # per-direction Moran numerator (tile grid)
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -249,6 +251,12 @@ SCALE2 = [
     # non-novel (first-seen collapses to replica 0 — the measured quantity
     # becomes the replication artifact, same class as dedup_jaccard).
     "webtext_communities", "text_bpe_apply", "text_length_quantiles",
+    # r4 wave 9: route_cells is window + bounded DDA explode + distinct on
+    # the uniform (user, cell) key (linear in events); tile_autocorr's
+    # aggregate table is grid-bounded (1024 tiles) — replication multiplies
+    # densities uniformly (pair structure identical, cost linear in the
+    # corpus scan).
+    "geo_route_cells", "geo_tile_autocorr",
 ]
 
 

@@ -177,3 +177,47 @@ def test_trajectory_matches_pandas_recompute(spark, sf_tiny):
             int(steps.max()) if len(steps) else 0,
         )
         assert got[int(uid)] == want
+
+
+# --- wave 5: route rasterization + tile autocorrelation -----------------------
+
+def test_route_cells_contains_both_endpoints(spark, sf_tiny):
+    """The DDA emits t=0 and t=L, so every ping's own res-5 cell must be in
+    the user's visited set."""
+    from tree_sitter_codeviews_spark import cells, queries
+    from tree_sitter_codeviews_spark.operators import relational  # noqa: F401
+
+    got = {
+        (r["user_id"], r["cell_id"])
+        for r in queries.geo_route_cells(spark, sf_tiny).collect()
+    }
+    ev = load_table(spark, sf_tiny, "events").select(
+        "user_id",
+        cells.morton_col(
+            F.shiftright(F.expr("(event_id * 48271 + 7) % 1024"), 5),
+            F.shiftright(F.expr("(event_id * 16807 + 12345) % 1024"), 5),
+            5,
+        ).alias("cell_id"),
+    )
+    multi = {
+        r["user_id"]
+        for r in load_table(spark, sf_tiny, "events")
+        .groupBy("user_id").count().filter(F.col("count") >= 2).collect()
+    }
+    for r in ev.collect():
+        if r["user_id"] in multi:
+            assert (r["user_id"], r["cell_id"]) in got
+
+
+def test_tile_autocorr_symmetric_directions(spark, sf_tiny):
+    """Adjacency is symmetric: direction (dx,dy) and (-dx,-dy) must report
+    identical pair counts and cross-product sums."""
+    from tree_sitter_codeviews_spark import queries
+
+    rows = {
+        (r["dx"], r["dy"]): (r["n_pairs"], r["sum_prod"])
+        for r in queries.geo_tile_autocorr(spark, sf_tiny).collect()
+    }
+    assert len(rows) == 8
+    for (dx, dy), v in rows.items():
+        assert rows[(-dx, -dy)] == v

@@ -3414,3 +3414,59 @@ WITH r AS (
 SELECT source, count(*) AS n_docs, {picks}
 FROM r GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 5: trajectory rasterization + tile spatial autocorrelation
+# ---------------------------------------------------------------------------
+
+def geo_route_cells_sql() -> str:
+    """Same exact-integer DDA: L = Chebyshev steps, xt = x0 + (dx*t)//L
+    (DuckDB ``//`` truncates toward zero, same as the engine's ``div``)."""
+    cell = cells.morton_sql("(xt >> 5)", "(yt >> 5)", 5)
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+seg AS (
+  SELECT user_id,
+         lag(ex) OVER w AS x0, lag(ey) OVER w AS y0,
+         ex AS x1, ey AS y1
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT *, greatest(abs(x1 - x0), abs(y1 - y0), 1) AS L
+  FROM seg WHERE x0 IS NOT NULL
+),
+pts AS (
+  SELECT user_id,
+         x0 + ((x1 - x0) * t) // L AS xt,
+         y0 + ((y1 - y0) * t) // L AS yt
+  FROM s2, unnest(generate_series(0, L)) AS g(t)
+)
+SELECT DISTINCT user_id, CAST({cell} AS BIGINT) AS cell_id FROM pts
+"""
+
+
+def geo_tile_autocorr_sql() -> str:
+    return f"""
+WITH {_pts0_only()},
+c AS (
+  SELECT gx >> 5 AS tx, gy >> 5 AS ty, count(*) AS n
+  FROM pts0 GROUP BY 1, 2
+),
+offsets AS (
+  SELECT * FROM (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,1), (1,-1), (1,0), (1,1))
+    AS o(dx, dy)
+),
+shifted AS (
+  SELECT c.tx + o.dx AS tx, c.ty + o.dy AS ty, o.dx, o.dy, c.n AS n_nbr
+  FROM c CROSS JOIN offsets o
+)
+SELECT CAST(s.dx AS BIGINT) AS dx, CAST(s.dy AS BIGINT) AS dy, count(*) AS n_pairs,
+       CAST(sum(c.n * s.n_nbr) AS BIGINT) AS sum_prod
+FROM c JOIN shifted s USING (tx, ty)
+GROUP BY 1, 2
+"""

@@ -2281,3 +2281,81 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textstats
 
     return textstats.length_quantiles(_docs(spark, sf_dir))
+
+
+def geo_route_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory rasterization: the distinct res-5 cells each user's route
+    visits — every consecutive ping pair becomes a line segment sampled by
+    an exact-integer DDA (L = Chebyshev length steps; xt = x0 +
+    (dx*t) div L — truncated division, identical in both engines), cells
+    by Morton encode of the res-7 coords. The map-matching / coverage
+    precursor: which tiles did this user's path touch.
+
+    Scale: the explode is bounded by segment length in cells (the DDA
+    emits L+1 samples — at res 5 a cross-grid segment is <= 32 cells wide after the shift, and real pings are dense so L is small); distinct
+    shuffles on the uniform (user, cell) key."""
+    from . import cells as cells_mod
+
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.lag("ex").over(w).alias("x0"), F.lag("ey").over(w).alias("y0"),
+        F.col("ex").alias("x1"), F.col("ey").alias("y1"),
+    ).filter(F.col("x0").isNotNull()).withColumn(
+        "L", F.greatest(F.abs(F.col("x1") - F.col("x0")),
+                        F.abs(F.col("y1") - F.col("y0")), F.lit(1)),
+    )
+    pts = seg.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.col("L"))).alias("t"),
+        "x0", "y0", "x1", "y1", "L",
+    ).select(
+        "user_id",
+        F.expr("x0 + ((x1 - x0) * t) div L").alias("xt"),
+        F.expr("y0 + ((y1 - y0) * t) div L").alias("yt"),
+    )
+    return pts.select(
+        "user_id",
+        cells_mod.morton_col(
+            F.shiftright("xt", 5), F.shiftright("yt", 5), 5
+        ).alias("cell_id"),
+    ).distinct()
+
+
+def geo_tile_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial autocorrelation components of the res-5 doc-density grid (32x32 - dense enough for adjacency at gate scale):
+    for each of the 8 neighbor offsets, the pair count and the exact
+    integer cross-product sum (the Moran's-I numerator, per direction —
+    anisotropy shows directly). One count aggregate on the tile key, one
+    offsets explode (8 rows per tile), one self equi-join on the shifted
+    key — never a spatial range scan."""
+    pts = pages_src.doc_points_df(spark, sf_dir).select(
+        F.shiftright("gx", 5).alias("tx"), F.shiftright("gy", 5).alias("ty")
+    )
+    c = pts.groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("n"))
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)],
+        "dx long, dy long",
+    )
+    shifted = c.crossJoin(F.broadcast(offsets)).select(
+        (F.col("tx") + F.col("dx")).alias("tx"),
+        (F.col("ty") + F.col("dy")).alias("ty"),
+        "dx", "dy", F.col("n").alias("n_nbr"),
+    )
+    return (
+        c.join(shifted, ["tx", "ty"])
+        .groupBy("dx", "dy")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("n") * F.col("n_nbr")).cast("long").alias("sum_prod"),
+        )
+    )
