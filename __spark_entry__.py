@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_quantiles": q.text_length_quantiles,  # exact per-source p50/p90/p99 (r4w4)
         "geo_route_cells": q.geo_route_cells,        # trajectory DDA rasterization to res-7 cells (r4w5)
         "geo_tile_autocorr": q.geo_tile_autocorr,    # per-direction Moran numerator over the tile grid (r4w5)
+        "events_funnel": rel.events_funnel,          # ordered view->click->purchase funnel stages (r4w6)
+        "events_retention": rel.events_retention,    # cohort retention triangle, integer epoch-days (r4w6)
+        "geo_tiles_incremental": q.geo_tiles_incremental,  # base+delta rollup merge == full recompute (r4w6)
         "graph_sdfg_interproc": q.graph_sdfg_interproc,  # argument_to_parameter + return_to_caller families (r4)
         "text_repetition": q.text_repetition,        # Gopher-style 2-gram repetition signals (r4)
         "dedup_url_canonical": q.dedup_url_canonical,  # crawl-URL canonicalization dedup (r4)
@@ -258,6 +261,9 @@ def oracle_sql() -> dict[str, str]:
         "text_length_quantiles": oracle.text_length_quantiles_sql(),
         "geo_route_cells": oracle.geo_route_cells_sql(),
         "geo_tile_autocorr": oracle.geo_tile_autocorr_sql(),
+        "events_funnel": oracle.events_funnel_sql(),
+        "events_retention": oracle.events_retention_sql(),
+        "geo_tiles_incremental": oracle.geo_tiles_incremental_sql(),
         "text_repetition": oracle.repetition_sql(),
         "dedup_url_canonical": oracle.url_canonical_dedup_sql(),
         "text_source_mix": oracle.source_mix_sql(),

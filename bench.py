@@ -121,6 +121,9 @@ HEADLINE = [
     "text_length_quantiles",  # exact per-source length percentiles
     "geo_route_cells",        # trajectory DDA rasterization to res-5 cells
     "geo_tile_autocorr",      # per-direction Moran numerator (tile grid)
+    "events_funnel",          # ordered conversion funnel (3 keyed aggregates)
+    "events_retention",       # cohort retention triangle (epoch-day ints)
+    "geo_tiles_incremental",  # base+delta rollup merge (monoid re-sum)
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -257,6 +260,11 @@ SCALE2 = [
     # densities uniformly (pair structure identical, cost linear in the
     # corpus scan).
     "geo_route_cells", "geo_tile_autocorr",
+    # r4 wave 10: funnel/retention are user-keyed aggregates + joins
+    # (linear; replica ids extend the user key space uniformly);
+    # tiles_incremental is two tile-keyed count aggregates + a re-sum
+    # (grid-bounded agg tables, linear scans).
+    "events_funnel", "events_retention", "geo_tiles_incremental",
 ]
 
 

@@ -98,3 +98,42 @@ def test_length_quantiles_match_pandas(spark, sf_tiny):
             vals[-(-99 * n // 100) - 1],
         )
         assert got[src] == want
+
+
+# --- wave 6: funnel / retention ------------------------------------------------
+
+def test_funnel_stages_match_pandas_recompute(spark, sf_tiny):
+    from tree_sitter_codeviews_spark.operators import relational
+
+    got = {
+        r["user_id"]: r["stage"]
+        for r in relational.events_funnel(spark, sf_tiny).collect()
+    }
+    ev = load_table(spark, sf_tiny, "events").select(
+        "user_id", "event_type", "ts"
+    ).toPandas()
+    for uid, g in ev.groupby("user_id"):
+        stage = 0
+        tv = g.loc[g.event_type == "view", "ts"].min()
+        if pd.notna(tv):
+            stage = 1
+            tc = g.loc[(g.event_type == "click") & (g.ts > tv), "ts"].min()
+            if pd.notna(tc):
+                stage = 2
+                tp = g.loc[(g.event_type == "purchase") & (g.ts > tc), "ts"].min()
+                if pd.notna(tp):
+                    stage = 3
+        assert got[uid] == stage
+    assert max(got.values()) >= 1  # funnel is non-vacuous
+
+
+def test_retention_day_zero_covers_every_user(spark, sf_tiny):
+    """Each cohort's offset-0 cell counts exactly its members (every user
+    is active on their own first day), and offsets are non-negative."""
+    from tree_sitter_codeviews_spark.operators import relational
+
+    rows = relational.events_retention(spark, sf_tiny).collect()
+    assert all(r["offset_days"] >= 0 for r in rows)
+    day0 = {r["cohort_day"]: r["n_users"] for r in rows if r["offset_days"] == 0}
+    n_users = load_table(spark, sf_tiny, "events").select("user_id").distinct().count()
+    assert sum(day0.values()) == n_users

@@ -426,3 +426,56 @@ def events_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("step") <= 16, 1).otherwise(0)).cast("long").alias("n_stops"),
         F.coalesce(F.max("step"), F.lit(0)).cast("long").alias("max_step"),
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): the stage each
+    user reached, where each stage must happen strictly AFTER the previous
+    one (min-timestamp per stage, conditioned on the prior stage's time) —
+    the classic event-analytics conversion query. Three aggregate passes
+    on the uniform user key + two broadcast-sized rejoins; no window over
+    the full event stream."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    tv = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    tc = (
+        ev.join(tv, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    tp = (
+        ev.join(tc, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    base = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        base.join(tv, "user_id", "left").join(tc, "user_id", "left")
+        .join(tp, "user_id", "left")
+        .select(
+            "user_id", "n_events",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0).cast("long").alias("stage"),
+        )
+    )
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day, a
+    row per (cohort_day, offset_days) with the distinct returning users —
+    day arithmetic in exact integer epoch-days so both engines agree. Two
+    aggregates on the uniform user key, one distinct-count rollup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days"))
+        .distinct()
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -3470,3 +3470,63 @@ SELECT CAST(s.dx AS BIGINT) AS dx, CAST(s.dy AS BIGINT) AS dy, count(*) AS n_pai
 FROM c JOIN shifted s USING (tx, ty)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 6: funnel / retention / incremental rollup maintenance
+# ---------------------------------------------------------------------------
+
+def events_funnel_sql() -> str:
+    return """
+WITH tv AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1
+),
+tc AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN tv USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > tv.t_view
+  GROUP BY 1
+),
+tp AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN tc USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > tc.t_click
+  GROUP BY 1
+),
+base AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+SELECT base.user_id, n_events,
+       CAST(CASE WHEN tp.t_purchase IS NOT NULL THEN 3
+                 WHEN tc.t_click IS NOT NULL THEN 2
+                 WHEN tv.t_view IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage
+FROM base
+LEFT JOIN tv USING (user_id)
+LEFT JOIN tc USING (user_id)
+LEFT JOIN tp USING (user_id)
+"""
+
+
+def events_retention_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events
+),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+SELECT cohort_day, offset_days, count(*) AS n_users
+FROM (
+  SELECT DISTINCT ev.user_id, cohort_day, day - cohort_day AS offset_days
+  FROM ev JOIN cohort USING (user_id)
+)
+GROUP BY 1, 2
+"""
+
+
+def geo_tiles_incremental_sql() -> str:
+    """FULL single-pass recompute — equality proves the engine's
+    base+delta merge lossless."""
+    cell = cells.morton_sql("(gx >> 3)", "(gy >> 3)", 7)
+    return f"""
+WITH {_pts0_only()}
+SELECT CAST({cell} AS BIGINT) AS cell_id, count(*) AS n_docs
+FROM pts0 GROUP BY 1
+"""

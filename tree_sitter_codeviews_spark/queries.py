@@ -2359,3 +2359,35 @@ def geo_tile_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n") * F.col("n_nbr")).cast("long").alias("sum_prod"),
         )
     )
+
+
+def geo_tiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: res-7 tile counts computed as a
+    MATERIALIZED base aggregate (the even-doc_id snapshot, localCheckpointed
+    to simulate the stored agg table) merged with the new snapshot's delta
+    aggregate — the don't-recompute-the-world pattern every 100 TB rollup
+    lives by (counts are a commutative monoid: merge = re-sum). The oracle
+    is the FULL single-pass recompute, so oracle equality proves the
+    incremental merge is lossless."""
+    from . import cells as cells_mod
+
+    pts = pages_src.doc_points_df(spark, sf_dir).select(
+        "doc_id",
+        cells_mod.morton_col(
+            F.shiftright("gx", 3), F.shiftright("gy", 3), 7
+        ).alias("cell_id"),
+    )
+    base = (
+        pts.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # the previously-materialized agg table
+    )
+    delta = (
+        pts.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        base.unionAll(delta)
+        .groupBy("cell_id")
+        .agg(F.sum("n").cast("long").alias("n_docs"))
+    )
