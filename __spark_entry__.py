@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": rel.events_funnel,          # ordered view->click->purchase funnel stages (r4w6)
         "events_retention": rel.events_retention,    # cohort retention triangle, integer epoch-days (r4w6)
         "geo_tiles_incremental": q.geo_tiles_incremental,  # base+delta rollup merge == full recompute (r4w6)
+        "geo_grid_dbscan": q.geo_grid_dbscan,        # grid-DBSCAN density clustering via CC (r4w7)
+        "webtext_triangles": q.webtext_triangles,    # per-host triangle counts, node-iterator (r4w7)
         "graph_sdfg_interproc": q.graph_sdfg_interproc,  # argument_to_parameter + return_to_caller families (r4)
         "text_repetition": q.text_repetition,        # Gopher-style 2-gram repetition signals (r4)
         "dedup_url_canonical": q.dedup_url_canonical,  # crawl-URL canonicalization dedup (r4)
@@ -264,6 +266,8 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": oracle.events_funnel_sql(),
         "events_retention": oracle.events_retention_sql(),
         "geo_tiles_incremental": oracle.geo_tiles_incremental_sql(),
+        "geo_grid_dbscan": oracle.geo_grid_dbscan_sql(),
+        "webtext_triangles": oracle.webtext_triangles_sql(),
         "text_repetition": oracle.repetition_sql(),
         "dedup_url_canonical": oracle.url_canonical_dedup_sql(),
         "text_source_mix": oracle.source_mix_sql(),

@@ -124,6 +124,8 @@ HEADLINE = [
     "events_funnel",          # ordered conversion funnel (3 keyed aggregates)
     "events_retention",       # cohort retention triangle (epoch-day ints)
     "geo_tiles_incremental",  # base+delta rollup merge (monoid re-sum)
+    "geo_grid_dbscan",        # grid-DBSCAN density clustering (CC over core cells)
+    "webtext_triangles",      # per-host triangle counts (node-iterator joins)
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -265,6 +267,11 @@ SCALE2 = [
     # tiles_incremental is two tile-keyed count aggregates + a re-sum
     # (grid-bounded agg tables, linear scans).
     "events_funnel", "events_retention", "geo_tiles_incremental",
+    # r4 wave 11: grid_dbscan's core-cell table is grid-bounded (1024
+    # tiles; replication multiplies densities uniformly — same core set,
+    # same adjacency, linear scan); triangles' edge set is host-bounded
+    # (distinct dedup absorbs the replica multi-edges).
+    "geo_grid_dbscan", "webtext_triangles",
 ]
 
 

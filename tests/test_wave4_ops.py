@@ -137,3 +137,72 @@ def test_retention_day_zero_covers_every_user(spark, sf_tiny):
     day0 = {r["cohort_day"]: r["n_users"] for r in rows if r["offset_days"] == 0}
     n_users = load_table(spark, sf_tiny, "events").select("user_id").distinct().count()
     assert sum(day0.values()) == n_users
+
+
+# --- wave 7: grid-DBSCAN + triangles ---------------------------------------------
+
+def test_grid_dbscan_clusters_are_adjacency_consistent(spark, sf_tiny):
+    """Cells in the same cluster are connected through core cells (verified
+    by a pure-Python BFS over the collected core set), and every cluster id
+    is the min cell id of its member set."""
+    from tree_sitter_codeviews_spark import queries
+
+    rows = queries.geo_grid_dbscan(spark, sf_tiny).collect()
+    # rebuild coords from the Morton id (res 5: interleaved 5+5 bits)
+    def coords(cell):
+        x = y = 0
+        for i in range(5):
+            x |= ((cell >> (2 * i)) & 1) << i
+            y |= ((cell >> (2 * i + 1)) & 1) << i
+        return x, y
+    cells_ = {r["cell_id"]: coords(r["cell_id"]) for r in rows}
+    # python CC over 8-adjacency
+    parent = {c: c for c in cells_}
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+    items = list(cells_.items())
+    for i, (c1, (x1, y1)) in enumerate(items):
+        for c2, (x2, y2) in items[i + 1:]:
+            if abs(x1 - x2) <= 1 and abs(y1 - y2) <= 1:
+                parent[find(c1)] = find(c2)
+    want = {}
+    for c in cells_:
+        want.setdefault(find(c), []).append(c)
+    expected = {c: min(members) for r, members in want.items() for c in members}
+    got = {r["cell_id"]: r["cluster"] for r in rows}
+    assert got == expected
+    assert any(v >= 2 for v in
+               __import__("collections").Counter(got.values()).values()), \
+        "no multi-cell cluster formed — fixture too sparse to exercise CC"
+
+
+def test_triangles_match_networkx_free_recompute(spark, sf_tiny):
+    """Brute-force triangle recount over the collected (host-bounded) edge
+    set equals the engine's per-host counts."""
+    from tree_sitter_codeviews_spark import queries
+
+    got = {r["host"]: r["n_triangles"]
+           for r in queries.webtext_triangles(spark, sf_tiny).collect()}
+    docs = load_table(spark, sf_tiny, "documents").select("doc_id").collect()
+    edges = set()
+    for r in docs:
+        d = r["doc_id"]
+        s = f"host{(d // 3) % 100:04d}.example"
+        for t in (f"host{(d * 7 + 1) % 100:04d}.example",
+                  f"host{(d * 13 + 2) % 100:04d}.example"):
+            if s != t:
+                edges.add((min(s, t), max(s, t)))
+    from collections import Counter, defaultdict
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    cnt = Counter()
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c: count each triangle once
+                cnt[a] += 1; cnt[b] += 1; cnt[c] += 1
+    assert got == dict(cnt)
+    assert cnt  # non-vacuous

@@ -3530,3 +3530,64 @@ WITH {_pts0_only()}
 SELECT CAST({cell} AS BIGINT) AS cell_id, count(*) AS n_docs
 FROM pts0 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 7: grid-DBSCAN spatial clustering + triangle counting
+# ---------------------------------------------------------------------------
+
+def geo_grid_dbscan_sql(minpts: int = 2) -> str:
+    """Core res-5 cells + 8-neighbor adjacency, recursive-CTE closure,
+    cluster = min reachable Morton cell id (same semantics as the engine's
+    connected_components)."""
+    cell = cells.morton_sql("tx", "ty", 5)
+    return f"""
+WITH RECURSIVE {_pts0_only()},
+core AS (
+  SELECT gx >> 5 AS tx, gy >> 5 AS ty, count(*) AS n_docs
+  FROM pts0 GROUP BY 1, 2
+  HAVING count(*) >= {minpts}
+),
+cid AS (SELECT tx, ty, CAST({cell} AS BIGINT) AS cell_id, n_docs FROM core),
+u AS (
+  SELECT a.cell_id AS src, b.cell_id AS dst
+  FROM cid a JOIN cid b
+    ON abs(a.tx - b.tx) <= 1 AND abs(a.ty - b.ty) <= 1
+   AND (a.tx <> b.tx OR a.ty <> b.ty)
+),
+r(node, comp) AS (
+  SELECT cell_id, cell_id FROM cid
+  UNION
+  SELECT u.dst, r.comp FROM r JOIN u ON u.src = r.node
+)
+SELECT cid.cell_id, min(r.comp) AS cluster, cid.n_docs
+FROM cid JOIN r ON r.node = cid.cell_id
+GROUP BY cid.cell_id, cid.n_docs
+"""
+
+
+def webtext_triangles_sql() -> str:
+    return """
+WITH raw AS (
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 7 + 1) % 100) AS dst
+  FROM documents
+  UNION ALL
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 13 + 2) % 100) AS dst
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT host, count(*) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS host FROM tri)
+GROUP BY 1
+"""

@@ -2391,3 +2391,90 @@ def geo_tiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell_id")
         .agg(F.sum("n").cast("long").alias("n_docs"))
     )
+
+
+def geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN spatial clustering of the crawl's point density: core
+    cells (res-5 tiles with >= minpts docs) clustered by 8-neighbor
+    adjacency — cluster id = min Morton cell id, via the engine's
+    size-adaptive connected_components. The grid quantization turns
+    DBSCAN's epsilon-range scan into an equi-join on shifted tile keys
+    (the standard distributed formulation); the adjacency graph is
+    grid-bounded (<= 8 edges/core cell), orders smaller than the corpus.
+
+    Output (cell_id, cluster, n_docs); isolated core cells are their own
+    clusters (unioned in after CC, which derives nodes from edges)."""
+    from .operators import graph_iter
+    from . import cells as cells_mod
+
+    minpts = 2
+    pts = pages_src.doc_points_df(spark, sf_dir).select(
+        F.shiftright("gx", 5).alias("tx"), F.shiftright("gy", 5).alias("ty")
+    )
+    core = (
+        pts.groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= minpts)
+        .withColumn("cell_id", cells_mod.morton_col(F.col("tx"), F.col("ty"), 5))
+        .localCheckpoint()  # consumed three times (two join sides + final union)
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)],
+        "dx long, dy long",
+    )
+    nbr = core.crossJoin(F.broadcast(offsets)).select(
+        (F.col("tx") + F.col("dx")).alias("tx"),
+        (F.col("ty") + F.col("dy")).alias("ty"),
+        F.col("cell_id").alias("src"),
+    )
+    edges = nbr.join(core.select("tx", "ty", F.col("cell_id").alias("dst")), ["tx", "ty"]).select("src", "dst")
+    cc = graph_iter.connected_components(edges).withColumnRenamed("node", "cell_id")
+    return (
+        core.select("cell_id", "n_docs")
+        .join(cc, "cell_id", "left")
+        .select(
+            "cell_id",
+            F.coalesce("component", "cell_id").alias("cluster"),
+            "n_docs",
+        )
+    )
+
+
+def webtext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle participation over the host link graph — the
+    clustering-coefficient numerator that separates organic link
+    neighborhoods from link farms. Multi-edges deduped, self-loops
+    dropped, edges oriented a<b so each triangle is enumerated exactly
+    once by two equi-joins (the node-iterator algorithm); the triangle
+    explode then counts per member host."""
+    docs = _docs(spark, sf_dir)
+    src = F.format_string(
+        "host%04d.example", F.expr("(doc_id div 3) % 100")
+    ).alias("src")
+    e1 = docs.select(src, F.format_string(
+        "host%04d.example", (F.col("doc_id") * 7 + 1) % 100).alias("dst"))
+    e2 = docs.select(src, F.format_string(
+        "host%04d.example", (F.col("doc_id") * 13 + 2) % 100).alias("dst"))
+    e = (
+        e1.unionAll(e2)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()  # consumed by all three join legs
+    )
+    tri = (
+        e.join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+        )
+        .join(
+            e.select(F.col("a").alias("_a"), F.col("b").alias("c")).withColumnRenamed("_a", "a"),
+            ["a", "c"],
+        )
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
