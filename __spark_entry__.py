@@ -77,6 +77,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tiles_incremental": q.geo_tiles_incremental,  # base+delta rollup merge == full recompute (r4w6)
         "geo_grid_dbscan": q.geo_grid_dbscan,        # grid-DBSCAN density clustering via CC (r4w7)
         "webtext_triangles": q.webtext_triangles,    # per-host triangle counts, node-iterator (r4w7)
+        "geo_region_centroids": q.geo_region_centroids,  # per-polygon doc centroid via PIP reuse (r4w8)
+        "events_anomaly": rel.events_anomaly,        # daily volume deviation panel, integer ppm (r4w8)
+        "dedup_minhash_calibration": q.dedup_minhash_calibration,  # est vs exact Jaccard per pair (r4w8)
+        # --- last driver row is r1 (stale bookkeeping, VERDICT #2) -------
+        "multimodal_meta": q.multimodal_meta,
+        "multimodal_frames": q.multimodal_frames,  # oracle-green since r2; driver still shows r1 rows-only
+        "orders_rollup": rel.orders_rollup,
         "graph_sdfg_interproc": q.graph_sdfg_interproc,  # argument_to_parameter + return_to_caller families (r4)
         "text_repetition": q.text_repetition,        # Gopher-style 2-gram repetition signals (r4)
         "dedup_url_canonical": q.dedup_url_canonical,  # crawl-URL canonicalization dedup (r4)
@@ -121,10 +128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed code paths this round -------------------------------
         "sql_event_windows": _sql_event_windows,  # sum quantized to integer micros (r4)
         "train_set": q.train_set,                 # decontamination leg checkpointed (r4)
-        # --- last driver row is r1 (stale bookkeeping, VERDICT #2) -------
-        "multimodal_meta": q.multimodal_meta,
-        "multimodal_frames": q.multimodal_frames,  # oracle-green since r2; driver still shows r1 rows-only
-        "orders_rollup": rel.orders_rollup,
         # --- last driver row is r2 (all 43 of them fit the window) -------
         "events_stream_windows": q.events_stream_windows,  # also schema-changed this round (micros)
         "graph_components": q.graph_components,    # CC driver arm: Arrow collect + 500k bound (r4)
@@ -268,6 +271,9 @@ def oracle_sql() -> dict[str, str]:
         "geo_tiles_incremental": oracle.geo_tiles_incremental_sql(),
         "geo_grid_dbscan": oracle.geo_grid_dbscan_sql(),
         "webtext_triangles": oracle.webtext_triangles_sql(),
+        "geo_region_centroids": oracle.geo_region_centroids_sql(),
+        "events_anomaly": oracle.events_anomaly_sql(),
+        "dedup_minhash_calibration": oracle.dedup_minhash_calibration_sql(),
         "text_repetition": oracle.repetition_sql(),
         "dedup_url_canonical": oracle.url_canonical_dedup_sql(),
         "text_source_mix": oracle.source_mix_sql(),

@@ -126,6 +126,9 @@ HEADLINE = [
     "geo_tiles_incremental",  # base+delta rollup merge (monoid re-sum)
     "geo_grid_dbscan",        # grid-DBSCAN density clustering (CC over core cells)
     "webtext_triangles",      # per-host triangle counts (node-iterator joins)
+    "geo_region_centroids",   # per-polygon doc centroid (PIP reuse + 1 agg)
+    "events_anomaly",         # daily volume deviation panel (ppm)
+    "dedup_minhash_calibration",  # est vs exact Jaccard (md5 64-perm twin)
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -272,6 +275,12 @@ SCALE2 = [
     # same adjacency, linear scan); triangles' edge set is host-bounded
     # (distinct dedup absorbs the replica multi-edges).
     "geo_grid_dbscan", "webtext_triangles",
+    # r4 wave 12: region_centroids is the flagship PIP shape + one
+    # aggregate (linear); events_anomaly is two keyed aggregates
+    # (linear). minhash_calibration stays EXCLUDED: identical-replica
+    # text squares its candidate-pair space (distribution-bound, same
+    # class as dedup_jaccard).
+    "geo_region_centroids", "events_anomaly",
 ]
 
 

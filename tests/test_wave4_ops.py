@@ -206,3 +206,61 @@ def test_triangles_match_networkx_free_recompute(spark, sf_tiny):
                 cnt[a] += 1; cnt[b] += 1; cnt[c] += 1
     assert got == dict(cnt)
     assert cnt  # non-vacuous
+
+
+# --- wave 8: centroids / anomaly / calibration -----------------------------------
+
+def test_region_centroid_lies_in_polygon_bbox(spark, sf_tiny):
+    """A region's doc centroid must sit inside the polygon's grid bbox
+    (containment sanity for the PIP-reuse composition)."""
+    from tree_sitter_codeviews_spark import layers, queries
+
+    got = {r["polygon_id"]: (r["cx_grid"], r["cy_grid"], r["n_docs"])
+           for r in queries.geo_region_centroids(spark, sf_tiny).collect()}
+    assert got  # non-vacuous
+    for p in layers.POLYGONS:
+        if p["polygon_id"] not in got:
+            continue
+        cx, cy, n = got[p["polygon_id"]]
+        assert n >= 1
+        xs = [pt[0] for pt in p["ring"]]
+        ys = [pt[1] for pt in p["ring"]]
+        lon = -180.0 + 360.0 * (cx + 0.5) / 1024
+        lat = -90.0 + 180.0 * (cy + 0.5) / 1024
+        # centroid of contained points lies in the convex bbox (1-cell slack
+        # for the grid-center offset)
+        cell = 360.0 / 1024
+        assert min(xs) - cell <= lon <= max(xs) + cell
+        assert min(ys) - cell <= lat <= max(ys) + cell
+
+
+def test_anomaly_shares_sum_to_about_one(spark, sf_tiny):
+    """Per event type, the day shares must sum to ~1e6 ppm (short only by
+    the truncation of integer division: < n_days ppm)."""
+    from tree_sitter_codeviews_spark.operators import relational
+
+    rows = relational.events_anomaly(spark, sf_tiny).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["share_ppm"])
+    for t, shares in by_type.items():
+        assert 1_000_000 - len(shares) <= sum(shares) <= 1_000_000
+
+
+def test_minhash_calibration_estimator_is_close(spark, sf_tiny):
+    """64-permutation MinHash: per-pair estimate within 4 sigma of the true
+    Jaccard (sigma = sqrt(j(1-j)/64)), and the mean absolute error under
+    half a sigma-at-j=0.5 — the estimator is unbiased, not just bounded."""
+    from tree_sitter_codeviews_spark.operators import dedup
+
+    docs = load_table(spark, sf_tiny, "documents")
+    rows = dedup.minhash_md5_calibration(docs, n=3, threshold_ppm=300_000).collect()
+    assert rows
+    errs = []
+    for r in rows:
+        j = r["jaccard_ppm"] / 1e6
+        sigma = (j * (1 - j) / 64) ** 0.5 * 1e6 or 1.0
+        err = abs(r["est_ppm"] - r["jaccard_ppm"])
+        assert err <= 4 * sigma + 15_625, (r, sigma)
+        errs.append(err)
+    assert sum(errs) / len(errs) <= 62_500 / 2  # half of sigma at j=0.5

@@ -597,3 +597,54 @@ def novelty_stats(docs: DataFrame, n: int = 3) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+def minhash_md5_calibration(
+    docs: DataFrame, n: int = 3, threshold_ppm: int = 300_000,
+) -> DataFrame:
+    """MinHash ESTIMATOR CALIBRATION: for every candidate pair above an
+    exact-Jaccard floor, both the 64-permutation MinHash estimate and the
+    exact Jaccard, in integer ppm — the eval query that tells you what
+    band/row LSH settings actually buy on YOUR corpus (est_ppm ~ the
+    match probability the banding formula plugs in).
+
+    Hasher is the md5-28..60-bit salted prefix so DuckDB mirrors it
+    bit-for-bit (same twin discipline as dedup_simhash's md5 leg);
+    production signatures stay on xxhash64 (``minhash_signatures``).
+    est_ppm = matching coordinates * 15625 (= 1e6/64, exact).
+    Scale: candidate pairs come from the shingle inverted index (never
+    all-pairs); signatures are one min-aggregate per doc."""
+    sh = shingles_df(docs, n).localCheckpoint()  # pairs + signatures + counts
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    jac = F.expr("inter * 1000000 div (na + nb - inter)")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("inter"))
+        .join(cnt.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na")), "doc_id_a")
+        .join(cnt.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb")), "doc_id_b")
+        .withColumn("jaccard_ppm", jac)
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("doc_id_a", "doc_id_b", "jaccard_ppm")
+    )
+    def _h(i: int):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15),
+            16, 10,
+        ).cast("long")
+    sig = sh.groupBy("doc_id").agg(
+        F.array(*[F.min(_h(i)).alias(f"m{i}") for i in range(64)]).alias("sig")
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    ) * 15625
+    return (
+        cand.join(sig.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a")), "doc_id_a")
+        .join(sig.select(F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b")), "doc_id_b")
+        .withColumn("est_ppm", est)
+        .select("doc_id_a", "doc_id_b", "jaccard_ppm", "est_ppm")
+    )

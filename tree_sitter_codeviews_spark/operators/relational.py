@@ -479,3 +479,26 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "offset_days")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly panel per event type: each (type, day)'s share
+    of the type's total volume vs the uniform per-day expectation, both in
+    exact integer ppm — the ops-monitoring deviation feed (a day whose
+    share_ppm sits far from expect_ppm is a spike or an outage). Two
+    keyed aggregates + one broadcast of the per-type totals dim."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", "day", "n",
+            F.expr("n * 1000000 div total").alias("share_ppm"),
+            F.expr("abs(n * 1000000 div total - 1000000 div n_days)").alias("dev_ppm"),
+        )
+    )

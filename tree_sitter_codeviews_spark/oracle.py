@@ -3591,3 +3591,73 @@ SELECT host, count(*) AS n_triangles
 FROM (SELECT unnest([a, b, c]) AS host FROM tri)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 8: region centroids / daily anomaly / minhash calibration
+# ---------------------------------------------------------------------------
+
+def geo_region_centroids_sql() -> str:
+    return f"""
+WITH {_pts_cte()}, {_edges_cte()},
+hits AS (
+  SELECT doc_id, gx, gy, polygon_id FROM (
+    SELECT p.doc_id, p.gx, p.gy, e.polygon_id, count(*) AS c
+    FROM pts p JOIN edges e ON ({_CROSSING})
+    GROUP BY 1, 2, 3, 4
+  ) WHERE c % 2 = 1
+)
+SELECT polygon_id, count(*) AS n_docs,
+       CAST(sum(gx) // count(*) AS BIGINT) AS cx_grid,
+       CAST(sum(gy) // count(*) AS BIGINT) AS cy_grid
+FROM hits GROUP BY 1
+"""
+
+
+def events_anomaly_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, sum(n) AS total, count(*) AS n_days FROM daily GROUP BY 1
+)
+SELECT event_type, day, n,
+       CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST(abs(n * 1000000 // total - 1000000 // n_days) AS BIGINT) AS dev_ppm
+FROM daily JOIN tot USING (event_type)
+"""
+
+
+def dedup_minhash_calibration_sql(threshold_ppm: int = 300_000) -> str:
+    """Same salted-md5 64-permutation MinHash and exact integer Jaccard as
+    dedup.minhash_md5_calibration."""
+    return f"""
+WITH {_SHINGLES_CTE},
+cand AS (
+  SELECT doc_id_a, doc_id_b,
+         CAST(inter * 1000000 // (ca.n + cb.n - inter) AS BIGINT) AS jaccard_ppm
+  FROM (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  JOIN cnt ca ON doc_id_a = ca.doc_id
+  JOIN cnt cb ON doc_id_b = cb.doc_id
+  WHERE inter * 1000000 // (ca.n + cb.n - inter) >= {threshold_ppm}
+),
+sig AS (
+  SELECT doc_id, i,
+         min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS mh
+  FROM sh, unnest(range(64)) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT c.doc_id_a, c.doc_id_b, c.jaccard_ppm,
+       CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 15625 AS BIGINT) AS est_ppm
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_id_a
+JOIN sig sb ON sb.doc_id = c.doc_id_b AND sb.i = sa.i
+GROUP BY 1, 2, 3
+"""

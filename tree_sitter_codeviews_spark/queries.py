@@ -2478,3 +2478,34 @@ def webtext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def geo_region_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polygon doc-density centroid: the two-phase PIP join reused with
+    (doc_id, gx, gy) carried through, then one aggregate — n_docs and the
+    integer grid centroid (sum div count, exact) per region. The
+    reverse-geocode rollup a geo dashboard draws region markers from."""
+    from .operators import pip_join
+    from . import cells as cells_mod
+
+    pts = pages_src.doc_points_df(spark, sf_dir).withColumn(
+        "cell", cells_mod.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+    )
+    hits = pip_join.pip_join(pts, spark, keys=("doc_id", "gx", "gy")).select(
+        "doc_id", "gx", "gy", "polygon_id"
+    )
+    return hits.groupBy("polygon_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(gx) div count(*)").alias("cx_grid"),
+        F.expr("sum(gy) div count(*)").alias("cy_grid"),
+    )
+
+
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: exact Jaccard vs the 64-coordinate
+    MinHash estimate per candidate pair, integer ppm — the eval that
+    grounds LSH band/row choices in measured estimator error (md5-salted
+    hasher so the oracle mirrors it; production stays on xxhash64)."""
+    from .operators import dedup
+
+    return dedup.minhash_md5_calibration(_docs(spark, sf_dir), n=3, threshold_ppm=300_000)
