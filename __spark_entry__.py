@@ -80,6 +80,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_region_centroids": q.geo_region_centroids,  # per-polygon doc centroid via PIP reuse (r4w8)
         "events_anomaly": rel.events_anomaly,        # daily volume deviation panel, integer ppm (r4w8)
         "dedup_minhash_calibration": q.dedup_minhash_calibration,  # est vs exact Jaccard per pair (r4w8)
+        "q7_nation_volume": rel.q7_nation_volume,    # TPC-H Q7 shape: nation-pair volume by year (r4w9)
+        "q10_returned_items": rel.q10_returned_items,  # TPC-H Q10 shape: returned-item top-20 (r4w9)
+        "q13_order_distribution": rel.q13_order_distribution,  # TPC-H Q13 shape: left-outer histogram (r4w9)
+        "q15_top_supplier": rel.q15_top_supplier,    # TPC-H Q15 shape: match-the-max supplier (r4w9)
         # --- last driver row is r1 (stale bookkeeping, VERDICT #2) -------
         "multimodal_meta": q.multimodal_meta,
         "multimodal_frames": q.multimodal_frames,  # oracle-green since r2; driver still shows r1 rows-only
@@ -274,6 +278,10 @@ def oracle_sql() -> dict[str, str]:
         "geo_region_centroids": oracle.geo_region_centroids_sql(),
         "events_anomaly": oracle.events_anomaly_sql(),
         "dedup_minhash_calibration": oracle.dedup_minhash_calibration_sql(),
+        "q7_nation_volume": oracle.q7_nation_volume_sql(),
+        "q10_returned_items": oracle.q10_returned_items_sql(),
+        "q13_order_distribution": oracle.q13_order_distribution_sql(),
+        "q15_top_supplier": oracle.q15_top_supplier_sql(),
         "text_repetition": oracle.repetition_sql(),
         "dedup_url_canonical": oracle.url_canonical_dedup_sql(),
         "text_source_mix": oracle.source_mix_sql(),

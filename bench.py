@@ -129,6 +129,10 @@ HEADLINE = [
     "geo_region_centroids",   # per-polygon doc centroid (PIP reuse + 1 agg)
     "events_anomaly",         # daily volume deviation panel (ppm)
     "dedup_minhash_calibration",  # est vs exact Jaccard (md5 64-perm twin)
+    "q7_nation_volume",       # TPC-H Q7 shape (two broadcast nation dims)
+    "q10_returned_items",     # TPC-H Q10 shape (quarter top-20)
+    "q13_order_distribution", # TPC-H Q13 shape (left-outer double agg)
+    "q15_top_supplier",       # TPC-H Q15 shape (match-the-max)
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated

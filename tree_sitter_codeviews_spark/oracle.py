@@ -3661,3 +3661,71 @@ JOIN sig sa ON sa.doc_id = c.doc_id_a
 JOIN sig sb ON sb.doc_id = c.doc_id_b AND sb.i = sa.i
 GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 9: TPC-H relational depth (q7/q10/q13/q15 shapes)
+# ---------------------------------------------------------------------------
+
+def q7_nation_volume_sql() -> str:
+    return """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(CAST(round(volume * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+     OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+)
+GROUP BY 1, 2, 3
+"""
+
+
+def q10_returned_items_sql() -> str:
+    return """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_e4 DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q13_order_distribution_sql() -> str:
+    return """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+"""
+
+
+def q15_top_supplier_sql() -> str:
+    return """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue_e4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+"""
