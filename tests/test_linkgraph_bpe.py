@@ -78,3 +78,23 @@ def test_containment_catches_subset_dup(spark):
     # the Jaccard twin at 0.5 misses exactly this pair
     j = dedup.jaccard_pairs_exact(docs, n=3, threshold=0.5).collect()
     assert j == []
+
+
+def test_bpe_handles_literal_parens_in_words(spark):
+    """Regression: a literal ')' or '(' inside a word must NOT corrupt
+    symbol splitting (the old bracket encoding turned 'a)b' into
+    '(a)()(b)' whose split invented a phantom empty symbol)."""
+    from tree_sitter_codeviews_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "a)b a)b a)b x(y x(y")], "doc_id long, text string"
+    )
+    rules = bpe.bpe_train(docs, merges=2).collect()
+    pairs = {(r["sym_a"], r["sym_b"]) for r in rules}
+    assert ("a", ")") in pairs or (")", "b") in pairs or ("a)", "b") in pairs
+    assert all(r["sym_a"] != "" and r["sym_b"] != "" for r in rules)
+    stats = {r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+             for r in bpe.bpe_apply(docs, merges=2).collect()}
+    n_words, n_tokens, n_chars = stats[1]
+    assert n_words == 5 and n_chars == 15  # parens count as real chars
+    assert 0 < n_tokens < n_chars  # merges compressed, nothing vanished

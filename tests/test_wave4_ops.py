@@ -60,10 +60,11 @@ def test_bpe_apply_matches_python_reference(spark, sf_tiny):
         words = row["text"].split(" ")
         n_tokens = 0
         for wd in words:
-            enc = "".join(f"({ch})" for ch in wd)
+            wd = wd.replace("\x01", "").replace("\x02", "")
+            enc = "".join(f"\x01{ch}\x02" for ch in wd)
             for a, b in rules:
-                enc = enc.replace(f"({a})({b})", f"({a}{b})")
-            n_tokens += enc.count("(")
+                enc = enc.replace(f"\x01{a}\x02\x01{b}\x02", f"\x01{a}{b}\x02")
+            n_tokens += enc.count("\x01")
         want = (len(words), n_tokens, sum(len(wd) for wd in words))
         assert got[row["doc_id"]] == want
     # merges actually compress: strictly fewer tokens than characters
@@ -264,3 +265,77 @@ def test_minhash_calibration_estimator_is_close(spark, sf_tiny):
         assert err <= 4 * sigma + 15_625, (r, sigma)
         errs.append(err)
     assert sum(errs) / len(errs) <= 62_500 / 2  # half of sigma at j=0.5
+
+
+# --- review fixes: degenerate-input guards ----------------------------------
+
+def test_apportion_budget_empty_and_zero_weights(spark):
+    from tree_sitter_codeviews_spark.operators import curation
+
+    empty = spark.createDataFrame([], "host string, n_tokens long")
+    out = curation.apportion_budget(empty, budget=100)
+    assert out.count() == 0
+    assert set(out.columns) >= {"host", "n_tokens", "base_quota", "alloc"}
+    zeros = spark.createDataFrame([("a", 0), ("b", 0)], "host string, n_tokens long")
+    assert curation.apportion_budget(zeros, budget=100).count() == 0
+
+
+def test_hits_integer_guards(spark):
+    import pytest as _pytest
+    from tree_sitter_codeviews_spark.operators import linkgraph
+
+    nodes = spark.createDataFrame([("a",), ("b",)], "host string")
+    no_edges = spark.createDataFrame([], "src string, dst string")
+    with _pytest.raises(ValueError, match="iterations"):
+        linkgraph.hits_integer(no_edges, nodes, iterations=0)
+    rows = linkgraph.hits_integer(no_edges, nodes, iterations=2).collect()
+    assert len(rows) == 2
+    assert all(r["hub_micro"] == 0 and r["auth_micro"] == 0 for r in rows)
+
+
+def test_crawl_schedule_uses_host_level_delay(spark):
+    """Rows of one host with different delay_ms must all schedule on the
+    host's max delay (politeness is a host property, not a row property)."""
+    from tree_sitter_codeviews_spark.operators import webtext
+
+    fr = spark.createDataFrame(
+        [("https://h.example/a", 9, 1000), ("https://h.example/b", 5, 100)],
+        "url string, priority long, delay_ms long",
+    )
+    rows = {r["url"]: r["fetch_offset_ms"]
+            for r in webtext.crawl_schedule(fr, budget=5).collect()}
+    assert rows["https://h.example/a"] == 0
+    assert rows["https://h.example/b"] == 1000  # NOT 100
+
+
+def test_robots_parse_drops_empty_disallow(spark):
+    """RFC 9309: the canonical allow-all file `Disallow:` yields NO rule —
+    and composed with robots_filter it must block nothing."""
+    from tree_sitter_codeviews_spark.operators import webtext
+
+    robots = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow:\n")], "host string, payload string"
+    )
+    rules = webtext.robots_parse(robots)
+    assert rules.filter(F.col("rule_type") == "disallow").count() == 0
+    pages = spark.createDataFrame(
+        [(1, "https://h.example/anything")], "doc_id long, url string"
+    )
+    prefix_rules = rules.filter(F.col("rule_type") == "disallow").select(
+        "host", F.col("value").alias("path_prefix")
+    )
+    assert webtext.robots_filter(pages, prefix_rules).count() == 1
+
+
+def test_outlinks_resolve_uppercase_scheme(spark):
+    """Pages fetched via 'HTTPS://HOST' must still resolve root-relative
+    hrefs (case-insensitive base match, lowercase-normalized host)."""
+    from tree_sitter_codeviews_spark.operators import webtext
+
+    pages = spark.createDataFrame(
+        [(1, "HTTPS://H.EXAMPLE/p", '<a href="/x">x</a><a href="https://o.example/y">y</a>')],
+        "doc_id long, url string, html string",
+    )
+    rows = {r["dst_url"] for r in webtext.outlink_extract(
+        pages, with_src_host=True).collect()}
+    assert rows == {"https://h.example/x", "https://o.example/y"}

@@ -11,14 +11,21 @@ driver-sized BY DEFINITION, exactly like k-means centroids), then a
 map-side string replace applies the rule.
 
 Symbol encoding is the load-bearing trick for cross-engine exactness:
-words are encoded as bracket-delimited symbol runs — ``batch`` ->
-``(b)(a)(t)(c)(h)`` — so applying merge (a,b) is the plain string replace
-``(a)(b)`` -> ``(ab)``. Adjacent pairs share NO characters (unlike
-space-delimited encodings, where ``a b a b`` replacing ``' a b '``
-consumes the shared space and misses the second pair), so left-to-right
-non-overlapping ``replace`` in Spark and DuckDB both implement exactly
-BPE's greedy disjoint merge: ``(a)(b)(a)(b)`` -> ``(ab)(ab)``,
-``(a)(a)(a)`` -> ``(aa)(a)``.
+words are encoded as delimiter-bracketed symbol runs — ``batch`` ->
+``\x01b\x02\x01a\x02...`` — so applying merge (a,b) is the plain string
+replace ``\x01a\x02\x01b\x02`` -> ``\x01ab\x02``. Adjacent pairs share
+NO characters (unlike space-delimited encodings, where ``a b a b``
+replacing ``' a b '`` consumes the shared space and misses the second
+pair), so left-to-right non-overlapping ``replace`` in Spark and DuckDB
+both implement exactly BPE's greedy disjoint merge.
+
+The delimiters are the control bytes \x01/\x02, NOT printable brackets:
+a literal ``(`` or ``)`` inside a word (ubiquitous in web text) would
+collide with a bracket encoding and corrupt pair splitting — ``a)b``
+encodes to ``(a)()(b)`` whose split invents a phantom empty symbol. Raw
+\x01/\x02 bytes in input tokens would collide the same way, so they are
+stripped before encoding (the one lossy preprocessing step, mirrored by
+the oracle; post-extraction web text virtually never contains them).
 """
 
 from __future__ import annotations
@@ -29,18 +36,24 @@ from pyspark.sql import functions as F
 from .dedup import tokens_df
 
 
+SEP_A = "\x01"  # symbol open
+SEP_B = "\x02"  # symbol close
+
+
 def _encode(col):
-    """word -> '(c1)(c2)...' bracket-delimited symbol run."""
+    """word -> delimiter-bracketed symbol run (collision-free: \x01/\x02
+    are stripped from the input first)."""
+    clean = F.translate(col, SEP_A + SEP_B, "")
     return F.concat(
-        F.lit("("),
-        F.array_join(F.split(col, ""), ")("),
-        F.lit(")"),
+        F.lit(SEP_A),
+        F.array_join(F.split(clean, ""), SEP_B + SEP_A),
+        F.lit(SEP_B),
     )
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     """Weighted adjacent-symbol pair counts over the (seq, n) vocab table."""
-    syms = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "\\)\\(")
+    syms = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), SEP_B + SEP_A)
     pairs = vocab.select(
         "n",
         F.explode(
@@ -85,8 +98,8 @@ def bpe_train(docs: DataFrame, merges: int = 8) -> DataFrame:
         if best is None:
             break
         rules.append((rank, best.sym_a, best.sym_b, best.pair_count))
-        pat = f"({best.sym_a})({best.sym_b})"
-        rep = f"({best.sym_a}{best.sym_b})"
+        pat = f"{SEP_A}{best.sym_a}{SEP_B}{SEP_A}{best.sym_b}{SEP_B}"
+        rep = f"{SEP_A}{best.sym_a}{best.sym_b}{SEP_B}"
         vocab = vocab.select(
             F.replace(F.col("seq"), F.lit(pat), F.lit(rep)).alias("seq"), "n"
         ).localCheckpoint()
@@ -113,13 +126,14 @@ def bpe_apply(docs: DataFrame, merges: int = 8) -> DataFrame:
     for r in rules:
         enc = F.replace(
             enc,
-            F.lit(f"({r['sym_a']})({r['sym_b']})"),
-            F.lit(f"({r['sym_a']}{r['sym_b']})"),
+            F.lit(f"{SEP_A}{r['sym_a']}{SEP_B}{SEP_A}{r['sym_b']}{SEP_B}"),
+            F.lit(f"{SEP_A}{r['sym_a']}{r['sym_b']}{SEP_B}"),
         )
     toks = tokens_df(docs).select(
-        "doc_id", enc.alias("enc"), F.length("tok").alias("nc")
+        "doc_id", enc.alias("enc"),
+        F.length(F.translate("tok", SEP_A + SEP_B, "")).alias("nc"),
     )
-    n_sym = F.length("enc") - F.length(F.replace(F.col("enc"), F.lit("(")))
+    n_sym = F.length("enc") - F.length(F.replace(F.col("enc"), F.lit(SEP_A)))
     return toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(n_sym).cast("long").alias("n_tokens"),

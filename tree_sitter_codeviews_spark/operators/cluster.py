@@ -87,13 +87,12 @@ def _assign(q: DataFrame, cmat: np.ndarray) -> DataFrame:
     return q.mapInPandas(_score, schema)
 
 
-def kmeans_fit(embs: DataFrame, k: int = 8, iters: int = 2) -> np.ndarray:
-    """Train k centroids with ``iters`` Lloyd updates; returns the k×d int64
-    centroid matrix. Init = quantized vectors of the k smallest vec_ids
-    (deterministic, oracle-reproducible)."""
+def _fit(q: DataFrame, k: int, iters: int) -> np.ndarray:
+    """Lloyd training over a pre-quantized (and ideally checkpointed)
+    frame — shared by fit/assign/semantic_dups so the corpus is quantized
+    and materialized ONCE per pipeline, not once per stage."""
     if k > _PACK:
         raise ValueError(f"kmeans_fit: k={k} exceeds argmin packing bound {_PACK}")
-    q = _quantized(embs).localCheckpoint()  # consumed iters+1 times
     init = q.orderBy("vec_id").limit(k).collect()
     cmat = np.array([r["qv"] for r in init], dtype=np.int64)
     dim = cmat.shape[1]
@@ -114,11 +113,20 @@ def kmeans_fit(embs: DataFrame, k: int = 8, iters: int = 2) -> np.ndarray:
     return cmat
 
 
+def kmeans_fit(embs: DataFrame, k: int = 8, iters: int = 2) -> np.ndarray:
+    """Train k centroids with ``iters`` Lloyd updates; returns the k×d int64
+    centroid matrix. Init = quantized vectors of the k smallest vec_ids
+    (deterministic, oracle-reproducible)."""
+    return _fit(_quantized(embs).localCheckpoint(), k, iters)
+
+
 def kmeans_assign(embs: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     """(vec_id, cluster, dist_q): final assignment against the trained
-    centroids. ``dist_q`` is the exact int64 squared quantized distance."""
-    q = _quantized(embs)
-    return _assign(q, kmeans_fit(embs, k=k, iters=iters))
+    centroids. ``dist_q`` is the exact int64 squared quantized distance.
+    The quantized frame is materialized once and reused by training AND
+    the final assignment pass."""
+    q = _quantized(embs).localCheckpoint()
+    return _assign(q, _fit(q, k, iters))
 
 
 def semantic_dups(
@@ -131,8 +139,9 @@ def semantic_dups(
     pair scan is the SemDeDup contract (cross-cluster near-dups are
     forfeit by design); the output itself is deterministic, so the gate
     oracle mirrors it exactly."""
-    asg = kmeans_assign(embs, k=k, iters=iters).select("vec_id", "cluster")
-    qn = _quantized(embs).withColumn(
+    q = _quantized(embs).localCheckpoint()  # one scan: fit + assign + verify
+    asg = _assign(q, _fit(q, k, iters)).select("vec_id", "cluster")
+    qn = q.withColumn(
         "norm",
         F.aggregate(F.transform("qv", lambda x: x * x),
                     F.lit(0).cast("long"), lambda acc, v: acc + v),

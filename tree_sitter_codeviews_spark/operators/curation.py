@@ -457,9 +457,21 @@ def apportion_budget(
     broadcast back): at web scale the "dim" is tens of millions of
     registered domains, so the rank must be distributed.
     """
-    w_total = int(
-        weights.agg(F.sum(weight_col).cast("long")).first()[0]
-    )
+    raw_total = weights.agg(F.sum(weight_col).cast("long")).first()[0]
+    if raw_total is None or raw_total <= 0:
+        # empty frontier / all-zero weights: nothing to apportion — return
+        # an empty zero-alloc frame with the contract schema instead of
+        # crashing on int(None) or folding a `div 0` into the plan (a
+        # crawl round that discovers no new hosts must not kill the job)
+        return weights.select(
+            F.col(key_col),
+            F.col(weight_col).cast("long").alias(weight_col),
+            F.lit(0).cast("long").alias("base_quota"),
+            F.lit(0).cast("long").alias("rem"),
+            F.lit(0).cast("long").alias("extra"),
+            F.lit(0).cast("long").alias("alloc"),
+        ).limit(0)
+    w_total = int(raw_total)
     j = weights.select(
         F.col(key_col).alias("key"),
         F.col(weight_col).cast("long").alias("weight"),

@@ -85,6 +85,27 @@ def prune_stop_shingles(sh: DataFrame, max_df: int) -> DataFrame:
     return sh.join(keep, "shingle", "left_semi")
 
 
+def pair_candidates(sh: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b, inter, na, nb) for every doc pair sharing at
+    least one shingle — the inverted-index candidate core shared by the
+    Jaccard / containment / MinHash-calibration measures (one self-join on
+    the shingle key, one per-pair intersection aggregate, two broadcast-
+    size count-dim joins). Callers localCheckpoint ``sh`` first (three
+    consumers, Spark has no common-subplan reuse)."""
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
+    return inter.join(ca, "doc_id_a").join(cb, "doc_id_b")
+
+
 def jaccard_pairs_exact(
     docs: DataFrame, n: int = 3, threshold: float = 0.5,
     max_df: int | None = None,
@@ -98,21 +119,9 @@ def jaccard_pairs_exact(
     sh = shingles_df(docs, n)
     if max_df is not None:
         sh = prune_stop_shingles(sh, max_df)
-    sh = sh.localCheckpoint()  # 3 consumers, no subplan reuse
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    ca = cnt.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
     j = (F.col("inter") * F.lit(1.0)) / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.join(ca, "doc_id_a").join(cb, "doc_id_b")
+        pair_candidates(sh.localCheckpoint())
         .withColumn("jaccard", F.round(j, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
@@ -460,20 +469,8 @@ def containment_pairs_exact(
     sh = shingles_df(docs, n)
     if max_df is not None:
         sh = prune_stop_shingles(sh, max_df)
-    sh = sh.localCheckpoint()  # 3 consumers, no subplan reuse
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    ca = cnt.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(ca, "doc_id_a").join(cb, "doc_id_b")
+        pair_candidates(sh.localCheckpoint())
         .withColumn(
             "containment_ppm",
             F.expr("inter * 1000000 div least(na, nb)"),
@@ -615,18 +612,9 @@ def minhash_md5_calibration(
     Scale: candidate pairs come from the shingle inverted index (never
     all-pairs); signatures are one min-aggregate per doc."""
     sh = shingles_df(docs, n).localCheckpoint()  # pairs + signatures + counts
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    jac = F.expr("inter * 1000000 div (na + nb - inter)")
     cand = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("inter"))
-        .join(cnt.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na")), "doc_id_a")
-        .join(cnt.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb")), "doc_id_b")
-        .withColumn("jaccard_ppm", jac)
+        pair_candidates(sh)
+        .withColumn("jaccard_ppm", F.expr("inter * 1000000 div (na + nb - inter)"))
         .filter(F.col("jaccard_ppm") >= threshold_ppm)
         .select("doc_id_a", "doc_id_b", "jaccard_ppm")
     )

@@ -106,6 +106,8 @@ def hits_integer(
     nodes — measured: plan stringification alone OOMs the driver at k=5).
     The checkpoint materializes only node-dim rank tables, orders smaller
     than the edge table, and keeps every plan iteration-local."""
+    if iterations < 1:
+        raise ValueError("hits_integer: iterations must be >= 1")
     ed = edges.select("src", "dst").localCheckpoint()
     hubs = nodes.select(
         F.col("host").alias("node"), F.lit(RANK_SCALE).alias("hub_micro")
@@ -117,7 +119,9 @@ def hits_integer(
             .groupBy(ed["dst"].alias("node"))
             .agg(F.sum("hub_micro").alias("raw"))
         ).localCheckpoint()
-        amax = araw.agg(F.max("raw").alias("mx"))
+        amax = araw.agg(
+            F.greatest(F.coalesce(F.max("raw"), F.lit(1)), F.lit(1)).alias("mx")
+        )
         auths = (
             nodes.select(F.col("host").alias("node"))
             .join(araw, "node", "left")
@@ -134,7 +138,9 @@ def hits_integer(
             .groupBy(ed["src"].alias("node"))
             .agg(F.sum("auth_micro").alias("raw"))
         ).localCheckpoint()
-        hmax = hraw.agg(F.max("raw").alias("mx"))
+        hmax = hraw.agg(
+            F.greatest(F.coalesce(F.max("raw"), F.lit(1)), F.lit(1)).alias("mx")
+        )
         hubs = (
             nodes.select(F.col("host").alias("node"))
             .join(hraw, "node", "left")

@@ -469,7 +469,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     day arithmetic in exact integer epoch-days so both engines agree. Two
     aggregates on the uniform user key, one distinct-count rollup."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("day")
+        "user_id", F.expr("CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT)").alias("day")
     )
     cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
@@ -488,7 +488,7 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     share_ppm sits far from expect_ppm is a spike or an outage). Two
     keyed aggregates + one broadcast of the per-type totals dim."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("day")
+        "event_type", F.expr("CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT)").alias("day")
     )
     daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
     tot = daily.groupBy("event_type").agg(

@@ -223,7 +223,11 @@ def outlink_extract(
     (for host-graph aggregation — carried through the explode so callers
     never re-join the page table). Pure per-row map work: explode fan-out
     is bounded by links-per-page; no shuffle, fused with the scan."""
-    base = F.regexp_extract(F.col(url_col), "^https?://[^/]+", 0)
+    # case-insensitive scheme/host match (URLs in the wild carry
+    # 'HTTPS://HOST' variants — a lowercase-only pattern yields base=''
+    # and root-relative hrefs would "resolve" to bare '/path' strings),
+    # normalized to lowercase for stable host keys downstream
+    base = F.lower(F.regexp_extract(F.col(url_col), "(?i)^https?://[^/]+", 0))
     elems = F.regexp_extract_all(
         F.col(html_col),
         F.lit('(?s)<a [^>]*href="[^"]*"[^>]*>.*?</a>'),
@@ -247,9 +251,12 @@ def outlink_extract(
         )
     )
     resolved = (
-        F.when(href.rlike("^https?://"), href)
-        .when(href.startswith("/"), F.concat(F.col("base"), href))
-        .otherwise(F.lit(None))
+        F.when(href.rlike("(?i)^https?://"), href)
+        .when(
+            href.startswith("/") & (F.col("base") != ""),
+            F.concat(F.col("base"), href),
+        )
+        .otherwise(F.lit(None))  # incl. root-relative under an unparseable base
     )
     src_cols = (
         [F.regexp_replace(F.col("base"), "^https?://", "").alias("src_host")]
@@ -355,7 +362,14 @@ def crawl_schedule(
     be billions of URLs; the schedule is dim-sized. Skewed mega-hosts
     cost one partition's top-k, not a cross-host straggler."""
     host = F.regexp_extract(F.col(url_col), "^https?://([^/]+)", 1)
-    delay = (
+    # the delay is a property of the HOST, not of the frontier row: rows
+    # of one host can carry different delay_ms (stale robots snapshots,
+    # per-path hints), and using each row's own value lets a low-delay row
+    # fire inside a high-delay neighbor's window. Resolve the host's
+    # effective delay as the MAX over its rows (the conservative polite
+    # choice) over the same host window the rank already shuffles on —
+    # no extra exchange.
+    delay_row = (
         F.coalesce(F.col(delay_col), F.lit(base_delay_ms))
         if delay_col in frontier.columns
         else F.lit(base_delay_ms)
@@ -363,8 +377,10 @@ def crawl_schedule(
     w = Window.partitionBy("host").orderBy(
         F.col(priority_col).desc(), F.col(url_col).asc()
     )
+    whost = Window.partitionBy("host")
     return (
         frontier.withColumn("host", host)
+        .withColumn("host_delay", F.max(delay_row).over(whost))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= budget)
         .select(
@@ -372,7 +388,7 @@ def crawl_schedule(
             F.col("rnk").cast("int").alias("rnk"),
             F.col(url_col).alias("url"),
             F.col(priority_col).cast("long").alias("priority"),
-            ((F.col("rnk") - 1) * delay).cast("long").alias("fetch_offset_ms"),
+            ((F.col("rnk") - 1) * F.col("host_delay")).cast("long").alias("fetch_offset_ms"),
         )
     )
 
@@ -609,7 +625,14 @@ def robots_parse(robots: DataFrame, payload_col: str = "payload") -> DataFrame:
     agents = grouped.filter(F.col("kind") == "agent").select(
         "host", "grp", F.col("value").alias("agent")
     )
-    rules = grouped.filter(F.col("kind") != "agent").select(
+    # RFC 9309: an EMPTY Disallow/Allow value means "no rule" (the
+    # canonical allow-all file is `Disallow:`); emitting it would give
+    # robots_filter an empty path_prefix that startswith-matches EVERY
+    # page — the exact inverse. Drop empty-value path rules.
+    rules = grouped.filter(
+        (F.col("kind") != "agent")
+        & ((F.col("kind") == "crawl-delay") | (F.col("value") != ""))
+    ).select(
         "host", "grp", F.col("kind").alias("rule_type"), "value", "line_no"
     )
     return agents.join(rules, ["host", "grp"]).select(

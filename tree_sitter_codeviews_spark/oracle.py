@@ -2240,7 +2240,9 @@ WITH wc AS (
   GROUP BY 1
 ),
 v0 AS (
-  SELECT '(' || array_to_string(string_split(tok, ''), ')(') || ')' AS seq, n
+  SELECT chr(1) || array_to_string(
+           string_split(replace(replace(tok, chr(1), ''), chr(2), ''), ''),
+           chr(2) || chr(1)) || chr(2) AS seq, n
   FROM wc
 )"""
     layers = []
@@ -2249,7 +2251,8 @@ v0 AS (
         layers.append(f"""
 p{k} AS (
   SELECT s[i] AS sym_a, s[i + 1] AS sym_b, CAST(sum(n) AS BIGINT) AS pair_count
-  FROM (SELECT string_split(substring(seq, 2, length(seq) - 2), ')(') AS s, n
+  FROM (SELECT string_split(substring(seq, 2, length(seq) - 2),
+                            chr(2) || chr(1)) AS s, n
         FROM v{k - 1}),
        unnest(generate_series(1, len(s) - 1)) AS t(i)
   WHERE len(s) >= 2
@@ -2261,8 +2264,8 @@ b{k} AS (
 ),
 v{k} AS (
   SELECT replace(v.seq,
-                 '(' || b.sym_a || ')(' || b.sym_b || ')',
-                 '(' || b.sym_a || b.sym_b || ')') AS seq, v.n
+                 chr(1) || b.sym_a || chr(2) || chr(1) || b.sym_b || chr(2),
+                 chr(1) || b.sym_a || b.sym_b || chr(2)) AS seq, v.n
   FROM v{k - 1} v CROSS JOIN b{k} b
 )""")
         finals.append(
@@ -2289,7 +2292,7 @@ page AS (
 ),
 el AS (
   SELECT doc_id,
-         regexp_extract(url, '^https?://[^/]+') AS base,
+         lower(regexp_extract(url, '(?i)^https?://[^/]+')) AS base,
          regexp_extract_all(html,
            '(?s)<a [^>]*href="[^"]*"[^>]*>.*?</a>') AS a
   FROM page
@@ -2309,11 +2312,11 @@ parsed AS (
 links AS (
   SELECT doc_id, CAST(link_idx AS INT) AS link_idx,
          regexp_replace(base, '^https?://', '') AS src_host,
-         CASE WHEN regexp_matches(href, '^https?://') THEN href
-              WHEN href LIKE '/%' THEN base || href END AS dst_url,
+         CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+              WHEN href LIKE '/%' AND base <> '' THEN base || href END AS dst_url,
          anchor_text
   FROM parsed
-  WHERE regexp_matches(href, '^https?://') OR href LIKE '/%'
+  WHERE regexp_matches(href, '(?i)^https?://') OR (href LIKE '/%' AND base <> '')
 )"""
 
 
@@ -2558,7 +2561,10 @@ WITH fr AS (
 ),
 w AS (
   SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
-         url, priority, coalesce(delay_ms, {base_delay_ms}) AS delay,
+         url, priority,
+         max(coalesce(delay_ms, {base_delay_ms})) OVER (
+           PARTITION BY regexp_extract(url, '^https?://([^/]+)', 1)
+         ) AS delay,
          row_number() OVER (
            PARTITION BY regexp_extract(url, '^https?://([^/]+)', 1)
            ORDER BY priority DESC, url) AS rnk
@@ -2858,6 +2864,7 @@ rb AS (
   SELECT printf('host%04d.example', hn) AS host,
     '# robots' || chr(10) || 'User-agent: *' || chr(10)
     || 'Disallow: /private' || chr(10)
+    || CASE WHEN hn % 4 = 1 THEN 'Disallow:' || chr(10) ELSE '' END
     || CASE WHEN hn % 3 = 0 THEN 'Allow: /public' || chr(10) ELSE '' END
     || printf('Crawl-delay: %d', hn % 5 + 1) || chr(10) || chr(10)
     || 'User-agent: gptbot' || chr(10) || 'User-agent: ccbot' || chr(10)
@@ -2889,7 +2896,10 @@ ag AS (
          rn - row_number() OVER (PARTITION BY host ORDER BY rn) AS island
   FROM t2 WHERE kind = 'agent'
 ),
-ru AS (SELECT * FROM t2 WHERE kind <> 'agent')
+ru AS (
+  SELECT * FROM t2
+  WHERE kind <> 'agent' AND (kind = 'crawl-delay' OR value <> '')
+)
 SELECT ru.host, ag.value AS agent, ru.kind AS rule_type, ru.value,
        CAST(ru.line_no AS BIGINT) AS line_no
 FROM ru JOIN ag ON ru.host = ag.host AND ag.rn < ru.rn
@@ -3341,13 +3351,17 @@ WITH wc AS (
   GROUP BY 1
 ),
 v0 AS (
-  SELECT '(' || array_to_string(string_split(tok, ''), ')(') || ')' AS seq, n
+  SELECT chr(1) || array_to_string(
+           string_split(replace(replace(tok, chr(1), ''), chr(2), ''), ''),
+           chr(2) || chr(1)) || chr(2) AS seq, n
   FROM wc
 ),
 t0 AS (
   SELECT doc_id,
-         '(' || array_to_string(string_split(tok, ''), ')(') || ')' AS enc,
-         length(tok) AS nc
+         chr(1) || array_to_string(
+           string_split(replace(replace(tok, chr(1), ''), chr(2), ''), ''),
+           chr(2) || chr(1)) || chr(2) AS enc,
+         length(replace(replace(tok, chr(1), ''), chr(2), '')) AS nc
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
 )"""
     layers = []
@@ -3355,7 +3369,8 @@ t0 AS (
         layers.append(f"""
 p{k} AS (
   SELECT s[i] AS sym_a, s[i + 1] AS sym_b, CAST(sum(n) AS BIGINT) AS pair_count
-  FROM (SELECT string_split(substring(seq, 2, length(seq) - 2), ')(') AS s, n
+  FROM (SELECT string_split(substring(seq, 2, length(seq) - 2),
+                            chr(2) || chr(1)) AS s, n
         FROM v{k - 1}),
        unnest(generate_series(1, len(s) - 1)) AS t(i)
   WHERE len(s) >= 2
@@ -3367,20 +3382,20 @@ b{k} AS (
 ),
 v{k} AS (
   SELECT replace(v.seq,
-                 '(' || b.sym_a || ')(' || b.sym_b || ')',
-                 '(' || b.sym_a || b.sym_b || ')') AS seq, v.n
+                 chr(1) || b.sym_a || chr(2) || chr(1) || b.sym_b || chr(2),
+                 chr(1) || b.sym_a || b.sym_b || chr(2)) AS seq, v.n
   FROM v{k - 1} v CROSS JOIN b{k} b
 ),
 t{k} AS (
   SELECT t.doc_id,
          replace(t.enc,
-                 '(' || b.sym_a || ')(' || b.sym_b || ')',
-                 '(' || b.sym_a || b.sym_b || ')') AS enc, t.nc
+                 chr(1) || b.sym_a || chr(2) || chr(1) || b.sym_b || chr(2),
+                 chr(1) || b.sym_a || b.sym_b || chr(2)) AS enc, t.nc
   FROM t{k - 1} t CROSS JOIN b{k} b
 )""")
     final = f"""
 SELECT doc_id, count(*) AS n_words,
-       CAST(sum(length(enc) - length(replace(enc, '(', ''))) AS BIGINT) AS n_tokens,
+       CAST(sum(length(enc) - length(replace(enc, chr(1), ''))) AS BIGINT) AS n_tokens,
        CAST(sum(nc) AS BIGINT) AS n_chars
 FROM t{merges} GROUP BY 1"""
     return head + "," + ",".join(layers) + final

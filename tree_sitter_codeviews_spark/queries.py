@@ -1447,6 +1447,27 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _host_edges(docs: DataFrame):
+    """The shared host link-graph fixture: every doc's crawl host emits two
+    deterministic host->host links. SINGLE source of truth for the five
+    link-analysis queries (rank/HITS/communities/triangles/reputation) —
+    they must all see the identical graph. Mirrored by the oracle CTEs."""
+    src = F.format_string(
+        "host%04d.example", F.expr("(doc_id div 3) % 100")
+    ).alias("src")
+    e1 = docs.select(src, F.format_string(
+        "host%04d.example", (F.col("doc_id") * 7 + 1) % 100).alias("dst"))
+    e2 = docs.select(src, F.format_string(
+        "host%04d.example", (F.col("doc_id") * 13 + 2) % 100).alias("dst"))
+    return e1.unionAll(e2)
+
+
+def _host_nodes(spark: SparkSession):
+    return spark.range(100).select(
+        F.format_string("host%04d.example", F.col("id")).alias("host")
+    )
+
+
 def webtext_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank over the host link graph (the CommonCrawl-style
     domain-centrality weighting a crawl pipeline prunes/prioritizes by).
@@ -1457,18 +1478,9 @@ def webtext_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the same 10 layers in DuckDB."""
     from .operators import linkgraph
 
-    docs = _docs(spark, sf_dir)
-    src = F.format_string(
-        "host%04d.example", F.expr("(doc_id div 3) % 100")
-    ).alias("src")
-    e1 = docs.select(src, F.format_string(
-        "host%04d.example", (F.col("doc_id") * 7 + 1) % 100).alias("dst"))
-    e2 = docs.select(src, F.format_string(
-        "host%04d.example", (F.col("doc_id") * 13 + 2) % 100).alias("dst"))
-    nodes = spark.range(100).select(
-        F.format_string("host%04d.example", F.col("id")).alias("host")
-    )
-    return linkgraph.pagerank_integer(e1.unionAll(e2), nodes, iterations=10)
+    edges = _host_edges(_docs(spark, sf_dir))
+    nodes = _host_nodes(spark)
+    return linkgraph.pagerank_integer(edges, nodes, iterations=10)
 
 
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1523,18 +1535,9 @@ def webtext_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the same 10 join+aggregate layers in DuckDB."""
     from .operators import linkgraph
 
-    docs = _docs(spark, sf_dir)
-    src = F.format_string(
-        "host%04d.example", F.expr("(doc_id div 3) % 100")
-    ).alias("src")
-    e1 = docs.select(src, F.format_string(
-        "host%04d.example", (F.col("doc_id") * 7 + 1) % 100).alias("dst"))
-    e2 = docs.select(src, F.format_string(
-        "host%04d.example", (F.col("doc_id") * 13 + 2) % 100).alias("dst"))
-    nodes = spark.range(100).select(
-        F.format_string("host%04d.example", F.col("id")).alias("host")
-    )
-    return linkgraph.hits_integer(e1.unionAll(e2), nodes, iterations=5)
+    edges = _host_edges(_docs(spark, sf_dir))
+    nodes = _host_nodes(spark)
+    return linkgraph.hits_integer(edges, nodes, iterations=5)
 
 
 def webtext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1878,7 +1881,10 @@ def webtext_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     per host with a comment line, a '*' group (Disallow /private,
     Crawl-delay 1+h%5, plus Allow /public on h%3==0) and a two-agent
     group (gptbot+ccbot sharing 'Disallow: /') — the multi-agent group is
-    the case naive line-pairing parsers get wrong."""
+    the case naive line-pairing parsers get wrong. Hosts h%4==1 add the
+    canonical allow-all `Disallow:` (EMPTY value) to the '*' group — RFC
+    9309 says that is NO rule; a parser that emits it hands robots_filter
+    an empty prefix that blocks the whole host (the exact inverse)."""
     from .operators import webtext
 
     hosts = spark.range(50).select(
@@ -1887,6 +1893,7 @@ def webtext_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payload = F.concat(
         F.lit("# robots\nUser-agent: *\nDisallow: /private\n"),
+        F.when(F.col("h") % 4 == 1, F.lit("Disallow:\n")).otherwise(F.lit("")),
         F.when(F.col("h") % 3 == 0, F.lit("Allow: /public\n")).otherwise(
             F.lit("")
         ),
@@ -2039,17 +2046,8 @@ def webtext_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import canonicalize_url
 
     docs = _docs(spark, sf_dir)
-    src = F.format_string(
-        "host%04d.example", F.expr("(doc_id div 3) % 100")
-    ).alias("src")
-    e1 = docs.select(src, F.format_string(
-        "host%04d.example", (F.col("doc_id") * 7 + 1) % 100).alias("dst"))
-    e2 = docs.select(src, F.format_string(
-        "host%04d.example", (F.col("doc_id") * 13 + 2) % 100).alias("dst"))
-    edges = e1.unionAll(e2)
-    nodes = spark.range(100).select(
-        F.format_string("host%04d.example", F.col("id")).alias("host")
-    )
+    edges = _host_edges(docs)
+    nodes = _host_nodes(spark)
     pr = linkgraph.pagerank_integer(edges, nodes, iterations=10)
     hi = linkgraph.hits_integer(edges, nodes, iterations=5).select(
         F.col("host"), "hub_micro", "auth_micro"
@@ -2240,18 +2238,9 @@ def webtext_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolve ties identically."""
     from .operators import linkgraph
 
-    docs = _docs(spark, sf_dir)
-    src = F.format_string(
-        "host%04d.example", F.expr("(doc_id div 3) % 100")
-    ).alias("src")
-    e1 = docs.select(src, F.format_string(
-        "host%04d.example", (F.col("doc_id") * 7 + 1) % 100).alias("dst"))
-    e2 = docs.select(src, F.format_string(
-        "host%04d.example", (F.col("doc_id") * 13 + 2) % 100).alias("dst"))
-    nodes = spark.range(100).select(
-        F.format_string("host%04d.example", F.col("id")).alias("host")
-    )
-    return linkgraph.label_propagation(e1.unionAll(e2), nodes, iterations=3)
+    edges = _host_edges(_docs(spark, sf_dir))
+    nodes = _host_nodes(spark)
+    return linkgraph.label_propagation(edges, nodes, iterations=3)
 
 
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2446,16 +2435,8 @@ def webtext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped, edges oriented a<b so each triangle is enumerated exactly
     once by two equi-joins (the node-iterator algorithm); the triangle
     explode then counts per member host."""
-    docs = _docs(spark, sf_dir)
-    src = F.format_string(
-        "host%04d.example", F.expr("(doc_id div 3) % 100")
-    ).alias("src")
-    e1 = docs.select(src, F.format_string(
-        "host%04d.example", (F.col("doc_id") * 7 + 1) % 100).alias("dst"))
-    e2 = docs.select(src, F.format_string(
-        "host%04d.example", (F.col("doc_id") * 13 + 2) % 100).alias("dst"))
     e = (
-        e1.unionAll(e2)
+        _host_edges(_docs(spark, sf_dir))
         .filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
