@@ -106,6 +106,52 @@ def test_rect_overlay_matches_brute_force_each_pair_once(spark):
     assert want  # non-vacuous
 
 
+def test_rect_overlay_exact_beyond_double_precision(spark):
+    """Cover cells are exact int64 (arithmetic shift, not float floor-div):
+    rects whose coordinates exceed 2^53 — where double rounding would move
+    a corner into the wrong cover cell and silently drop the pair — still
+    report each intersecting pair exactly once, negatives included."""
+    big = 1 << 60
+    # a-rects straddle cell edges just above/below 2^60 and a negative
+    # mirror; +1-sized offsets are exactly where double loses integers
+    a_rows = [
+        (0, big - 3, big - 3, big + 5, big + 5),
+        (1, -big - 5, -big - 5, -big + 3, -big + 3),
+        (2, big + 64, big + 64, big + 130, big + 130),
+    ]
+    b_rows = [
+        (0, big + 1, big + 1, big + 9, big + 9),      # overlaps a0
+        (1, -big - 1, -big - 1, -big + 7, -big + 7),  # overlaps a1
+        (2, big + 129, big + 129, big + 200, big + 200),  # overlaps a2 by 1
+        (3, big + 200, big + 200, big + 300, big + 300),  # disjoint
+    ]
+    a = spark.createDataFrame(a_rows, "a_id long, ax0 long, ay0 long, ax1 long, ay1 long")
+    b = spark.createDataFrame(b_rows, "b_id long, bx0 long, by0 long, bx1 long, by1 long")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["area"])
+        for r in overlay.rect_overlay(a, b, shift=6).collect()
+    )
+    want = sorted(
+        (ai, bi, (min(ax1, bx1) - max(ax0, bx0)) * (min(ay1, by1) - max(ay0, by0)))
+        for (ai, ax0, ay0, ax1, ay1) in a_rows
+        for (bi, bx0, by0, bx1, by1) in b_rows
+        if min(ax1, bx1) > max(ax0, bx0) and min(ay1, by1) > max(ay0, by0)
+    )
+    assert got == want and len(want) == 3
+
+
+def test_kmeans_fit_empty_input_fails_cleanly(spark):
+    """Empty embeddings -> ValueError (not an IndexError off a 0-d array),
+    matching the apportion_budget/hits_integer empty-input hardening."""
+    import pytest
+
+    from tree_sitter_codeviews_spark.operators import cluster
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty embeddings"):
+        cluster.kmeans_fit(empty, k=4, iters=1)
+
+
 # --- quadkey ------------------------------------------------------------------
 
 def test_quadkey_is_base4_morton_and_prefix_parent(spark, sf_tiny):

@@ -153,6 +153,32 @@ def test_outlink_extract_resolution_and_anchor_strip(spark):
     ]
 
 
+def test_outlink_extract_lowercases_absolute_href_hosts(spark):
+    """Mixed-case scheme+host on an ABSOLUTE href normalizes to lowercase
+    (same as base), so one destination authority never appears under
+    multiple case variants in the host graph; the PATH stays case-sensitive
+    (RFC 3986: authority is case-insensitive, path is not)."""
+    html = (
+        '<a href="HTTPS://Example.COM/CaseSensitive/Path?Q=Up">up</a>'
+        '<a href="http://lower.example/x">low</a>'
+    )
+    rows = (
+        webtext.outlink_extract(
+            spark.createDataFrame(
+                [(1, "HTTP://Src.Example/page", html)],
+                ["doc_id", "url", "html"],
+            ),
+            with_src_host=True,
+        )
+        .orderBy("link_idx")
+        .collect()
+    )
+    assert [(r.src_host, r.dst_url) for r in rows] == [
+        ("src.example", "https://example.com/CaseSensitive/Path?Q=Up"),
+        ("src.example", "http://lower.example/x"),
+    ]
+
+
 def test_snapshot_diff_classification(spark):
     old = spark.createDataFrame(
         [("u1", "h1"), ("u2", "h2"), ("u3", "h3")], ["url", "fp"]

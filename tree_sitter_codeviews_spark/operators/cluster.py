@@ -94,6 +94,10 @@ def _fit(q: DataFrame, k: int, iters: int) -> np.ndarray:
     if k > _PACK:
         raise ValueError(f"kmeans_fit: k={k} exceeds argmin packing bound {_PACK}")
     init = q.orderBy("vec_id").limit(k).collect()
+    if not init:
+        # fail cleanly (matches apportion_budget/hits_integer's empty-input
+        # hardening) instead of an IndexError off a 0-d numpy array below
+        raise ValueError("kmeans_fit: empty embeddings input")
     cmat = np.array([r["qv"] for r in init], dtype=np.int64)
     dim = cmat.shape[1]
     sum_cols = [F.sum(F.element_at("qv", d + 1)).alias(f"s{d}") for d in range(dim)]

@@ -212,6 +212,14 @@ def label_propagation(
     (modal aggregate); the undirected edge frame is localCheckpointed
     once and reused every round. Labels converge to community ids in
     O(diameter) rounds; ``iterations`` is fixed so the oracle unrolls.
+    Bound (like cluster.py's _PACK): the packed modal key
+    ``cnt * 2^29 + (2^28-1 - lbl)`` requires per-(node, label) neighbor
+    multiplicity cnt < 2^34 or the int64 pack overflows — Spark silently
+    wraps where DuckDB errors, so engine and oracle would diverge. A node
+    with 2^34 same-labeled neighbor edges (~1.7e10) is beyond any host
+    graph (hosts are the nodes; the web's max host in-degree is ~1e8);
+    pre-aggregate multiplicities with a cap before calling if an input
+    could violate it.
     """
     und = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

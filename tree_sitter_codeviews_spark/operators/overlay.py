@@ -31,14 +31,20 @@ def rect_overlay(a: DataFrame, b: DataFrame, shift: int = 6) -> DataFrame:
     grid cells); pick it near the median rect size so the per-rect cover
     stays O(1) and no cell becomes a hot key.
     """
-    s = F.lit(1 << shift)
+    # cover cells via arithmetic shift, not float floor-division: >> by a
+    # power of two IS floor division on int64 (negatives included) and never
+    # round-trips through double, so coordinates beyond 2^53 keep the exact-
+    # int64 discipline the module contract (and the quadratic oracle) assume
+    def _cell(col):
+        return F.shiftright(F.col(col) if isinstance(col, str) else col, shift)
+
     ac = (
-        a.withColumn("ccx", F.explode(F.sequence(F.floor(F.col("ax0") / s), F.floor((F.col("ax1") - 1) / s))))
-        .withColumn("ccy", F.explode(F.sequence(F.floor(F.col("ay0") / s), F.floor((F.col("ay1") - 1) / s))))
+        a.withColumn("ccx", F.explode(F.sequence(_cell("ax0"), _cell(F.col("ax1") - 1))))
+        .withColumn("ccy", F.explode(F.sequence(_cell("ay0"), _cell(F.col("ay1") - 1))))
     )
     bc = (
-        b.withColumn("ccx", F.explode(F.sequence(F.floor(F.col("bx0") / s), F.floor((F.col("bx1") - 1) / s))))
-        .withColumn("ccy", F.explode(F.sequence(F.floor(F.col("by0") / s), F.floor((F.col("by1") - 1) / s))))
+        b.withColumn("ccx", F.explode(F.sequence(_cell("bx0"), _cell(F.col("bx1") - 1))))
+        .withColumn("ccy", F.explode(F.sequence(_cell("by0"), _cell(F.col("by1") - 1))))
     )
     ix0 = F.greatest("ax0", "bx0")
     iy0 = F.greatest("ay0", "by0")
@@ -51,8 +57,8 @@ def rect_overlay(a: DataFrame, b: DataFrame, shift: int = 6) -> DataFrame:
             (F.col("ix1") > F.col("ix0")) & (F.col("iy1") > F.col("iy0"))
             # duplicate-free reporting: keep the pair only at the cover cell
             # holding the intersection's top-left corner
-            & (F.col("ccx") == F.floor(F.col("ix0") / s))
-            & (F.col("ccy") == F.floor(F.col("iy0") / s))
+            & (F.col("ccx") == _cell("ix0"))
+            & (F.col("ccy") == _cell("iy0"))
         )
         .withColumn("area", (F.col("ix1") - F.col("ix0")) * (F.col("iy1") - F.col("iy0")))
         .select("a_id", "b_id", "ix0", "iy0", "ix1", "iy1", "area")

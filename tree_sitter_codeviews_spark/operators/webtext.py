@@ -250,8 +250,18 @@ def outlink_extract(
             " ",
         )
     )
+    # absolute hrefs get the same scheme+host lowercasing as `base`, so a
+    # destination host never appears under multiple case variants in the
+    # host graph ('HTTPS://Example.com/x' and 'https://example.com/x' are
+    # the same authority per RFC 3986 §6.2.2.1; paths stay case-sensitive)
     resolved = (
-        F.when(href.rlike("(?i)^https?://"), href)
+        F.when(
+            href.rlike("(?i)^https?://"),
+            F.concat(
+                F.lower(F.regexp_extract(href, "(?i)^https?://[^/]+", 0)),
+                F.regexp_replace(href, "(?i)^https?://[^/]+", ""),
+            ),
+        )
         .when(
             href.startswith("/") & (F.col("base") != ""),
             F.concat(F.col("base"), href),

@@ -2312,7 +2312,9 @@ parsed AS (
 links AS (
   SELECT doc_id, CAST(link_idx AS INT) AS link_idx,
          regexp_replace(base, '^https?://', '') AS src_host,
-         CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+         CASE WHEN regexp_matches(href, '(?i)^https?://')
+              THEN lower(regexp_extract(href, '(?i)^https?://[^/]+')) ||
+                   regexp_replace(href, '(?i)^https?://[^/]+', '')
               WHEN href LIKE '/%' AND base <> '' THEN base || href END AS dst_url,
          anchor_text
   FROM parsed
