@@ -55,60 +55,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every round by tests/test_entry_gate.py regardless of position).
     """
     return {
-        # --- r4 window slot 1: the r3 red row, re-verifying the oracle
-        # --- cast fix (VERDICT r3 next-round #1) --------------------------
-        "events_json_stats": rel.events_json_stats,
-        # --- new this round ----------------------------------------------
-        "emb_kmeans": q.emb_kmeans,                  # integer Lloyd's k-means, trained IVF quantizer (r4w3)
-        "dedup_semantic": q.dedup_semantic,          # SemDeDup: near-dups within k-means clusters (r4w3)
-        "text_dsir_weights": q.text_dsir_weights,    # DSIR hashed-bigram importance weights (r4w3)
-        "geo_quadkey": q.geo_quadkey,                # Bing-style quadkey tile addresses + prefix parent (r4w3)
-        "geo_rect_overlay": q.geo_rect_overlay,      # PBSM rect overlay join, duplicate-free reporting (r4w3)
-        "events_trajectory": rel.events_trajectory,  # per-user trajectory rollup (geo sessionization, r4w3)
-        "webtext_snapshot_drift": q.webtext_snapshot_drift,  # unigram L1 drift between snapshots (r4w3)
-        "webtext_communities": q.webtext_communities,  # LPA host communities, packed modal argmax (r4w4)
-        "text_bpe_apply": q.text_bpe_apply,          # BPE tokenizer application to the corpus (r4w4)
-        "text_novelty": q.text_novelty,              # per-doc first-seen shingle novelty (r4w4)
-        "text_length_quantiles": q.text_length_quantiles,  # exact per-source p50/p90/p99 (r4w4)
-        "geo_route_cells": q.geo_route_cells,        # trajectory DDA rasterization to res-7 cells (r4w5)
-        "geo_tile_autocorr": q.geo_tile_autocorr,    # per-direction Moran numerator over the tile grid (r4w5)
-        "events_funnel": rel.events_funnel,          # ordered view->click->purchase funnel stages (r4w6)
-        "events_retention": rel.events_retention,    # cohort retention triangle, integer epoch-days (r4w6)
-        "geo_tiles_incremental": q.geo_tiles_incremental,  # base+delta rollup merge == full recompute (r4w6)
-        "geo_grid_dbscan": q.geo_grid_dbscan,        # grid-DBSCAN density clustering via CC (r4w7)
-        "webtext_triangles": q.webtext_triangles,    # per-host triangle counts, node-iterator (r4w7)
-        "geo_region_centroids": q.geo_region_centroids,  # per-polygon doc centroid via PIP reuse (r4w8)
-        "events_anomaly": rel.events_anomaly,        # daily volume deviation panel, integer ppm (r4w8)
-        "dedup_minhash_calibration": q.dedup_minhash_calibration,  # est vs exact Jaccard per pair (r4w8)
-        "q7_nation_volume": rel.q7_nation_volume,    # TPC-H Q7 shape: nation-pair volume by year (r4w9)
-        "q10_returned_items": rel.q10_returned_items,  # TPC-H Q10 shape: returned-item top-20 (r4w9)
-        "q13_order_distribution": rel.q13_order_distribution,  # TPC-H Q13 shape: left-outer histogram (r4w9)
-        "q15_top_supplier": rel.q15_top_supplier,    # TPC-H Q15 shape: match-the-max supplier (r4w9)
-        "ann_recall_eval": q.ann_recall_eval,        # LSH recall@10 vs exact-cosine ground truth (r4w10)
-        # --- last driver row is r1 (stale bookkeeping, VERDICT #2) -------
-        "multimodal_meta": q.multimodal_meta,
-        "multimodal_frames": q.multimodal_frames,  # oracle-green since r2; driver still shows r1 rows-only
-        "orders_rollup": rel.orders_rollup,
-        "graph_sdfg_interproc": q.graph_sdfg_interproc,  # argument_to_parameter + return_to_caller families (r4)
-        "text_repetition": q.text_repetition,        # Gopher-style 2-gram repetition signals (r4)
-        "dedup_url_canonical": q.dedup_url_canonical,  # crawl-URL canonicalization dedup (r4)
-        "text_source_mix": q.text_source_mix,        # temperature-weighted source mixing (r4)
-        "webtext_html_extract": q.webtext_html_extract,  # HTML->text extraction chain (r4)
-        "webtext_warc_records": q.webtext_warc_records,  # WARC record splitting source (r4)
-        "webtext_domain_stats": q.webtext_domain_stats,  # per-domain stats + blocklist flag (r4)
-        "text_familiarity": q.text_familiarity,      # corpus-LM familiarity (CCNet-bucket proxy, r4)
-        "text_decontaminate_score": q.text_decontaminate_score,  # fractional contamination ppm (r4)
-        "web_ingest": q.web_ingest,                  # END-TO-END crawl ingest: WARC->extract->quality->URL dedup (r4)
-        "webtext_robots_filter": q.webtext_robots_filter,  # robots-disallow prefix anti-join (r4)
-        "dedup_stream_url": q.dedup_stream_url,      # streaming canonical-URL dedup (r4)
-        "dedup_containment": q.dedup_containment,    # subset/quote-dup containment pairs (r4)
-        "webtext_domain_rank": q.webtext_domain_rank,  # integer PageRank over the host link graph (r4)
-        "text_bpe_train": q.text_bpe_train,          # BPE merge-rule induction (r4)
-        "webtext_outlinks": q.webtext_outlinks,      # outlink + anchor-text extraction (r4)
-        "webtext_hits": q.webtext_hits,              # integer HITS hub/authority scores (r4)
-        "webtext_snapshot_diff": q.webtext_snapshot_diff,  # crawl snapshot diff rollup (r4)
-        "text_dup_ngrams": q.text_dup_ngrams,        # ExactSubstr-style duplicated-ngram fraction (r4)
-        "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4)
+        # ==== r5 DRIVER WINDOW (first 50) ================================
+        # Block A (21): every registry query that has never had a
+        # driver-side CORRECTNESS row in r1-r4 (VERDICT r4 next-round #1;
+        # all were green in GATE_FULL_r04). After this round every one of
+        # the 163 registry queries has a driver row in some round.
+        "webtext_domain_reputation": q.webtext_domain_reputation,  # PR+HITS+dup composite (r4)
+        "webtext_geo_regions": q.webtext_geo_regions,  # crawl pages per polygon region via PIP (r4)
         "webtext_anchor_index": q.webtext_anchor_index,  # per-target anchor-text index (r4)
         "webtext_inverted_index": q.webtext_inverted_index,  # token->postings index build (r4)
         "webtext_tfidf_topk": q.webtext_tfidf_topk,  # integer tf-idf top terms per doc (r4)
@@ -116,67 +69,120 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_recrawl_priority": q.webtext_recrawl_priority,  # change-rate recrawl model (r4)
         "webtext_host_templates": q.webtext_host_templates,  # host-scoped template detection (r4)
         "webtext_geo_hosts": q.webtext_geo_hosts,  # geo cell rollup of the crawl (r4)
-        "text_gopher_filter": q.text_gopher_filter,  # Gopher rule battery + reasons bitmask (r4)
         "webtext_wet_export": q.webtext_wet_export,  # WET re-serialization round-trip (r4)
         "webtext_url_templates": q.webtext_url_templates,  # URL path-template mining (r4)
         "webtext_stream_outlinks": q.webtext_stream_outlinks,  # streaming host-graph maintenance (r4)
         "webtext_site_clusters": q.webtext_site_clusters,  # CC site/mirror clustering (r4)
         "webtext_robots_parse": q.webtext_robots_parse,  # RFC 9309 robots.txt parsing (r4)
-        "webtext_token_budget": q.webtext_token_budget,  # largest-remainder mixture quotas (r4)
         "webtext_robots_e2e": q.webtext_robots_e2e,  # parse->apply equivalence vs hand-built rules (r4)
+        "webtext_token_budget": q.webtext_token_budget,  # largest-remainder mixture quotas (r4)
         "webtext_domain_lang": q.webtext_domain_lang,  # per-domain language mix + modal lang (r4)
+        "text_gopher_filter": q.text_gopher_filter,  # Gopher rule battery + reasons bitmask (r4)
+        "text_bigram_lm": q.text_bigram_lm,  # bigram conditional-probability LM table (r4)
         "dedup_incremental": q.dedup_incremental,  # cross-snapshot anti-join dedup (r4)
         "multimodal_ahash": q.multimodal_ahash,  # perceptual average-hash over binary payloads (r4)
-        "text_bigram_lm": q.text_bigram_lm,  # bigram conditional-probability LM table (r4)
-        "webtext_domain_reputation": q.webtext_domain_reputation,  # PR+HITS+dup composite (r4)
-        "webtext_geo_regions": q.webtext_geo_regions,  # crawl pages per polygon region via PIP (r4)
-        # --- changed code paths this round -------------------------------
-        "sql_event_windows": _sql_event_windows,  # sum quantized to integer micros (r4)
-        "train_set": q.train_set,                 # decontamination leg checkpointed (r4)
-        # --- last driver row is r2 (all 43 of them fit the window) -------
+        # Block B (7): code paths changed this round — outlink host
+        # normalization (absolute-href scheme+host lowercased, ADVICE r4)
+        # flows into every outlink-derived query; overlay cover cells
+        # moved from float floor-div to arithmetic shift (ADVICE r4).
+        "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4)
+        "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4)
+        "webtext_domain_rank": q.webtext_domain_rank,  # integer PageRank over the host link graph (r4)
+        "webtext_hits": q.webtext_hits,  # integer HITS hub/authority scores (r4)
+        "webtext_communities": q.webtext_communities,  # LPA host communities, packed modal argmax (r4w4)
+        "webtext_triangles": q.webtext_triangles,  # per-host triangle counts, node-iterator (r4w7)
+        "geo_rect_overlay": q.geo_rect_overlay,  # PBSM rect overlay join, duplicate-free reporting (r4w3)
+        # Block C (22): least-recently driver-verified rows — last driver
+        # row r2 for all of these (43 candidates; the 22 chosen are the
+        # hash-verified core of each family, rows-only rows excluded
+        # since their driver signal is weaker than the pytest mirror).
+        "dedup_exact": q.dedup_exact,
+        "dedup_groups": q.dedup_groups,  # same CC change in its path
+        "dedup_embedding_lsh": q.dedup_embedding_lsh,
+        "dedup_jaccard": q.dedup_jaccard,
+        "dedup_stream_exact": q.dedup_stream_exact,
+        "ann_ivf_topk": q.ann_ivf_topk,
+        "ann_pq_topk": q.ann_pq_topk,
+        "ann_topk_quantized": q.ann_topk_quantized,
         "events_stream_windows": q.events_stream_windows,  # also schema-changed this round (micros)
-        "graph_components": q.graph_components,    # CC driver arm: Arrow collect + 500k bound (r4)
-        "dedup_groups": q.dedup_groups,            # same CC change in its path
-        "dedup_groups_lsh": q.dedup_groups_lsh,    # rows-only (LSH recall); exact twin dedup_groups
+        "events_stream_sessions": q.events_stream_sessions,
         "geo_cell_encode": q.geo_cell_encode,
         "geo_tiles": q.geo_tiles,
         "geo_extract_text": q.geo_extract_text,
-        "dedup_exact": q.dedup_exact,
-        "dedup_embedding_lsh": q.dedup_embedding_lsh,
-        "ann_ivf_topk": q.ann_ivf_topk,
-        "ann_pq_topk": q.ann_pq_topk,
-        "graph_sdfg": q.graph_sdfg,
         "geo_pip_docs": q.geo_pip_docs,
         "geo_pip_best": q.geo_pip_best,
         "geo_entities": q.geo_entities,
-        "geo_distance_join": q.geo_distance_join,
-        "geo_tiles_distinct": q.geo_tiles_distinct,
-        "geo_tiles_approx": q.geo_tiles_approx,      # rows-only (HLL estimate)
-        "graph_collapse": q.graph_collapse,
-        "graph_minimize": q.graph_minimize,
-        "graph_combine": q.graph_combine,
+        "graph_components": q.graph_components,  # CC driver arm: Arrow collect + 500k bound (r4)
+        "graph_sdfg": q.graph_sdfg,
+        "graph_rda": q.graph_rda,
         "graph_reach": q.graph_reach,
         "graph_closure": q.graph_closure,
-        "graph_rda": q.graph_rda,
+        "graph_collapse": q.graph_collapse,
+        # ==== position 51+: rotated out of the window this round ==========
+        # Still verified every round by the pytest gate mirror
+        # (tests/test_entry_gate.py) + the committed GATE_FULL artifact.
+        # Last driver rows: r3/r4 for everything below except the
+        # remaining 21 r2 rows, which rotate back in next.
+        "events_json_stats": rel.events_json_stats,
+        "emb_kmeans": q.emb_kmeans,  # integer Lloyd's k-means, trained IVF quantizer (r4w3)
+        "dedup_semantic": q.dedup_semantic,  # SemDeDup: near-dups within k-means clusters (r4w3)
+        "text_dsir_weights": q.text_dsir_weights,  # DSIR hashed-bigram importance weights (r4w3)
+        "geo_quadkey": q.geo_quadkey,  # Bing-style quadkey tile addresses + prefix parent (r4w3)
+        "events_trajectory": rel.events_trajectory,  # per-user trajectory rollup (geo sessionization, r4w3)
+        "webtext_snapshot_drift": q.webtext_snapshot_drift,  # unigram L1 drift between snapshots (r4w3)
+        "text_bpe_apply": q.text_bpe_apply,  # BPE tokenizer application to the corpus (r4w4)
+        "text_novelty": q.text_novelty,  # per-doc first-seen shingle novelty (r4w4)
+        "text_length_quantiles": q.text_length_quantiles,  # exact per-source p50/p90/p99 (r4w4)
+        "geo_route_cells": q.geo_route_cells,  # trajectory DDA rasterization to res-5 cells (r4w5)
+        "geo_tile_autocorr": q.geo_tile_autocorr,  # per-direction Moran numerator over the tile grid (r4w5)
+        "events_funnel": rel.events_funnel,  # ordered view->click->purchase funnel stages (r4w6)
+        "events_retention": rel.events_retention,  # cohort retention triangle, integer epoch-days (r4w6)
+        "geo_tiles_incremental": q.geo_tiles_incremental,  # base+delta rollup merge == full recompute (r4w6)
+        "geo_grid_dbscan": q.geo_grid_dbscan,  # grid-DBSCAN density clustering via CC (r4w7)
+        "geo_region_centroids": q.geo_region_centroids,  # per-polygon doc centroid via PIP reuse (r4w8)
+        "events_anomaly": rel.events_anomaly,  # daily volume deviation panel, integer ppm (r4w8)
+        "dedup_minhash_calibration": q.dedup_minhash_calibration,  # est vs exact Jaccard per pair (r4w8)
+        "q7_nation_volume": rel.q7_nation_volume,  # TPC-H Q7 shape: nation-pair volume by year (r4w9)
+        "q10_returned_items": rel.q10_returned_items,  # TPC-H Q10 shape: returned-item top-20 (r4w9)
+        "q13_order_distribution": rel.q13_order_distribution,  # TPC-H Q13 shape: left-outer histogram (r4w9)
+        "q15_top_supplier": rel.q15_top_supplier,  # TPC-H Q15 shape: match-the-max supplier (r4w9)
+        "ann_recall_eval": q.ann_recall_eval,  # LSH recall@10 vs exact-cosine ground truth (r4w10)
+        "multimodal_meta": q.multimodal_meta,
+        "multimodal_frames": q.multimodal_frames,  # oracle-green since r2; driver still shows r1 rows-only
+        "orders_rollup": rel.orders_rollup,
+        "graph_sdfg_interproc": q.graph_sdfg_interproc,  # argument_to_parameter + return_to_caller families (r4)
+        "text_repetition": q.text_repetition,  # Gopher-style 2-gram repetition signals (r4)
+        "dedup_url_canonical": q.dedup_url_canonical,  # crawl-URL canonicalization dedup (r4)
+        "text_source_mix": q.text_source_mix,  # temperature-weighted source mixing (r4)
+        "webtext_html_extract": q.webtext_html_extract,  # HTML->text extraction chain (r4)
+        "webtext_warc_records": q.webtext_warc_records,  # WARC record splitting source (r4)
+        "webtext_domain_stats": q.webtext_domain_stats,  # per-domain stats + blocklist flag (r4)
+        "text_familiarity": q.text_familiarity,  # corpus-LM familiarity (CCNet-bucket proxy, r4)
+        "text_decontaminate_score": q.text_decontaminate_score,  # fractional contamination ppm (r4)
+        "web_ingest": q.web_ingest,  # END-TO-END crawl ingest: WARC->extract->quality->URL dedup (r4)
+        "webtext_robots_filter": q.webtext_robots_filter,  # robots-disallow prefix anti-join (r4)
+        "dedup_stream_url": q.dedup_stream_url,  # streaming canonical-URL dedup (r4)
+        "dedup_containment": q.dedup_containment,  # subset/quote-dup containment pairs (r4)
+        "text_bpe_train": q.text_bpe_train,  # BPE merge-rule induction (r4)
+        "webtext_snapshot_diff": q.webtext_snapshot_diff,  # crawl snapshot diff rollup (r4)
+        "text_dup_ngrams": q.text_dup_ngrams,  # ExactSubstr-style duplicated-ngram fraction (r4)
+        "sql_event_windows": _sql_event_windows,  # sum quantized to integer micros (r4)
+        "train_set": q.train_set,  # decontamination leg checkpointed (r4)
+        "dedup_groups_lsh": q.dedup_groups_lsh,  # rows-only (LSH recall); exact twin dedup_groups
+        "geo_distance_join": q.geo_distance_join,
+        "geo_tiles_distinct": q.geo_tiles_distinct,
+        "geo_tiles_approx": q.geo_tiles_approx,  # rows-only (HLL estimate)
+        "graph_minimize": q.graph_minimize,
+        "graph_combine": q.graph_combine,
         "geo_entities_typed": q.geo_entities_typed,
-        "events_stream_sessions": q.events_stream_sessions,
-        "dedup_stream_exact": q.dedup_stream_exact,
         "alias_resolve": q.alias_resolve,
         "geo_cascade_resolve": q.geo_cascade_resolve,
-        # ---- position 51+: rotated out of the window; still verified
-        # ---- every round by the pytest gate mirror + GATE_FULL artifact.
-        # ---- The three tile twins share geo_tiles' oracle verbatim; the
-        # ---- ann/text/dedup/geo/graph rows here were driver-green r2/r3
-        # ---- (their window slots went to the twelve new r4
-        # ---- webtext/curation queries).
         "graph_grouped_metrics": q.graph_grouped_metrics,
         "geo_vector_raster": q.geo_vector_raster,
         "geo_raster_compact": q.geo_raster_compact,
         "geo_overlay_stats": q.geo_overlay_stats,
-        "dedup_jaccard": q.dedup_jaccard,
-        "dedup_embedding": q.dedup_embedding,
-        "ann_topk_quantized": q.ann_topk_quantized,
-        "ann_cosine_topk": q.ann_cosine_topk,          # rows-only (float ULP)
+        "dedup_embedding": q.dedup_embedding,  # baseline-only (all-pairs correctness ref for dedup_embedding_lsh)
+        "ann_cosine_topk": q.ann_cosine_topk,  # baseline-only (brute-force recall GT); rows-only (float ULP)
         "text_tokens": q.text_tokens,
         "text_tokens_bpe": q.text_tokens_bpe,
         "text_sample_stratified": q.text_sample_stratified,
@@ -195,7 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": rel.events_percentiles,
         "orders_cube": rel.orders_cube,
         "events_pivot": rel.events_pivot,
-        "events_geomean": rel.events_geomean,   # GROUPED_AGG pandas UDAF
+        "events_geomean": rel.events_geomean,  # GROUPED_AGG pandas UDAF
         "events_window_funcs": rel.events_window_funcs,
         "geo_template_resolve": q.geo_template_resolve,
         "graph_catch_match": q.graph_catch_match,
@@ -210,8 +216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_dedup_exact": _sql_dedup_exact,
         "geo_tile_smooth": q.geo_tile_smooth,
         "events_stream_join": q.events_stream_join,
-        "graph_rda_last_def": q.graph_rda_last_def,   # now via graph_iter.last_definition (r4)
-        "graph_dfg_last_use": q.graph_dfg_last_use,   # now via graph_iter.last_use(uses-table) (r4)
+        "graph_rda_last_def": q.graph_rda_last_def,  # now via graph_iter.last_definition (r4)
+        "graph_dfg_last_use": q.graph_dfg_last_use,  # now via graph_iter.last_use(uses-table) (r4)
         "text_quality": q.text_quality,
         "lang_stats": q.lang_stats,
         "text_langid": q.text_langid,

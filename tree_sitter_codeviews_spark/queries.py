@@ -941,6 +941,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """baseline-only: exact all-pairs (crossJoin) correctness reference for
+    the production path ``dedup_embedding_lsh`` — quadratic by design, never
+    the plan to run at corpus scale."""
     # threshold 0.45: the synthetic embeddings' max pairwise cosine is ~0.51
     # at sf0.01 / ~0.48 at sf0.001, so 0.95 made this gate row pass vacuously
     # on 0 rows; 0.45 keeps ~10 pairs flowing through the operator.
@@ -966,6 +969,9 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """baseline-only: brute-force exact-cosine top-k (float path) — the
+    recall ground truth for the bucketed ANN family (lsh/ivf/pq), not the
+    corpus-scale plan."""
     from .operators import ann
 
     return ann.topk_cosine_pandas(_embs(spark, sf_dir), k=10, every=50)
@@ -1341,6 +1347,16 @@ def web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fetch key (uniform); stage 5 shuffles once on the canonical key
     (hot keys bounded by per-site crawl frequency). No window over the
     corpus, no driver collect, nothing quadratic."""
+    return web_ingest_stages(spark, sf_dir)["full"]
+
+
+def web_ingest_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The ``web_ingest`` pipeline with each cumulative stage exposed as its
+    own DataFrame — ``warc_split`` -> ``html_extract`` -> ``quality_gate``
+    -> ``full`` — so the bench harness can time the end-to-end query
+    per-stage and a regression localizes to the stage that moved
+    (VERDICT r4 next-round #5). Single source of truth: ``web_ingest``
+    returns ``stages["full"]``."""
     from .operators import curation, webtext
 
     docs = _docs(spark, sf_dir)
@@ -1385,7 +1401,7 @@ def web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_url", curation.canonicalize_url(F.col("uri"))
     )
     w = F.struct("title", "body_chars", "n_grams", "top_gram_ppm")
-    return (
+    full = (
         canon.groupBy("canonical_url")
         .agg(
             F.count("*").alias("n_fetches"),
@@ -1396,6 +1412,12 @@ def web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w.title", "w.body_chars", "w.n_grams", "w.top_gram_ppm",
         )
     )
+    return {
+        "warc_split": recs,
+        "html_extract": ext,
+        "quality_gate": sig,
+        "full": full,
+    }
 
 
 def webtext_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2042,6 +2064,16 @@ def webtext_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl-prioritization score a scheduler budgets by. The link-side twin
     of train_set/web_ingest: three already-verified operators composed
     and value-checked WHOLE."""
+    return webtext_domain_reputation_stages(spark, sf_dir)["full"]
+
+
+def webtext_domain_reputation_stages(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The ``webtext_domain_reputation`` composite with each component
+    exposed — ``pagerank`` (10 iters), ``hits`` (5 iters), ``dup_rate``,
+    ``full`` — for per-stage bench timing (VERDICT r4 next-round #5).
+    Single source of truth: the query returns ``stages["full"]``."""
     from .operators import linkgraph
     from .operators.curation import canonicalize_url
 
@@ -2066,7 +2098,7 @@ def webtext_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("dup_ppm")
         )
     )
-    return (
+    full = (
         pr.join(hi, "host")
         .join(dup, "host", "left")
         .withColumn("dup_ppm", F.coalesce(F.col("dup_ppm"), F.lit(0)).cast("long"))
@@ -2082,6 +2114,7 @@ def webtext_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reputation_micro",
         )
     )
+    return {"pagerank": pr, "hits": hi, "dup_rate": dup, "full": full}
 
 
 def webtext_geo_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
