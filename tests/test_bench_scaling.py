@@ -33,3 +33,70 @@ def test_scale2_cache_key_tracks_base_and_repl(sf_tiny):
     # different base dir -> different key (other/sf0.01 exists in testdata)
     k_other = bench._scale2_cache_key(os.path.join(other, "sf0.01"), 10)
     assert k1 != k_other
+
+
+def test_bench_child_and_stage_modes_roundtrip(sf_tiny, tmp_path):
+    """The fresh-JVM bench children (r5 evidence-channel fix): a queries
+    chunk and the per-stage mode each run in a real subprocess and write
+    parseable JSON with the expected keys."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import bench
+
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    qout = tmp_path / "q.json"
+    subprocess.run(
+        [sys.executable, bench.__file__, "--mode", "queries",
+         "--names", "geo_cell_encode,dedup_exact", "--sf-dir", sf_tiny,
+         "--reps", "1", "--out", str(qout)],
+        check=True, env=env, timeout=600,
+    )
+    q = json.loads(qout.read_text())
+    assert set(q["times"]) == {"geo_cell_encode", "dedup_exact"}
+    assert all(t >= 0 for t in q["times"].values())
+
+    sout = tmp_path / "s.json"
+    subprocess.run(
+        [sys.executable, bench.__file__, "--mode", "stages",
+         "--sf-dir", sf_tiny, "--reps", "1", "--out", str(sout)],
+        check=True, env=env, timeout=600,
+    )
+    s = json.loads(sout.read_text())
+    assert list(s["web_ingest"]) == [
+        "warc_split", "html_extract", "quality_gate", "full"
+    ]
+    assert list(s["webtext_domain_reputation"]) == [
+        "pagerank", "hits", "dup_rate", "full"
+    ]
+    # web_ingest stages are cumulative prefixes: deltas telescope to the
+    # full wall (each wall/delta is rounded to 3 decimals independently, so
+    # allow one rounding ulp per stage)
+    wi = s["web_ingest"]
+    assert abs(sum(st["delta"] for st in wi.values()) - wi["full"]["wall"]) < 1e-3 * len(wi) + 1e-9
+
+
+def test_bench_compact_line_survives_tail_capture():
+    """The driver records only a ~2000-char stdout tail; the compact line
+    (with every SUMMARY_QUERIES entry present at both scale points) must
+    parse and fit with margin."""
+    import json
+
+    import bench
+
+    times = {k: 123.456 for k in bench.HEADLINE}
+    full = {
+        "metric": "headline suite wall-clock", "value": 1234.567,
+        "unit": "sec", "sf": 0.1, "pages_per_sec": 23456.7, "cores": "32",
+        "queries": times,
+        "sf2": {"sf_equiv": 1.0, "wall": 2345.678, "pages_per_sec": 34567.8,
+                "queries": {k: 123.456 for k in bench.SCALE2}},
+    }
+    line = json.dumps(bench.compact_summary(full))
+    assert len(line) < 1900, len(line)
+    parsed = json.loads(line)
+    assert parsed["queries"] and parsed["sf2"]["queries"]
+    for contract_key in ("metric", "value", "unit", "queries", "sf"):
+        assert contract_key in parsed
