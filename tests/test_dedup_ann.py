@@ -230,3 +230,109 @@ def test_ann_recall_eval_bounds_and_consistency(spark, sf_tiny):
     # the eval is informative: not all queries at 100% recall or all at 0
     vals = {r["recall_ppm"] for r in rows}
     assert len(vals) >= 1 and max(vals) > 0
+
+
+# --- recall / calibration FLOORS (VERDICT r4 next-round #4) -------------------
+#
+# Pin the measured recall of every bucketed ANN family and the MinHash
+# estimator error at gate scale (sf0.01) so a band-count / plane-count /
+# nprobe change that silently degrades recall FAILS CI instead of passing
+# the rows-only gate. All inputs and arithmetic are deterministic (fixed
+# testdata, integer dots, md5-salted hashes), so the measured values are
+# exactly reproducible; floors sit just under them.
+#
+# Corpus context for the absolute numbers: the synthetic embeddings are
+# near-uniform random directions, so true top-10 neighbors sit at cosine
+# ~0.5 (theta ~ 60 deg). Single-table hamming<=1 hyperplane LSH is
+# theory-bounded there (per-plane agreement p = 1 - theta/pi ~ 2/3, so
+# P(candidate) ~ p^12 + 12 p^11 (1-p) ~ 0.05); its measured 0.16 is the
+# honest number for this regime, and its role in the registry is
+# recall-by-contract with this eval as the companion. IVF probes by actual
+# coarse distance, so it is the high-recall production path: the
+# recall-vs-nprobe curve below clears 0.95 at nprobe=12.
+
+
+def _exact_gt_pairs(spark, sf_dir, k=10, every=50):
+    """Exact quantized-cosine top-k ground truth (same arithmetic as
+    ann_recall_eval's GT arm): offline eval on the query sample only."""
+    from pyspark.sql import Window
+
+    from tree_sitter_codeviews_spark.operators.dedup import quantize_col
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qn = (
+        embs.select("vec_id", quantize_col(F.col("embedding")).alias("qv"))
+        .withColumn(
+            "norm",
+            F.aggregate(F.transform("qv", lambda x: x * x),
+                        F.lit(0).cast("long"), lambda a, v: a + v),
+        )
+    )
+    a = qn.filter(F.col("vec_id") % every == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"),
+        F.col("norm").alias("na"),
+    )
+    b = qn.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    cos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("neighbor_id").asc()
+    )
+    return {
+        (r["query_id"], r["neighbor_id"])
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("dot", dot)
+            .withColumn("cos_q", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        ).collect()
+    }
+
+
+def test_ann_recall_floors_at_gate_scale(spark, sf_small):
+    """Recall@10 floors per ANN family at sf0.01 (measured r5:
+    lsh 0.16, pq 0.27, ivf 0.67/0.87/0.98 at nprobe 4/8/12)."""
+    embs = load_table(spark, sf_small, "embeddings")
+    gt = _exact_gt_pairs(spark, sf_small)
+    assert len(gt) == 100  # 10 queries x k=10
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in df.select("query_id", "neighbor_id").collect()}
+        return len(gt & got) / len(gt)
+
+    # production-default gate rows
+    assert recall(ann.lsh_bucketed_topk(embs, k=10, every=50)) >= 0.15
+    assert recall(ann.pq_topk(embs, k=10, every=50)) >= 0.20
+    r4 = recall(ann.ivf_topk(embs, k=10, every=50, nprobe=4))
+    assert r4 >= 0.60
+    # the nprobe knob buys recall monotonically and clears 0.95 well
+    # before a full scan (~12 sampled cells at this scale)
+    r8 = recall(ann.ivf_topk(embs, k=10, every=50, nprobe=8))
+    r12 = recall(ann.ivf_topk(embs, k=10, every=50, nprobe=12))
+    assert r8 >= 0.80 and r12 >= 0.95
+    assert r4 <= r8 <= r12
+
+
+def test_minhash_calibration_error_floor_at_gate_scale(spark, sf_small):
+    """MinHash 64-coordinate estimator error vs exact Jaccard at sf0.01
+    (measured r5: max 38,109 ppm, mean 11,641 ppm over 25 pairs; the
+    binomial 1-sigma at J=0.5 is 62,500 ppm, so these bounds have slack
+    only against fixture drift, not against a broken estimator)."""
+    from tree_sitter_codeviews_spark import queries
+
+    rows = queries.dedup_minhash_calibration(spark, sf_small).collect()
+    assert len(rows) >= 20  # pair population non-vacuous
+    errs = [abs(r["est_ppm"] - r["jaccard_ppm"]) for r in rows]
+    assert max(errs) <= 60_000
+    assert sum(errs) / len(errs) <= 25_000
