@@ -81,6 +81,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q.text_bigram_lm,  # bigram conditional-probability LM table (r4)
         "dedup_incremental": q.dedup_incremental,  # cross-snapshot anti-join dedup (r4)
         "multimodal_ahash": q.multimodal_ahash,  # perceptual average-hash over binary payloads (r4)
+        # Block NEW-r5 (9): the remaining TPC-H query shapes — with these
+        # the registry covers all 22 TPC-H structures (adapted to the
+        # testdata schema: no partsupp/shipmode/commit-receipt columns).
+        # Never driver-verified (new this round), so they sit in the
+        # window per the rotation policy.
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,  # correlated-MIN match-back (r5)
+        "q6_forecast_revenue": rel.q6_forecast_revenue,  # pure-pushdown scalar aggregate (r5)
+        "q8_market_share": rel.q8_market_share,  # CASE-ratio market share, integer ppm (r5)
+        "q9_product_profit": rel.q9_product_profit,  # 5-way join profit by nation x year (r5)
+        "q11_important_parts": rel.q11_important_parts,  # global-scalar HAVING threshold (r5)
+        "q12_priority_by_status": rel.q12_priority_by_status,  # two-CASE-count aggregate (r5)
+        "q20_excess_suppliers": rel.q20_excess_suppliers,  # nested IN-subquery chain (r5)
+        "q21_waiting_supplier": rel.q21_waiting_supplier,  # EXISTS/NOT-EXISTS self-join via window (r5)
+        "q22_global_sales_opportunity": rel.q22_global_sales_opportunity,  # scalar-avg + anti-join (r5)
         # Block B (7): code paths changed this round — outlink host
         # normalization (absolute-href scheme+host lowercased, ADVICE r4)
         # flows into every outlink-derived query; overlay cover cells
@@ -109,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cell_encode": q.geo_cell_encode,
         "geo_tiles": q.geo_tiles,
         "geo_extract_text": q.geo_extract_text,
+        # ==== position 51+: rotated out of the window this round ==========
+        # (the 9 r2-stale rows below were displaced by Block NEW-r5; they
+        # remain gate-mirrored every round and rotate back next window)
         "geo_pip_docs": q.geo_pip_docs,
         "geo_pip_best": q.geo_pip_best,
         "geo_entities": q.geo_entities,
@@ -118,7 +135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reach": q.graph_reach,
         "graph_closure": q.graph_closure,
         "graph_collapse": q.graph_collapse,
-        # ==== position 51+: rotated out of the window this round ==========
         # Still verified every round by the pytest gate mirror
         # (tests/test_entry_gate.py) + the committed GATE_FULL artifact.
         # Last driver rows: r3/r4 for everything below except the
@@ -285,6 +301,15 @@ def oracle_sql() -> dict[str, str]:
         "geo_region_centroids": oracle.geo_region_centroids_sql(),
         "events_anomaly": oracle.events_anomaly_sql(),
         "dedup_minhash_calibration": oracle.dedup_minhash_calibration_sql(),
+        "q2_min_cost_supplier": oracle.q2_min_cost_supplier_sql(),
+        "q6_forecast_revenue": oracle.q6_forecast_revenue_sql(),
+        "q8_market_share": oracle.q8_market_share_sql(),
+        "q9_product_profit": oracle.q9_product_profit_sql(),
+        "q11_important_parts": oracle.q11_important_parts_sql(),
+        "q12_priority_by_status": oracle.q12_priority_by_status_sql(),
+        "q20_excess_suppliers": oracle.q20_excess_suppliers_sql(),
+        "q21_waiting_supplier": oracle.q21_waiting_supplier_sql(),
+        "q22_global_sales_opportunity": oracle.q22_global_sales_opportunity_sql(),
         "q7_nation_volume": oracle.q7_nation_volume_sql(),
         "q10_returned_items": oracle.q10_returned_items_sql(),
         "q13_order_distribution": oracle.q13_order_distribution_sql(),

@@ -150,6 +150,17 @@ HEADLINE = [
     "q13_order_distribution", # TPC-H Q13 shape (left-outer double agg)
     "q15_top_supplier",       # TPC-H Q15 shape (match-the-max)
     "ann_recall_eval",        # LSH recall@10 vs exact-cosine ground truth
+    # round-5 additions: the remaining TPC-H shapes (registry now covers
+    # all 22 query structures)
+    "q2_min_cost_supplier",   # correlated-MIN match-back
+    "q6_forecast_revenue",    # pure-pushdown scalar aggregate
+    "q8_market_share",        # CASE-ratio share, integer ppm
+    "q9_product_profit",      # 5-way join profit rollup
+    "q11_important_parts",    # global-scalar HAVING threshold
+    "q12_priority_by_status", # two-CASE-count aggregate
+    "q20_excess_suppliers",   # nested IN-subquery chain
+    "q21_waiting_supplier",   # EXISTS/NOT-EXISTS via window
+    "q22_global_sales_opportunity",  # scalar-avg + anti-join
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -434,42 +445,34 @@ def child_queries(names: list[str], sf_dir: str, reps: int, out_path: str) -> No
     spark.stop()
 
 
-def child_stages(sf_dir: str, reps: int, out_path: str) -> None:
-    """Per-stage timings for the two end-to-end composites. Each stage frame
-    is a cumulative prefix of the pipeline (warc_split ⊂ html_extract ⊂
-    quality_gate ⊂ full; the reputation components are independent legs +
-    the full composite), timed with the same warm + min-of-reps protocol;
-    ``delta`` is the increment over the previous prefix (noise can make a
-    small delta negative — reported raw, not clamped)."""
+def child_stage(qname: str, sname: str, sf_dir: str, reps: int,
+                out_path: str) -> None:
+    """Time ONE stage of ONE end-to-end composite in THIS fresh JVM.
+
+    One (query, stage) per JVM because the reputation legs execute their
+    per-iteration localCheckpoints EAGERLY at build time: a single JVM
+    timing all stages re-executes every other leg's iterative work per
+    rebuild and accumulates its checkpoint blocks — measured at sf0.001,
+    the one-JVM variant degraded from ~2 s/stage (isolated) to 80-170 s
+    by the 4th stage. Build time is INSIDE the timed region (for the
+    eager legs it IS the query's cost; the lazy web_ingest prefixes are
+    unaffected); ``only=sname`` keeps the build to the timed leg's own
+    dependency cone."""
     from tree_sitter_codeviews_spark import queries as q
     from tree_sitter_codeviews_spark.session import get_spark
 
-    spark = get_spark("bench-stages")
+    builder = {
+        "web_ingest": q.web_ingest_stages,
+        "webtext_domain_reputation": q.webtext_domain_reputation_stages,
+    }[qname]
+    spark = get_spark("bench-stage")
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
-    result: dict = {}
-    for qname, builder, cumulative in (
-        ("web_ingest", q.web_ingest_stages, True),
-        ("webtext_domain_reputation", q.webtext_domain_reputation_stages, False),
-    ):
-        for df in builder(spark, WARM_SF).values():  # warm codegen per stage
-            df.count()
-        import gc
-
-        gc.collect()
-        prev = 0.0
-        stages: dict[str, dict] = {}
-        for sname in list(builder(spark, WARM_SF)):
-            dt = _timed_count(
-                lambda sp, d, _s=sname: builder(sp, d)[_s], spark, sf_dir, reps
-            )
-            entry = {"wall": round(dt, 3)}
-            if cumulative:
-                entry["delta"] = round(dt - prev, 3)
-                prev = dt
-            stages[sname] = entry
-        result[qname] = stages
+    builder(spark, WARM_SF, only=sname)[sname].count()  # warm codegen/JIT
+    dt = _timed_count(
+        lambda sp, d: builder(sp, d, only=sname)[sname], spark, sf_dir, reps
+    )
     with open(out_path, "w") as fh:
-        json.dump(result, fh)
+        json.dump({"wall": round(dt, 3)}, fh)
     spark.stop()
 
 
@@ -509,10 +512,44 @@ def _chunks(names: list[str], n: int) -> list[list[str]]:
     return [names[i:i + n] for i in range(0, len(names), n)]
 
 
+# per-stage plan for the two end-to-end composites: (stage list, cumulative).
+# web_ingest's stages are cumulative prefixes (warc_split ⊂ html_extract ⊂
+# quality_gate ⊂ full) so the orchestrator derives ``delta`` = increment
+# over the previous prefix (noise can make a small delta negative —
+# reported raw, not clamped); the reputation legs are independent.
+STAGE_PLAN = {
+    "web_ingest": (["warc_split", "html_extract", "quality_gate", "full"], True),
+    "webtext_domain_reputation": (["pagerank", "hits", "dup_rate", "full"], False),
+}
+
+
+def _run_stage_plan(sf_dir: str, reps: int) -> dict:
+    """One fresh JVM per (composite, stage) — see child_stage's docstring
+    for why a shared JVM is disqualified here."""
+    result: dict = {}
+    for qname, (snames, cumulative) in STAGE_PLAN.items():
+        prev = 0.0
+        stages: dict[str, dict] = {}
+        for sname in snames:
+            res = _run_child([
+                "--mode", "stage", "--query", qname, "--stage", sname,
+                "--sf-dir", sf_dir, "--reps", str(reps),
+            ])
+            entry = {"wall": res["wall"]}
+            if cumulative:
+                entry["delta"] = round(res["wall"] - prev, 3)
+                prev = res["wall"]
+            stages[sname] = entry
+        result[qname] = stages
+    return result
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--mode", choices=["queries", "stages", "sf2prep"])
+    parser.add_argument("--mode", choices=["queries", "stage", "sf2prep"])
     parser.add_argument("--names")
+    parser.add_argument("--query")
+    parser.add_argument("--stage")
     parser.add_argument("--sf-dir")
     parser.add_argument("--reps", type=int, default=REPS_HEADLINE)
     parser.add_argument("--out")
@@ -521,8 +558,8 @@ def main() -> None:
     if args.mode == "queries":
         child_queries(args.names.split(","), args.sf_dir, args.reps, args.out)
         return
-    if args.mode == "stages":
-        child_stages(args.sf_dir, args.reps, args.out)
+    if args.mode == "stage":
+        child_stage(args.query, args.stage, args.sf_dir, args.reps, args.out)
         return
     if args.mode == "sf2prep":
         child_materialize_sf2(args.sf_dir, args.out)
@@ -546,8 +583,7 @@ def main() -> None:
         pages_per_sec = res.get("pages_per_sec", pages_per_sec)
     total = round(sum(times.values()), 3)
 
-    stages = {"sf": _run_child(["--mode", "stages", "--sf-dir", sf_dir,
-                                "--reps", str(REPS_HEADLINE)])}
+    stages = {"sf": _run_stage_plan(sf_dir, REPS_HEADLINE)}
 
     sf2_block = None
     if os.environ.get("SPARK_GRAFT_SKIP_SF2") != "1":
@@ -568,8 +604,7 @@ def main() -> None:
             "queries": sf2_times,
             "pages_per_sec": sf2_pps,
         }
-        stages["sf2"] = _run_child(["--mode", "stages", "--sf-dir", sf2_dir,
-                                    "--reps", str(REPS_SF2)])
+        stages["sf2"] = _run_stage_plan(sf2_dir, REPS_SF2)
 
     cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     full = {

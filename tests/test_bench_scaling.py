@@ -58,24 +58,49 @@ def test_bench_child_and_stage_modes_roundtrip(sf_tiny, tmp_path):
     assert set(q["times"]) == {"geo_cell_encode", "dedup_exact"}
     assert all(t >= 0 for t in q["times"].values())
 
-    sout = tmp_path / "s.json"
-    subprocess.run(
-        [sys.executable, bench.__file__, "--mode", "stages",
-         "--sf-dir", sf_tiny, "--reps", "1", "--out", str(sout)],
-        check=True, env=env, timeout=600,
-    )
-    s = json.loads(sout.read_text())
-    assert list(s["web_ingest"]) == [
+    # one representative stage child per composite (one fresh JVM per
+    # (query, stage) in the real run; the full plan is orchestrator glue
+    # tested by test_stage_plan_delta_derivation)
+    for qname, sname in (
+        ("web_ingest", "quality_gate"),
+        ("webtext_domain_reputation", "pagerank"),
+    ):
+        sout = tmp_path / f"{qname}.{sname}.json"
+        subprocess.run(
+            [sys.executable, bench.__file__, "--mode", "stage",
+             "--query", qname, "--stage", sname,
+             "--sf-dir", sf_tiny, "--reps", "1", "--out", str(sout)],
+            check=True, env=env, timeout=600,
+        )
+        s = json.loads(sout.read_text())
+        assert s["wall"] >= 0
+
+
+def test_stage_plan_delta_derivation(monkeypatch):
+    """_run_stage_plan spawns one child per (query, stage) and derives
+    cumulative deltas for web_ingest only."""
+    import bench
+
+    calls = []
+
+    def fake_child(args):
+        calls.append(args)
+        return {"wall": float(len(calls))}  # 1.0, 2.0, ... per stage
+
+    monkeypatch.setattr(bench, "_run_child", fake_child)
+    out = bench._run_stage_plan("/tmp/x", 2)
+    assert list(out["web_ingest"]) == [
         "warc_split", "html_extract", "quality_gate", "full"
     ]
-    assert list(s["webtext_domain_reputation"]) == [
+    assert list(out["webtext_domain_reputation"]) == [
         "pagerank", "hits", "dup_rate", "full"
     ]
-    # web_ingest stages are cumulative prefixes: deltas telescope to the
-    # full wall (each wall/delta is rounded to 3 decimals independently, so
-    # allow one rounding ulp per stage)
-    wi = s["web_ingest"]
-    assert abs(sum(st["delta"] for st in wi.values()) - wi["full"]["wall"]) < 1e-3 * len(wi) + 1e-9
+    assert len(calls) == 8 and all("--mode" in c and "stage" in c for c in calls)
+    # cumulative deltas telescope to the full wall for web_ingest...
+    wi = out["web_ingest"]
+    assert abs(sum(st["delta"] for st in wi.values()) - wi["full"]["wall"]) < 1e-9
+    # ...and the independent reputation legs carry no delta key
+    assert all("delta" not in st for st in out["webtext_domain_reputation"].values())
 
 
 def test_bench_compact_line_survives_tail_capture():

@@ -597,3 +597,297 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_e4")
     )
+
+
+# ---------------------------------------------------------------------------
+# r5: the remaining TPC-H query shapes — completes all 22 (adapted to the
+# testdata star schema: no partsupp / shipmode / commit-receipt dates, so
+# each keeps the reference query's JOIN/SUBQUERY STRUCTURE over the columns
+# that exist; every aggregate is per-row-quantized integer arithmetic so
+# the DuckDB hash comparison is exact).
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): single-table filter +
+    scalar aggregate. The whole query is one parquet scan with every
+    predicate pushed to the reader (date range, discount band, quantity
+    cap) — at 10^12 rows this is THE pushdown showcase: no join, no
+    shuffle beyond the final 1-row partial-agg combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000, 0)
+                .cast("long")
+            ).alias("revenue_e4")
+        )
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated MIN subquery
+    — for each qualifying part, the supplier(s) offering the lowest unit
+    price, decorrelated into groupBy-min + match-back (Catalyst's own plan
+    for the original's scalar subquery). partsupp doesn't exist in this
+    schema, so unit cost comes from observed sales: min over lineitems of
+    round(extendedprice/quantity * 1e4). Ties broken by min s_suppkey via
+    one window pass over the tiny matched set."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity") * 10000, 0).cast("long")
+    cost = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit).alias("cost_e4"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("cost_e4").asc(), F.col("l_suppkey").asc()
+    )
+    best = cost.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey", "p_name", "p_size", "s_suppkey", "s_name", "cost_e4"
+        )
+        .orderBy(F.col("cost_e4").asc(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the CASE-inside-aggregate
+    ratio — of all PROMO-part revenue sold to ASIA-region customers per
+    order year, the share supplied by NATION_5, in exact integer ppm
+    (numerator*1e6 div denominator; both sides per-row-quantized e4 sums
+    so no float division anywhere)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_row = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("long")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", rev_row).otherwise(F.lit(0)))
+            .alias("nation_rev_e4"),
+            F.sum(rev_row).alias("total_rev_e4"),
+        )
+        .withColumn(
+            "mkt_share_ppm",
+            F.expr("nation_rev_e4 * 1000000 div total_rev_e4"),
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation per
+    order year over a part-name token filter. ps_supplycost doesn't exist,
+    so cost is the catalog p_retailprice * quantity (the same
+    fact x part x supplier x nation x orders 5-way join tree as the
+    original — part and supplier dims broadcast, the orders join carries
+    the year)."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    profit_row = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("long")
+        - F.round(F.col("p_retailprice") * F.col("l_quantity") * 10000, 0).cast("long")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit_row).alias("profit_e4"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value restricted to one
+    nation's suppliers, HAVING value > fraction-of-global-total — the
+    global scalar subquery threshold. Exact integer cross-multiplication
+    (value*2000 > total) instead of the original's float fraction; the
+    scalar total is a 1-row broadcast."""
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    val_row = F.round(F.col("l_extendedprice") * 10000, 0).cast("long")
+    value = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(val_row).alias("value_e4"))
+    )
+    total = value.agg(F.sum("value_e4").alias("total_e4"))
+    return (
+        value.join(F.broadcast(total))
+        .filter(F.col("value_e4") * 2000 > F.col("total_e4"))
+        .select("l_partkey", "value_e4")
+        .orderBy(F.col("value_e4").desc(), F.col("l_partkey").asc())
+    )
+
+
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / critical priority): per line
+    status (standing in for the absent l_shipmode), how many shipped-1996
+    lineitems belong to critical-priority orders vs not — the
+    two-CASE-count aggregate over the orders join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): the nested IN-subquery
+    chain — suppliers who shipped more than a threshold quantity of
+    'small%' parts during 1996, joined back to supplier x nation. Both
+    inner dims (matching parts, qualifying suppkeys) resolve to semi-join
+    sides; quantity is whole-valued in this corpus so the sum is exact as
+    BIGINT."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    qual = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"),
+                "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("ship_qty"))
+        .filter(F.col("ship_qty") > 50)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "ship_qty")
+        .orderBy(F.col("ship_qty").desc(), F.col("s_suppkey").asc())
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS/NOT-EXISTS pair over the same-order self-join. Commit/receipt
+    dates don't exist, so "the one who kept the order waiting" = the
+    supplier with the LATEST ship date in a finished multi-supplier order
+    (EXISTS another supplier in the order ≡ distinct-supplier count ≥ 2;
+    NOT EXISTS a later one ≡ rank 1 on ship date desc). One window pass
+    over per-(order,supplier) maxima replaces the original's two
+    correlated subqueries; ties broken by min suppkey."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_os = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    ranked = per_os.select(
+        "l_orderkey", "l_suppkey",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy(
+                F.col("last_ship").desc(), F.col("l_suppkey").asc()
+            )
+        ).alias("rk"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        ranked.filter((F.col("n_supp") >= 2) & (F.col("rk") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers above the
+    global positive-balance average with NO orders — scalar-average
+    subquery + anti-join, grouped by nation key (standing in for the
+    absent phone country code, same low-cardinality IN prefilter). The
+    average threshold is computed in exact integer cents (sum_e2 div
+    count) so the > comparison can't be flipped by float summation
+    order. Every customer in this corpus has SOME order, so "no orders"
+    is scoped to the recent window (>= 2000-01-01) — the original query's
+    'no purchases in seven years' intent, and the anti side stays a
+    date-pruned fraction of the fact table at any scale."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 7)
+    bal_e2 = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.expr(
+                "sum(cast(round(c_acctbal * 100, 0) as bigint)) div count(1)"
+            ).alias("avg_e2")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    return (
+        cust.withColumn("bal_e2", bal_e2)
+        .join(F.broadcast(avg_pos))
+        .filter(F.col("bal_e2") > F.col("avg_e2"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_e2").alias("totacctbal_e2"),
+        )
+    )

@@ -3807,3 +3807,193 @@ SELECT g.query_id, count(*) AS k_eval,
 FROM gt g LEFT JOIN lsh l USING (query_id, neighbor_id)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# r5: remaining TPC-H shapes (completes all 22 query structures)
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue_sql() -> str:
+    return """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT)
+         AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q2_min_cost_supplier_sql() -> str:
+    return """
+WITH pp AS (
+  SELECT p_partkey, p_name, p_size FROM part
+  WHERE p_type = 'STANDARD' AND p_size <= 10
+),
+cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice / l_quantity * 10000) AS BIGINT)) AS cost_e4
+  FROM lineitem JOIN pp ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT l_partkey, l_suppkey, cost_e4,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY cost_e4 ASC, l_suppkey ASC) AS rk
+  FROM cost
+)
+SELECT p_partkey, p_name, p_size, s_suppkey, s_name, cost_e4
+FROM best
+JOIN pp ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rk = 1
+ORDER BY cost_e4 ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+def q8_market_share_sql() -> str:
+    return """
+WITH asia_cust AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+sn AS (
+  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+         AS total_rev_e4,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                     ELSE 0 END) * 1000000
+            // sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS mkt_share_ppm
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN sn ON l_suppkey = s_suppkey
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+  AND o_custkey IN (SELECT c_custkey FROM asia_cust)
+GROUP BY 1
+"""
+
+
+def q9_product_profit_sql() -> str:
+    return """
+SELECT n_name,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                - CAST(round(p_retailprice * l_quantity * 10000) AS BIGINT)) AS BIGINT)
+         AS profit_e4
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def q11_important_parts_sql() -> str:
+    return """
+WITH nsupp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+),
+value AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) AS value_e4
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM nsupp)
+  GROUP BY 1
+)
+SELECT l_partkey, value_e4
+FROM value
+WHERE value_e4 * 2000 > (SELECT sum(value_e4) FROM value)
+ORDER BY value_e4 DESC, l_partkey ASC
+"""
+
+
+def q12_priority_by_status_sql() -> str:
+    return """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY 1
+"""
+
+
+def q20_excess_suppliers_sql() -> str:
+    return """
+WITH qual AS (
+  SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ship_qty
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY 1
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 50
+)
+SELECT s_suppkey, s_name, n_name, ship_qty
+FROM qual
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY ship_qty DESC, s_suppkey ASC
+"""
+
+
+def q21_waiting_supplier_sql() -> str:
+    return """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_orderkey, l_suppkey,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY last_ship DESC, l_suppkey ASC) AS rk
+  FROM per_os
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND rk = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20
+"""
+
+
+def q22_global_sales_opportunity_sql() -> str:
+    return """
+WITH cc AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_e2, c_acctbal
+  FROM customer WHERE c_nationkey < 7
+),
+thr AS (
+  SELECT CAST(sum(bal_e2) // count(*) AS BIGINT) AS avg_e2
+  FROM cc WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_e2) AS BIGINT) AS totacctbal_e2
+FROM cc, thr
+WHERE bal_e2 > avg_e2
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+GROUP BY 1
+"""

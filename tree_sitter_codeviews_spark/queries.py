@@ -1350,13 +1350,18 @@ def web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web_ingest_stages(spark, sf_dir)["full"]
 
 
-def web_ingest_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def web_ingest_stages(
+    spark: SparkSession, sf_dir: str, only: str | None = None
+) -> dict[str, DataFrame]:
     """The ``web_ingest`` pipeline with each cumulative stage exposed as its
     own DataFrame — ``warc_split`` -> ``html_extract`` -> ``quality_gate``
     -> ``full`` — so the bench harness can time the end-to-end query
     per-stage and a regression localizes to the stage that moved
     (VERDICT r4 next-round #5). Single source of truth: ``web_ingest``
-    returns ``stages["full"]``."""
+    returns ``stages["full"]``. ``only`` is accepted for signature parity
+    with the reputation stages builder and ignored: every frame here is
+    LAZY (no eager checkpoints), so building the full dict costs
+    nothing."""
     from .operators import curation, webtext
 
     docs = _docs(spark, sf_dir)
@@ -2068,22 +2073,37 @@ def webtext_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def webtext_domain_reputation_stages(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, only: str | None = None
 ) -> dict[str, DataFrame]:
     """The ``webtext_domain_reputation`` composite with each component
     exposed — ``pagerank`` (10 iters), ``hits`` (5 iters), ``dup_rate``,
     ``full`` — for per-stage bench timing (VERDICT r4 next-round #5).
-    Single source of truth: the query returns ``stages["full"]``."""
+    Single source of truth: the query returns ``stages["full"]``.
+
+    ``only`` builds just the named leg (plus its dependencies): the rank
+    legs run their per-iteration localCheckpoints EAGERLY at build time,
+    so building all legs to time one re-executes the others' iterative
+    work and leaks their checkpoint blocks into the measurement — the
+    bench's per-stage children pass ``only`` so each fresh JVM executes
+    exactly the leg it times."""
     from .operators import linkgraph
     from .operators.curation import canonicalize_url
 
+    need = {only} if only else {"pagerank", "hits", "dup_rate", "full"}
+    if "full" in need:
+        need |= {"pagerank", "hits", "dup_rate"}
     docs = _docs(spark, sf_dir)
     edges = _host_edges(docs)
     nodes = _host_nodes(spark)
-    pr = linkgraph.pagerank_integer(edges, nodes, iterations=10)
-    hi = linkgraph.hits_integer(edges, nodes, iterations=5).select(
-        F.col("host"), "hub_micro", "auth_micro"
-    )
+    pr = hi = dup = None
+    if "pagerank" in need:
+        pr = linkgraph.pagerank_integer(edges, nodes, iterations=10)
+    if "hits" in need:
+        hi = linkgraph.hits_integer(edges, nodes, iterations=5).select(
+            F.col("host"), "hub_micro", "auth_micro"
+        )
+    if "dup_rate" not in need:
+        return {"pagerank": pr, "hits": hi, "dup_rate": None, "full": None}
     dup = (
         _crawl_pages(docs)
         .select(canonicalize_url(F.col("url")).alias("cu"))
@@ -2098,6 +2118,8 @@ def webtext_domain_reputation_stages(
             ).cast("long").alias("dup_ppm")
         )
     )
+    if "pagerank" not in need or "hits" not in need:
+        return {"pagerank": pr, "hits": hi, "dup_rate": dup, "full": None}
     full = (
         pr.join(hi, "host")
         .join(dup, "host", "left")
