@@ -58,8 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== r5 DRIVER WINDOW (first 50) ================================
         # Block A (21): every registry query that has never had a
         # driver-side CORRECTNESS row in r1-r4 (VERDICT r4 next-round #1;
-        # all were green in GATE_FULL_r04). After this round every one of
-        # the 163 registry queries has a driver row in some round.
+        # all were green in GATE_FULL_r04). Block B (9): the r5 TPC-H
+        # completions, new this round. After this round every one of the
+        # 172 registry queries has a driver row in some round.
         "webtext_domain_reputation": q.webtext_domain_reputation,  # PR+HITS+dup composite (r4)
         "webtext_geo_regions": q.webtext_geo_regions,  # crawl pages per polygon region via PIP (r4)
         "webtext_anchor_index": q.webtext_anchor_index,  # per-target anchor-text index (r4)
