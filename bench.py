@@ -10,14 +10,17 @@ compact JSON line::
 
 Evidence-channel design (VERDICT r4 "what's wrong" #1/#2):
 
-* **Fresh JVM per query group.** The orchestrator (no args) spawns child
-  processes (``--mode ...``), each with its own SparkSession, in chunks of
-  ``CHUNK`` queries. A 100-query registry through ONE long-lived JVM
-  accumulates block-manager/codegen pressure that contaminated the official
-  r1–r4 records (measured: dedup_minhash_lsh 9.44 s in-suite vs 2.56 s
-  isolated — the plans were fine, the measurement wasn't). Chunked fresh
-  JVMs bound contamination at CHUNK queries without hand-classifying
-  "heavy" queries.
+* **Two-pass: chunked screening, then fresh-JVM singletons.** The
+  orchestrator (no args) spawns child processes (``--mode ...``), each with
+  its own SparkSession, in chunks of ``CHUNK`` queries. A 100-query registry
+  through ONE long-lived JVM accumulates block-manager/codegen pressure that
+  contaminated the official r1–r4 records (measured: dedup_minhash_lsh
+  9.44 s in-suite vs 2.56 s isolated — the plans were fine, the measurement
+  wasn't), and r5 measured that even 25-query chunks inflate chunk-mates up
+  to 5x (flagship 8.51 s as the FIRST timed query of its chunk vs 2.48 s in
+  a singleton JVM with the identical protocol). So chunks only SCREEN; every
+  query screening above ``ISOLATE_THRESHOLD`` is re-timed in its own JVM and
+  the isolated value is final (see ``_two_pass``).
 * **Full artifact on disk, compact line on stdout.** The driver's capture
   keeps only a ~2000-char stdout tail, which truncated the full per-query
   JSON every round (``parsed: null`` in BENCH_r1–r4). The full per-query
@@ -325,9 +328,17 @@ SUMMARY_QUERIES = [
     "events_stream_windows", "graph_components", "emb_kmeans",
 ]
 
-CHUNK = 25          # queries per fresh-JVM child
+CHUNK = 25          # queries per fresh-JVM child (screening pass)
 REPS_HEADLINE = 3   # min-of-3 at sf0.1
 REPS_SF2 = 2        # larger jobs: noise amortizes, 2 reps suffice
+# Screening values above this get a second, fresh-JVM SINGLETON re-time and
+# the isolated value is recorded as final. Measured motivation (r5): even a
+# 25-query chunk contaminates — the flagship screened 8.51 s as the FIRST
+# timed query of its chunk (after the chunk's 25 sf0.001 warm-ups) but runs
+# 2.48 s in a singleton JVM with identical warm+min-of-3 protocol; the worst
+# case screened 54.7 s vs 10.1 s isolated. Sub-threshold values can only be
+# INFLATED by chunk state, so keeping them is conservative (never flatters).
+ISOLATE_THRESHOLD = 1.5
 WARM_SF = "/root/testdata/sf0.001"
 FULL_ARTIFACT = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
@@ -544,6 +555,44 @@ def _run_stage_plan(sf_dir: str, reps: int) -> dict:
     return result
 
 
+def _two_pass(
+    names: list[str], sf_dir: str, reps: int
+) -> tuple[dict[str, float], dict[str, float], float | None]:
+    """Chunked screening pass, then a fresh-JVM SINGLETON re-time of every
+    query screening above ISOLATE_THRESHOLD; the isolated value is final.
+
+    Chunked children are cheap (one JVM per 25 queries) but measured to
+    inflate chunk-mates up to 5x via accumulated JVM/block-manager/worker
+    state, so they only SCREEN: anything that screens heavy — whether
+    genuinely heavy or merely inflated — gets its own JVM with the
+    identical warm+min-of-reps protocol, which is the steady-state number
+    a long-lived production executor would see. Screening values for the
+    sub-threshold tail can only err high, so totals never flatter the
+    engine. The screening value of every isolated query is kept in the
+    returned ``screen`` dict so the artifact shows both measurements."""
+    times: dict[str, float] = {}
+    pages_per_sec = None
+    for chunk in _chunks(names, CHUNK):
+        res = _run_child([
+            "--mode", "queries", "--names", ",".join(chunk),
+            "--sf-dir", sf_dir, "--reps", str(reps),
+        ])
+        times.update(res["times"])
+        pages_per_sec = res.get("pages_per_sec", pages_per_sec)
+
+    screen: dict[str, float] = {}
+    for name in [n for n in names if times.get(n, 0.0) > ISOLATE_THRESHOLD]:
+        res = _run_child([
+            "--mode", "queries", "--names", name,
+            "--sf-dir", sf_dir, "--reps", str(reps),
+        ])
+        screen[name] = times[name]
+        times[name] = res["times"][name]
+        if "pages_per_sec" in res:
+            pages_per_sec = res["pages_per_sec"]
+    return times, screen, pages_per_sec
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", choices=["queries", "stage", "sf2prep"])
@@ -572,15 +621,7 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    times: dict[str, float] = {}
-    pages_per_sec = None
-    for chunk in _chunks(HEADLINE, CHUNK):
-        res = _run_child([
-            "--mode", "queries", "--names", ",".join(chunk),
-            "--sf-dir", sf_dir, "--reps", str(REPS_HEADLINE),
-        ])
-        times.update(res["times"])
-        pages_per_sec = res.get("pages_per_sec", pages_per_sec)
+    times, screen, pages_per_sec = _two_pass(HEADLINE, sf_dir, REPS_HEADLINE)
     total = round(sum(times.values()), 3)
 
     stages = {"sf": _run_stage_plan(sf_dir, REPS_HEADLINE)}
@@ -589,19 +630,12 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_SF2") != "1":
         prep = _run_child(["--mode", "sf2prep", "--sf-dir", sf_dir])
         sf2_dir = prep["sf2_dir"]
-        sf2_times: dict[str, float] = {}
-        sf2_pps = None
-        for chunk in _chunks(SCALE2, CHUNK):
-            res = _run_child([
-                "--mode", "queries", "--names", ",".join(chunk),
-                "--sf-dir", sf2_dir, "--reps", str(REPS_SF2),
-            ])
-            sf2_times.update(res["times"])
-            sf2_pps = res.get("pages_per_sec", sf2_pps)
+        sf2_times, sf2_screen, sf2_pps = _two_pass(SCALE2, sf2_dir, REPS_SF2)
         sf2_block = {
             "sf_equiv": round(sf * REPL2, 3),
             "wall": round(sum(sf2_times.values()), 3),
             "queries": sf2_times,
+            "screen": sf2_screen,
             "pages_per_sec": sf2_pps,
         }
         stages["sf2"] = _run_stage_plan(sf2_dir, REPS_SF2)
@@ -612,6 +646,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "screen": screen,
         "sf": sf,
         "pages_per_sec": pages_per_sec,
         "cores": cores,
@@ -619,6 +654,7 @@ def main() -> None:
             "fresh_jvm_chunk": CHUNK,
             "reps": {"sf": REPS_HEADLINE, "sf2": REPS_SF2},
             "warm": WARM_SF,
+            "isolate_threshold_s": ISOLATE_THRESHOLD,
         },
         "stages": stages,
     }
