@@ -564,7 +564,7 @@ def _run_stage_plan(sf_dir: str, reps: int) -> dict:
 
 def _two_pass(
     names: list[str], sf_dir: str, reps: int
-) -> tuple[dict[str, float], dict[str, float], float | None]:
+) -> tuple[dict[str, float], dict[str, float], float | None, list[str]]:
     """Chunked screening pass, then a fresh-JVM SINGLETON re-time of every
     query screening above ISOLATE_THRESHOLD; the isolated value is final.
 
