@@ -20,7 +20,9 @@ Evidence-channel design (VERDICT r4 "what's wrong" #1/#2):
   to 5x (flagship 8.51 s as the FIRST timed query of its chunk vs 2.48 s in
   a singleton JVM with the identical protocol). So chunks only SCREEN; every
   query screening above ``ISOLATE_THRESHOLD`` is re-timed in its own JVM and
-  the isolated value is final (see ``_two_pass``).
+  ``min(screen, isolated)`` is final — chunk state and co-tenant host
+  pressure both only inflate a fixed plan's wall time, so the smallest
+  observation is the steady-state number (see ``_two_pass``).
 * **Full artifact on disk, compact line on stdout.** The driver's capture
   keeps only a ~2000-char stdout tail, which truncated the full per-query
   JSON every round (``parsed: null`` in BENCH_r1–r4). The full per-query
@@ -332,7 +334,7 @@ CHUNK = 25          # queries per fresh-JVM child (screening pass)
 REPS_HEADLINE = 3   # min-of-3 at sf0.1
 REPS_SF2 = 2        # larger jobs: noise amortizes, 2 reps suffice
 # Screening values above this get a second, fresh-JVM SINGLETON re-time and
-# the isolated value is recorded as final. Measured motivation (r5): even a
+# min(screen, isolated) is recorded as final. Measured motivation (r5): even a
 # 25-query chunk contaminates — the flagship screened 8.51 s as the FIRST
 # timed query of its chunk (after the chunk's 25 sf0.001 warm-ups) but runs
 # 2.48 s in a singleton JVM with identical warm+min-of-3 protocol; the worst
@@ -566,7 +568,8 @@ def _two_pass(
     names: list[str], sf_dir: str, reps: int
 ) -> tuple[dict[str, float], dict[str, float], float | None, list[str]]:
     """Chunked screening pass, then a fresh-JVM SINGLETON re-time of every
-    query screening above ISOLATE_THRESHOLD; the isolated value is final.
+    query screening above ISOLATE_THRESHOLD; the final value is
+    ``min(screen, isolated)``.
 
     Chunked children are cheap (one JVM per 25 queries) but measured to
     inflate chunk-mates up to 5x via accumulated JVM/block-manager/worker
@@ -575,8 +578,15 @@ def _two_pass(
     identical warm+min-of-reps protocol, which is the steady-state number
     a long-lived production executor would see. Screening values for the
     sub-threshold tail can only err high, so totals never flatter the
-    engine. The screening value of every isolated query is kept in the
-    returned ``screen`` dict so the artifact shows both measurements."""
+    engine. The min rule follows from the same premise: chunk state and
+    co-tenant host pressure both only INFLATE a measurement of a fixed
+    plan, so the smallest observation across protocols is the closest to
+    the uncontended number (the r5 overnight run measured the converse
+    hazard — singleton re-times taken under co-tenant load came back up
+    to 4x ABOVE their own screen values, e.g. web_ingest 25.2 s isolated
+    vs 6.1 s screened). The screening value of every isolated query is
+    kept in the returned ``screen`` dict so the artifact shows both
+    measurements."""
     times: dict[str, float] = {}
     pages_per_sec = None
     for chunk in _chunks(names, CHUNK):
@@ -603,8 +613,8 @@ def _two_pass(
             "--sf-dir", sf_dir, "--reps", str(reps),
         ])
         screen[name] = times[name]
-        times[name] = res["times"][name]
-        if "pages_per_sec" in res:
+        times[name] = min(times[name], res["times"][name])
+        if "pages_per_sec" in res and res["times"][name] <= screen[name]:
             pages_per_sec = res["pages_per_sec"]
     return times, screen, pages_per_sec, skipped
 
