@@ -36,7 +36,9 @@ from bench import (  # noqa: E402
     ISOLATE_THRESHOLD,
     REPS_HEADLINE,
     REPS_SF2,
+    STAGE_PLAN,
     _run_child,
+    _run_stage_plan,
 )
 
 
@@ -94,22 +96,54 @@ def _requote_block(block: dict, sf_dir: str, reps: int,
     block[key] = round(sum(times.values()), 3)
 
 
+def _requote_stages(full: dict, block_key: str, sf_dir: str,
+                    reps: int) -> None:
+    """Re-run the per-stage plan (fresh JVM per stage, bench.py protocol)
+    and keep min(old, new) per stage wall; deltas of cumulative plans are
+    recomputed from the min walls."""
+    old = full.get("stages", {}).get(block_key, {})
+    new = _run_stage_plan(sf_dir, reps)
+    for qname, stages in new.items():
+        prev = 0.0
+        cumulative = STAGE_PLAN[qname][1]
+        for sname, entry in stages.items():
+            old_wall = old.get(qname, {}).get(sname, {}).get("wall", float("inf"))
+            entry["wall"] = min(entry["wall"], old_wall)
+            if cumulative:
+                entry["delta"] = round(entry["wall"] - prev, 3)
+                prev = entry["wall"]
+        print(f"[stages {block_key}] {qname}:",
+              {s: e["wall"] for s, e in stages.items()}, flush=True)
+    full.setdefault("stages", {})[block_key] = new
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--budget-s", type=float, default=1500.0)
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--stages-only", action="store_true",
+                    help="only re-run the per-stage plans (min rule)")
     args = ap.parse_args()
 
     full = json.load(open(FULL_ARTIFACT))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    _requote_block(full, sf_dir, REPS_HEADLINE, args.budget_s, args.dry_run)
-
     sf2 = full.get("sf2")
+    sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/tmp/spark_graft_sf1eq")
+    if sf2 and not os.path.exists(os.path.join(sf2_dir, "_READY")):
+        prep = _run_child(["--mode", "sf2prep", "--sf-dir", sf_dir])
+        sf2_dir = prep["sf2_dir"]
+
+    if args.stages_only:
+        _requote_stages(full, "sf", sf_dir, REPS_HEADLINE)
+        if sf2:
+            _requote_stages(full, "sf2", sf2_dir, REPS_SF2)
+        with open(FULL_ARTIFACT, "w") as fh:
+            json.dump(full, fh, indent=1)
+        print("rewrote", FULL_ARTIFACT, flush=True)
+        return
+
+    _requote_block(full, sf_dir, REPS_HEADLINE, args.budget_s, args.dry_run)
     if sf2:
-        sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/tmp/spark_graft_sf1eq")
-        if not os.path.exists(os.path.join(sf2_dir, "_READY")):
-            prep = _run_child(["--mode", "sf2prep", "--sf-dir", sf_dir])
-            sf2_dir = prep["sf2_dir"]
         _requote_block(sf2, sf2_dir, REPS_SF2, args.budget_s, args.dry_run)
 
     if not args.dry_run:
