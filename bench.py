@@ -431,7 +431,15 @@ def child_queries(names: list[str], sf_dir: str, reps: int, out_path: str) -> No
     """Time a chunk of registry queries in THIS fresh JVM: warm each query
     once at sf0.001 (codegen/JIT/Arrow-worker spin-up amortizes to zero at
     production scale — steady-state is the quantity that matters), then
-    min-of-``reps`` at ``sf_dir``."""
+    min-of-``reps`` at ``sf_dir``.
+
+    A SINGLETON chunk (the isolation pass) additionally warms at the
+    target ``sf_dir`` itself: the sf0.001 warm-up leaves the target-scale
+    AQE stage shapes' codegen cold, so cold singletons systematically read
+    1.2-4x above a warm chunk value for big composed pipelines (r5
+    measured web_ingest 27 s cold-singleton vs 6.1 s warm-chunk at sf0.1)
+    — the isolation pass exists to REMOVE chunk-mate pressure, not to add
+    cold-start, so it must pay one untimed full-cost run first."""
     import __spark_entry__ as entry_mod
 
     from tree_sitter_codeviews_spark.session import get_spark
@@ -442,6 +450,8 @@ def child_queries(names: list[str], sf_dir: str, reps: int, out_path: str) -> No
     for name in names:
         if name in qmap:
             qmap[name](spark, WARM_SF).count()
+    if len(names) == 1 and names[0] in qmap:
+        qmap[names[0]](spark, sf_dir).count()  # target-scale warm (untimed)
     import gc
 
     gc.collect()
@@ -477,7 +487,16 @@ def child_stage(qname: str, sname: str, sf_dir: str, reps: int,
     by the 4th stage. Build time is INSIDE the timed region (for the
     eager legs it IS the query's cost; the lazy web_ingest prefixes are
     unaffected); ``only=sname`` keeps the build to the timed leg's own
-    dependency cone."""
+    dependency cone.
+
+    Warm-up runs at the TARGET sf_dir, not WARM_SF: an sf0.001 warm-up
+    leaves most of the composed pipeline's codegen/JIT cold (different
+    AQE-coalesced stage shapes), so the first target-scale run pays it and
+    the stage walls came out internally inconsistent — the r5 overnight
+    record read web_ingest full=38.7 s at sf0.1 vs 6.1 s for the same
+    query in a warm chunk JVM, and sf1-eq quality_gate 20.0 s > full
+    18.3 s (a negative cumulative delta). One full-cost warm run per
+    stage child buys steady-state walls comparable to the query table."""
     from tree_sitter_codeviews_spark import queries as q
     from tree_sitter_codeviews_spark.session import get_spark
 
@@ -487,7 +506,8 @@ def child_stage(qname: str, sname: str, sf_dir: str, reps: int,
     }[qname]
     spark = get_spark("bench-stage")
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
-    builder(spark, WARM_SF, only=sname)[sname].count()  # warm codegen/JIT
+    builder(spark, WARM_SF, only=sname)[sname].count()  # cheap first warm
+    builder(spark, sf_dir, only=sname)[sname].count()   # target-scale warm
     dt = _timed_count(
         lambda sp, d: builder(sp, d, only=sname)[sname], spark, sf_dir, reps
     )

@@ -50,7 +50,7 @@ def _min_rule(block: dict) -> None:
             times[name] = min(times[name], sv)
 
 
-def _candidates(block: dict) -> list[str]:
+def _candidates(block: dict, all_mode: bool = False) -> list[str]:
     times = block["queries"]
     screen = block.get("screen", {})
     skipped = set(block.get("iso_skipped", []))
@@ -59,15 +59,16 @@ def _candidates(block: dict) -> list[str]:
         if t <= ISOLATE_THRESHOLD:
             continue
         contaminated = name in screen and screen[name] <= t
-        if contaminated or name in skipped:
+        if all_mode or contaminated or name in skipped:
             out.append(name)
     return sorted(out, key=lambda n: -times[n])
 
 
 def _requote_block(block: dict, sf_dir: str, reps: int,
-                   budget_s: float, dry: bool) -> None:
+                   budget_s: float, dry: bool,
+                   all_mode: bool = False) -> None:
     _min_rule(block)
-    cands = _candidates(block)
+    cands = _candidates(block, all_mode)
     times = block["queries"]
     print(f"[{sf_dir}] {len(cands)} candidates:",
           {n: times[n] for n in cands}, flush=True)
@@ -123,6 +124,11 @@ def main() -> None:
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--stages-only", action="store_true",
                     help="only re-run the per-stage plans (min rule)")
+    ap.add_argument("--all", action="store_true", dest="all_mode",
+                    help="requote EVERY query above the isolation "
+                         "threshold, not just suspect records — useful "
+                         "after a warm-up protocol change makes singleton "
+                         "quotes strictly better")
     args = ap.parse_args()
 
     full = json.load(open(FULL_ARTIFACT))
@@ -142,9 +148,11 @@ def main() -> None:
         print("rewrote", FULL_ARTIFACT, flush=True)
         return
 
-    _requote_block(full, sf_dir, REPS_HEADLINE, args.budget_s, args.dry_run)
+    _requote_block(full, sf_dir, REPS_HEADLINE, args.budget_s, args.dry_run,
+                   args.all_mode)
     if sf2:
-        _requote_block(sf2, sf2_dir, REPS_SF2, args.budget_s, args.dry_run)
+        _requote_block(sf2, sf2_dir, REPS_SF2, args.budget_s, args.dry_run,
+                       args.all_mode)
 
     if not args.dry_run:
         full.setdefault("protocol", {})["final_rule"] = (
