@@ -450,8 +450,12 @@ def child_queries(names: list[str], sf_dir: str, reps: int, out_path: str) -> No
     for name in names:
         if name in qmap:
             qmap[name](spark, WARM_SF).count()
-    if len(names) == 1 and names[0] in qmap:
-        qmap[names[0]](spark, sf_dir).count()  # target-scale warm (untimed)
+    # The FIRST timed query of a chunk has no predecessors to deepen the
+    # JVM's JIT tiers at target scale (r5 measured the sf1-eq flagship at
+    # 37.7 s as chunk-opener vs ~2 s mid-chunk), and a singleton chunk IS
+    # a first query — both get one untimed target-scale warm run.
+    if names and names[0] in qmap:
+        qmap[names[0]](spark, sf_dir).count()
     import gc
 
     gc.collect()
