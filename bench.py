@@ -589,7 +589,8 @@ def _run_stage_plan(sf_dir: str, reps: int) -> dict:
 
 
 def _two_pass(
-    names: list[str], sf_dir: str, reps: int
+    names: list[str], sf_dir: str, reps: int,
+    iso_budget: float = ISOLATE_BUDGET_S,
 ) -> tuple[dict[str, float], dict[str, float], float | None, list[str]]:
     """Chunked screening pass, then a fresh-JVM SINGLETON re-time of every
     query screening above ISOLATE_THRESHOLD; the final value is
@@ -629,7 +630,7 @@ def _two_pass(
     )
     t_start = time.monotonic()
     for name in heavy:
-        if time.monotonic() - t_start > ISOLATE_BUDGET_S:
+        if time.monotonic() - t_start > iso_budget:
             skipped.append(name)
             continue
         res = _run_child([
@@ -671,18 +672,29 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # Global wall bound so the orchestrator fits the driver's per-round
+    # bench window: screening ALWAYS runs in full (coverage first — screen
+    # values only err high); the isolation passes split what budget
+    # remains; the per-stage plans run only if time is left. Everything
+    # skipped is visible in the artifact (iso_skipped / stages note).
+    deadline = time.monotonic() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2700"))
+
     times, screen, pages_per_sec, iso_skipped = _two_pass(
-        HEADLINE, sf_dir, REPS_HEADLINE)
+        HEADLINE, sf_dir, REPS_HEADLINE,
+        iso_budget=min(ISOLATE_BUDGET_S,
+                       max(0.0, deadline - time.monotonic()) * 0.45))
     total = round(sum(times.values()), 3)
 
-    stages = {"sf": _run_stage_plan(sf_dir, REPS_HEADLINE)}
-
     sf2_block = None
+    sf2_dir = None
     if os.environ.get("SPARK_GRAFT_SKIP_SF2") != "1":
         prep = _run_child(["--mode", "sf2prep", "--sf-dir", sf_dir])
         sf2_dir = prep["sf2_dir"]
         sf2_times, sf2_screen, sf2_pps, sf2_skipped = _two_pass(
-            SCALE2, sf2_dir, REPS_SF2)
+            SCALE2, sf2_dir, REPS_SF2,
+            iso_budget=min(ISOLATE_BUDGET_S,
+                           max(0.0, deadline - time.monotonic()) * 0.7))
         sf2_block = {
             "sf_equiv": round(sf * REPL2, 3),
             "wall": round(sum(sf2_times.values()), 3),
@@ -691,7 +703,15 @@ def main() -> None:
             "iso_skipped": sf2_skipped,
             "pages_per_sec": sf2_pps,
         }
-        stages["sf2"] = _run_stage_plan(sf2_dir, REPS_SF2)
+
+    if time.monotonic() < deadline:
+        stages = {"sf": _run_stage_plan(sf_dir, REPS_HEADLINE)}
+        if sf2_block is not None and time.monotonic() < deadline:
+            stages["sf2"] = _run_stage_plan(sf2_dir, REPS_SF2)
+        else:
+            stages["sf2"] = "skipped (bench wall budget exhausted)"
+    else:
+        stages = "skipped (bench wall budget exhausted)"
 
     cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     full = {
