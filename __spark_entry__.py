@@ -58,9 +58,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== r5 DRIVER WINDOW (first 50) ================================
         # Block A (21): every registry query that has never had a
         # driver-side CORRECTNESS row in r1-r4 (VERDICT r4 next-round #1;
-        # all were green in GATE_FULL_r04). Block B (9): the r5 TPC-H
-        # completions, new this round. After this round every one of the
-        # 172 registry queries has a driver row in some round.
+        # all were green in GATE_FULL_r04). Block NEW-r5 (11): the r5
+        # TPC-H completions + the two IVFPQ variants, new this round.
+        # After this round every one of the 175 registry queries has a
+        # driver row in some round.
         "webtext_domain_reputation": q.webtext_domain_reputation,  # PR+HITS+dup composite (r4)
         "webtext_geo_regions": q.webtext_geo_regions,  # crawl pages per polygon region via PIP (r4)
         "webtext_anchor_index": q.webtext_anchor_index,  # per-target anchor-text index (r4)
@@ -82,7 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q.text_bigram_lm,  # bigram conditional-probability LM table (r4)
         "dedup_incremental": q.dedup_incremental,  # cross-snapshot anti-join dedup (r4)
         "multimodal_ahash": q.multimodal_ahash,  # perceptual average-hash over binary payloads (r4)
-        # Block NEW-r5 (9): the remaining TPC-H query shapes — with these
+        # Block NEW-r5 (9 TPC-H + 2 IVFPQ): the remaining TPC-H query
+        # shapes — with these
         # the registry covers all 22 TPC-H structures (adapted to the
         # testdata schema: no partsupp/shipmode/commit-receipt columns).
         # Never driver-verified (new this round), so they sit in the
@@ -96,6 +98,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": rel.q20_excess_suppliers,  # nested IN-subquery chain (r5)
         "q21_waiting_supplier": rel.q21_waiting_supplier,  # EXISTS/NOT-EXISTS self-join via window (r5)
         "q22_global_sales_opportunity": rel.q22_global_sales_opportunity,  # scalar-avg + anti-join (r5)
+        "ann_ivfpq_topk": q.ann_ivfpq_topk,  # faiss-IVFPQ composition: IVF routing x PQ/ADC scoring (r5)
+        "ann_ivfpq_residual": q.ann_ivfpq_residual,  # residual-encoded IVFPQ, per-cell ADC LUTs (r5)
+        "webtext_kcore": q.webtext_kcore,  # k-core peeling over the host graph, link-farm density signal (r5)
         # Block B (7): code paths changed this round — outlink host
         # normalization (absolute-href scheme+host lowercased, ADVICE r4)
         # flows into every outlink-derived query; overlay cover cells
@@ -394,6 +399,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": oracle.ann_lsh_sql(),
         "ann_ivf_topk": oracle.ann_ivf_sql(),
         "ann_pq_topk": oracle.ann_pq_sql(),
+        "ann_ivfpq_topk": oracle.ann_ivfpq_sql(),
+        "ann_ivfpq_residual": oracle.ann_ivfpq_residual_sql(),
+        "webtext_kcore": oracle.webtext_kcore_sql(k=10, rounds=4),
         "text_tokens": oracle.text_tokens_sql(),
         "text_tokens_bpe": oracle.text_tokens_bpe_sql(),
         "text_sample_stratified": oracle.text_sample_sql(),

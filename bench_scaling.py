@@ -176,7 +176,7 @@ def main() -> None:
     thr_lo = lo["pages"] / lo["wall_s"]
     thr_hi = hi["pages"] / hi["wall_s"]
     eff = thr_hi / ((args.hi / args.lo) * thr_lo)
-    print(json.dumps({
+    summary = {
         "metric": "scaling efficiency (pages/sec, local[lo] vs local[hi])",
         "sf_dir": args.sf_dir,
         "pages": lo["pages"],
@@ -185,7 +185,19 @@ def main() -> None:
         "speedup": round(thr_hi / thr_lo, 3),
         "scaling_efficiency": round(eff, 3),
         "pass_0.8_bar": eff >= 0.8,
-    }))
+    }
+    print(json.dumps(summary))
+    # Persist per-job so bench.py's compact stdout line can carry the
+    # north-rule scaling evidence into the official BENCH record.
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "SCALING_LOCAL.json")
+    merged = {}
+    if os.path.exists(art):
+        with open(art) as fh:
+            merged = json.load(fh)
+    merged[args.job] = summary
+    with open(art, "w") as fh:
+        json.dump(merged, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -125,3 +125,13 @@ def test_bench_compact_line_survives_tail_capture():
     assert parsed["queries"] and parsed["sf2"]["queries"]
     for contract_key in ("metric", "value", "unit", "queries", "sf"):
         assert contract_key in parsed
+    # the committed SCALING_LOCAL.json (bench_scaling.py output) folds the
+    # north-rule two-level scaling evidence into the official BENCH line
+    import os
+
+    if os.path.exists(os.path.join(os.path.dirname(bench.__file__),
+                                   "SCALING_LOCAL.json")):
+        assert parsed["scaling"]
+        for job, s in parsed["scaling"].items():
+            assert set(s) == {"cores", "thr_lo", "thr_hi", "eff"}, job
+            assert s["eff"] > 0

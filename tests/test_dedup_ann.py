@@ -301,7 +301,10 @@ def _exact_gt_pairs(spark, sf_dir, k=10, every=50):
 
 def test_ann_recall_floors_at_gate_scale(spark, sf_small):
     """Recall@10 floors per ANN family at sf0.01 (measured r5:
-    lsh 0.16, pq 0.27, ivf 0.67/0.87/0.98 at nprobe 4/8/12)."""
+    lsh 0.16, pq 0.27, ivf 0.67/0.87/0.98 at nprobe 4/8/12,
+    ivfpq 0.26/0.25/0.27 at nprobe 4/8/12 — code quantization, not
+    routing, is IVFPQ's recall ceiling on this near-uniform corpus, so
+    no monotone-in-nprobe assertion for it)."""
     embs = load_table(spark, sf_small, "embeddings")
     gt = _exact_gt_pairs(spark, sf_small)
     assert len(gt) == 100  # 10 queries x k=10
@@ -314,6 +317,10 @@ def test_ann_recall_floors_at_gate_scale(spark, sf_small):
     # production-default gate rows
     assert recall(ann.lsh_bucketed_topk(embs, k=10, every=50)) >= 0.15
     assert recall(ann.pq_topk(embs, k=10, every=50)) >= 0.20
+    assert recall(ann.ivfpq_topk(embs, k=10, every=50)) >= 0.20
+    # residual encoding lifts the code-quantization ceiling (measured r5:
+    # 0.31 vs 0.26 raw-code at the default nprobe)
+    assert recall(ann.ivfpq_residual_topk(embs, k=10, every=50)) >= 0.25
     r4 = recall(ann.ivf_topk(embs, k=10, every=50, nprobe=4))
     assert r4 >= 0.60
     # the nprobe knob buys recall monotonically and clears 0.95 well

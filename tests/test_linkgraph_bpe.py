@@ -98,3 +98,34 @@ def test_bpe_handles_literal_parens_in_words(spark):
     n_words, n_tokens, n_chars = stats[1]
     assert n_words == 5 and n_chars == 15  # parens count as real chars
     assert 0 < n_tokens < n_chars  # merges compressed, nothing vanished
+
+
+def test_kcore_triangle_with_pendant(spark):
+    """Triangle a-b-c plus pendant c-d: the 2-core is exactly the triangle
+    (d peels in round 1, after which every survivor keeps degree 2).
+    Duplicate edges and self-loops must not inflate degrees (simple-graph
+    view), and the undirected view must count each partner once."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+         ("a", "b"),            # duplicate multi-edge: deduped
+         ("b", "a"),            # reverse of an existing edge: same und pair
+         ("d", "d")],           # self-loop: dropped
+        ["src", "dst"],
+    )
+    got = {(r["host"], r["degree"])
+           for r in linkgraph.kcore(edges, k=2, rounds=2).collect()}
+    assert got == {("a", 2), ("b", 2), ("c", 2)}
+
+
+def test_kcore_peel_cascades(spark):
+    """A chain a-b-c-d-e at k=2 unravels from both ends, one node per round
+    (the synchronous cascade, visible round by round): rounds=1 peels the
+    endpoints leaving b-c-d; in round 2 b and d peel (degree 1 in the
+    induced subgraph), and the lone survivor c has no surviving partner,
+    so the final induced-degree frame is empty — the chain has no 2-core."""
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["src", "dst"])
+    r1 = {r["host"] for r in linkgraph.kcore(chain, k=2, rounds=1).collect()}
+    assert r1 == {"b", "c", "d"}
+    r2 = {r["host"] for r in linkgraph.kcore(chain, k=2, rounds=2).collect()}
+    assert r2 == set()

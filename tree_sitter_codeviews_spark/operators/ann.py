@@ -15,6 +15,9 @@
 - ``pq_topk``: product quantization + asymmetric-distance (ADC) scoring —
   the memory-bound family (one packed long per corpus vector in the join);
   oracle-mirrored exactly.
+- ``ivfpq_topk``: IVF routing × PQ/ADC scoring — the faiss-IVFPQ production
+  composition (sub-linear in vectors touched AND bytes per touch);
+  oracle-mirrored exactly.
 """
 
 from __future__ import annotations
@@ -120,36 +123,21 @@ def topk_cosine_pandas(embs: DataFrame, k: int = 10, every: int = 50) -> DataFra
     )
 
 
-def ivf_topk(
-    embs: DataFrame,
-    k: int = 10,
-    every: int = 50,
-    centroid_every: int = 40,
-    nprobe: int = 4,
-) -> DataFrame:
-    """IVF (inverted-file) ANN: coarse-quantize the corpus into cells, score
-    each query only against its ``nprobe`` nearest cells' vectors.
-
-    Centroids are a deterministic 1/``centroid_every`` sample of the corpus
-    itself (no iterative k-means — a fixed, oracle-reproducible coarse
-    quantizer). Build: one broadcast of the centroid table, map-side scoring,
-    ``max_by`` assignment (partial-aggregated, so the pre-shuffle width is one
-    row per vector). Read: queries probe their nprobe nearest cells and
-    equi-join the cell's inverted list — shuffle bounded by cell sizes, never
-    all-pairs. Recall < 1 when a true neighbor's cell isn't probed (the IVF
-    contract); the output itself is deterministic, so the gate oracle mirrors
-    it exactly (quantized integer dots, round-6 cosine, id tie-breaks).
-
-    At 10^12 rows: |C| = N/centroid_every overflows a broadcast — swap the
-    sampled centroids for trained ones (fixed |C| ~ sqrt(N)) and the same
-    plan holds; nothing else changes shape.
-    """
-    q = embs.select("vec_id", quantize_col(F.col("embedding")).alias("qv"))
-    qn = q.withColumn(
+def _with_norm(q: DataFrame) -> DataFrame:
+    return q.withColumn(
         "norm",
         F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0).cast("long"),
                     lambda acc, v: acc + v),
     )
+
+
+def _ivf_route(
+    qn: DataFrame, every: int, centroid_every: int, nprobe: int
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse routing shared by ``ivf_topk`` / ``ivfpq_topk``: returns
+    ``(assign, qprobe)`` — the nearest-centroid cell of every corpus vector
+    (``vec_id, cent_id``) and the ``nprobe`` probed cells of every query
+    (``query_id, cent_id``)."""
     # centroid scoring: collect the (bounded) centroid table once and run
     # one int64 numpy GEMM per Arrow batch — the faiss-style IVF build.
     # Dots stay exact integers; cos + round happen Spark-side so the
@@ -215,6 +203,36 @@ def ivf_topk(
         .filter(F.col("_rn") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), "cent_id")
     )
+    return assign, qprobe
+
+
+def ivf_topk(
+    embs: DataFrame,
+    k: int = 10,
+    every: int = 50,
+    centroid_every: int = 40,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into cells, score
+    each query only against its ``nprobe`` nearest cells' vectors.
+
+    Centroids are a deterministic 1/``centroid_every`` sample of the corpus
+    itself (no iterative k-means — a fixed, oracle-reproducible coarse
+    quantizer). Build: one broadcast of the centroid table, map-side scoring,
+    ``max_by`` assignment (partial-aggregated, so the pre-shuffle width is one
+    row per vector). Read: queries probe their nprobe nearest cells and
+    equi-join the cell's inverted list — shuffle bounded by cell sizes, never
+    all-pairs. Recall < 1 when a true neighbor's cell isn't probed (the IVF
+    contract); the output itself is deterministic, so the gate oracle mirrors
+    it exactly (quantized integer dots, round-6 cosine, id tie-breaks).
+
+    At 10^12 rows: |C| = N/centroid_every overflows a broadcast — swap the
+    sampled centroids for trained ones (fixed |C| ~ sqrt(N)) and the same
+    plan holds; nothing else changes shape.
+    """
+    q = embs.select("vec_id", quantize_col(F.col("embedding")).alias("qv"))
+    qn = _with_norm(q)
+    assign, qprobe = _ivf_route(qn, every, centroid_every, nprobe)
     nbrs = assign.join(qn, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), "cent_id",
         F.col("qv").alias("qb"), F.col("norm").alias("norm_b"),
@@ -333,14 +351,14 @@ def _pq_codebook_from(sample: np.ndarray) -> np.ndarray:
     return sample.reshape(k, PQ_M, PQ_DSUB).transpose(1, 0, 2).copy()
 
 
-def _pq_sample(q: DataFrame) -> np.ndarray:
+def _pq_sample(q: DataFrame, col: str = "qv") -> np.ndarray:
     rows = (
         q.filter(F.col("vec_id") % PQ_SAMPLE_MOD == 1)
-        .orderBy("vec_id").limit(PQ_K).collect()
+        .orderBy("vec_id").limit(PQ_K).select("vec_id", col).collect()
     )
     if len(rows) < 2:
         raise ValueError("pq_topk: corpus too small to sample a codebook")
-    return np.array([r["qv"] for r in rows], dtype=np.int64)
+    return np.array([r[col] for r in rows], dtype=np.int64)
 
 
 def pq_encode_udf(cb: np.ndarray):
@@ -378,6 +396,20 @@ def pq_lut_udf(cb: np.ndarray):
     return lut
 
 
+def _adc_expr(n_codes: int):
+    """ADC distance as a pure JVM expression over (``pqcode``, ``lut``):
+    unpack the m-th 6-bit code from the packed long, look the subdistance up
+    in the query's flattened LUT, sum the M terms."""
+    adist = None
+    for m in range(PQ_M):
+        code_m = F.shiftright(F.col("pqcode"), 6 * m).bitwiseAND(F.lit(63))
+        term = F.element_at(
+            F.col("lut"), (code_m + F.lit(m * n_codes) + F.lit(1)).cast("int")
+        )
+        adist = term if adist is None else adist + term
+    return adist
+
+
 def pq_topk(embs: DataFrame, k: int = 10, every: int = 50) -> DataFrame:
     """(query_id, neighbor_id, rank, adist): ADC top-k over the PQ-compressed
     corpus. The corpus carries ONE long per vector (8 packed 6-bit codes);
@@ -395,18 +427,125 @@ def pq_topk(embs: DataFrame, k: int = 10, every: int = 50) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         pq_lut_udf(cb)(F.col("qv")).alias("lut"),
     )
-    adist = None
-    for m in range(PQ_M):
-        code_m = F.shiftright(F.col("pqcode"), 6 * m).bitwiseAND(F.lit(63))
-        term = F.element_at(
-            F.col("lut"), (code_m + F.lit(m * n_codes) + F.lit(1)).cast("int")
-        )
-        adist = term if adist is None else adist + term
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
     return (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adist", adist)
+        .withColumn("adist", _adc_expr(n_codes))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )
+
+
+def ivfpq_topk(
+    embs: DataFrame,
+    k: int = 10,
+    every: int = 50,
+    centroid_every: int = 40,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF routing + PQ/ADC scoring — the faiss-``IVFPQ`` composition, the
+    shape production vector stores actually deploy: the coarse quantizer
+    bounds WHICH vectors each query touches (nprobe inverted lists instead
+    of the whole corpus), PQ bounds WHAT each touch costs (one packed long
+    per corpus vector — 8 bytes instead of 512 — and 8 LUT adds per pair).
+
+    ``pq_topk`` alone still scans every code per query (compute-bound);
+    ``ivf_topk`` alone carries full vectors into the probed cells
+    (memory-bound). This composition is sub-linear in BOTH: at 10^12 rows a
+    query touches ~nprobe/|C| of the corpus at 8 bytes per touched vector.
+    Codes are encoded on the RAW vectors (no residual subtraction), so the
+    ADC distances are bit-identical to ``pq_topk``'s on the shared pairs and
+    the DuckDB oracle mirrors routing and scoring exactly; classic IVFPQ
+    residual encoding would improve recall but put float k-means between the
+    engine and the oracle. Recall < 1 only via the routing contract (as
+    ``ivf_topk``) and code quantization (as ``pq_topk``) — both measured by
+    the companion recall eval; the output itself is fully deterministic.
+    """
+    q = embs.select("vec_id", quantize_col(F.col("embedding")).alias("qv"))
+    assign, qprobe = _ivf_route(_with_norm(q), every, centroid_every, nprobe)
+    cb = _pq_codebook_from(_pq_sample(q))
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        pq_encode_udf(cb)(F.col("qv")).alias("pqcode"),
+    ).join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    queries = _query_set(q, every).select(
+        F.col("vec_id").alias("query_id"),
+        pq_lut_udf(cb)(F.col("qv")).alias("lut"),
+    )
+    # qprobe×queries is (|Q| * nprobe) rows — broadcast; the corpus side
+    # streams through the equi-join on cent_id, so each corpus code is read
+    # once and only probed cells produce pairs (never all-pairs).
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(qprobe.join(queries, "query_id")).join(corpus, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adist", _adc_expr(cb.shape[1]))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )
+
+
+def ivfpq_residual_topk(
+    embs: DataFrame,
+    k: int = 10,
+    every: int = 50,
+    centroid_every: int = 40,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Residual-encoded IVFPQ — faiss's actual IVFPQ: PQ codes quantize
+    ``vector - assigned_centroid`` instead of the raw vector, and each
+    query builds one ADC lookup table PER PROBED CELL from its own residual
+    against that cell's centroid. Residuals concentrate around the origin,
+    so the same codebook budget quantizes them with less error than raw
+    vectors — measured at gate scale this lifts recall@10 from
+    ``ivfpq_topk``'s code-quantization ceiling (see FIXTURES.md).
+
+    Everything stays EXACT int64 — residuals of integer-quantized vectors
+    against integer sampled centroids are integers, so unlike float-k-means
+    residual training the DuckDB oracle mirrors routing, residual encode,
+    per-cell LUTs and ranking bit-for-bit. Scale shape is ``ivfpq_topk``'s
+    plus one broadcast of the (bounded) centroid-vector table on each side:
+    corpus codes are still one packed long per vector, queries still carry
+    nprobe LUT rows, pairs still form only inside probed cells.
+    """
+    q = embs.select("vec_id", quantize_col(F.col("embedding")).alias("qv"))
+    qn = _with_norm(q)
+    assign, qprobe = _ivf_route(qn, every, centroid_every, nprobe)
+    cents = qn.filter(F.col("vec_id") % centroid_every == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
+    )
+    res = (
+        q.join(assign, "vec_id")
+        .join(F.broadcast(cents), "cent_id")
+        .withColumn("rv", F.zip_with("qv", "cv", lambda a, b: a - b))
+        .select("vec_id", "cent_id", "rv")
+    )
+    cb = _pq_codebook_from(_pq_sample(res, col="rv"))
+    corpus = res.select(
+        F.col("vec_id").alias("neighbor_id"), "cent_id",
+        pq_encode_udf(cb)(F.col("rv")).alias("pqcode"),
+    )
+    qres = (
+        qprobe.join(
+            q.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")),
+            "query_id",
+        )
+        .join(F.broadcast(cents), "cent_id")
+        .withColumn("rq", F.zip_with("qa", "cv", lambda a, b: a - b))
+        .select("query_id", "cent_id", pq_lut_udf(cb)(F.col("rq")).alias("lut"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(qres).join(corpus, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adist", _adc_expr(cb.shape[1]))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adist")

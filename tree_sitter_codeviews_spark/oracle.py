@@ -858,6 +858,186 @@ SELECT query_id, neighbor_id, rank, adist FROM (
 """
 
 
+def ann_ivfpq_sql(
+    k: int = 10, every: int = 50, centroid_every: int = 40, nprobe: int = 4,
+) -> str:
+    """Exact mirror of the IVF+PQ composition: the IVF routing CTEs
+    (``ann_ivf_sql``'s cents/scored/assign/qprobe, verbatim semantics)
+    feeding the PQ ADC scoring CTEs (``ann_pq_sql``'s codebook/encode/LUT),
+    with pairs restricted to the probed cells. All-integer, bit-for-bit."""
+    from .operators.ann import PQ_DSUB, PQ_K, PQ_M, PQ_SAMPLE_MOD
+
+    d2 = ("list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]) "
+          "- 2 * list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) "
+          "+ list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])")
+    return f"""
+WITH {_QUANT_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, qv AS cv, norm AS cnorm FROM qn
+  WHERE vec_id % {centroid_every} = 0
+),
+scored AS (
+  SELECT qn.vec_id, cent_id,
+         round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[])
+               / sqrt(norm * cnorm), 6) AS cosc
+  FROM qn, cents
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cent_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cent_id ASC) AS rn
+    FROM scored WHERE vec_id % {every} = 0
+  ) WHERE rn <= {nprobe}
+),
+cbv AS (
+  SELECT qv, vec_id FROM q WHERE vec_id % {PQ_SAMPLE_MOD} = 1
+  ORDER BY vec_id LIMIT {PQ_K}
+),
+cbk AS (SELECT qv, row_number() OVER (ORDER BY vec_id) - 1 AS k FROM cbv),
+cb AS (
+  SELECT m, k, list_slice(qv, m * {PQ_DSUB} + 1, (m + 1) * {PQ_DSUB}) AS cv
+  FROM cbk, range({PQ_M}) t(m)
+),
+subs AS (
+  SELECT vec_id, m, list_slice(qv, m * {PQ_DSUB} + 1, (m + 1) * {PQ_DSUB}) AS sub
+  FROM q, range({PQ_M}) t(m)
+),
+enc AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT s.vec_id, s.m, cb.k,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {d2.format(a='s.sub', b='cb.cv')} ASC, cb.k ASC) AS rn
+    FROM subs s JOIN cb ON s.m = cb.m
+  ) WHERE rn = 1
+),
+qsubs AS (SELECT vec_id AS query_id, m, sub FROM subs WHERE vec_id % {every} = 0),
+cand AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id
+  FROM qprobe qp JOIN assign a USING (cent_id)
+  WHERE a.vec_id <> qp.query_id
+),
+pair AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(sum({d2.format(a='qs.sub', b='cb.cv')}) AS BIGINT) AS adist
+  FROM cand c
+  JOIN qsubs qs ON qs.query_id = c.query_id
+  JOIN enc e ON e.vec_id = c.neighbor_id AND e.m = qs.m
+  JOIN cb ON cb.m = e.m AND cb.k = e.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, adist FROM (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM pair
+) WHERE rank <= {k}
+"""
+
+
+def ann_ivfpq_residual_sql(
+    k: int = 10, every: int = 50, centroid_every: int = 40, nprobe: int = 4,
+) -> str:
+    """Exact mirror of residual-encoded IVFPQ: same IVF routing CTEs, then
+    PQ over ``qv - cv(assigned)`` residuals (exact int64 — list_zip
+    elementwise subtraction), codebook sampled from the residuals, one ADC
+    LUT per (query, probed cell) from the query's residual vs that cell's
+    centroid. Bit-for-bit."""
+    from .operators.ann import PQ_DSUB, PQ_K, PQ_M, PQ_SAMPLE_MOD
+
+    d2 = ("list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]) "
+          "- 2 * list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) "
+          "+ list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])")
+    return f"""
+WITH {_QUANT_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, qv AS cv, norm AS cnorm FROM qn
+  WHERE vec_id % {centroid_every} = 0
+),
+scored AS (
+  SELECT qn.vec_id, cent_id,
+         round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[])
+               / sqrt(norm * cnorm), 6) AS cosc
+  FROM qn, cents
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cent_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cent_id ASC) AS rn
+    FROM scored WHERE vec_id % {every} = 0
+  ) WHERE rn <= {nprobe}
+),
+res AS (
+  SELECT q.vec_id, a.cent_id,
+         list_transform(list_zip(q.qv, c.cv), x -> x[1] - x[2]) AS rv
+  FROM q JOIN assign a USING (vec_id) JOIN cents c USING (cent_id)
+),
+cbv AS (
+  SELECT rv, vec_id FROM res WHERE vec_id % {PQ_SAMPLE_MOD} = 1
+  ORDER BY vec_id LIMIT {PQ_K}
+),
+cbk AS (SELECT rv, row_number() OVER (ORDER BY vec_id) - 1 AS k FROM cbv),
+cb AS (
+  SELECT m, k, list_slice(rv, m * {PQ_DSUB} + 1, (m + 1) * {PQ_DSUB}) AS cv
+  FROM cbk, range({PQ_M}) t(m)
+),
+subs AS (
+  SELECT vec_id, cent_id, m,
+         list_slice(rv, m * {PQ_DSUB} + 1, (m + 1) * {PQ_DSUB}) AS sub
+  FROM res, range({PQ_M}) t(m)
+),
+enc AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT s.vec_id, s.m, cb.k,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {d2.format(a='s.sub', b='cb.cv')} ASC, cb.k ASC) AS rn
+    FROM subs s JOIN cb ON s.m = cb.m
+  ) WHERE rn = 1
+),
+qres AS (
+  SELECT qp.query_id, qp.cent_id,
+         list_transform(list_zip(q.qv, c.cv), x -> x[1] - x[2]) AS rq
+  FROM qprobe qp JOIN q ON q.vec_id = qp.query_id JOIN cents c USING (cent_id)
+),
+qsubs AS (
+  SELECT query_id, cent_id, m,
+         list_slice(rq, m * {PQ_DSUB} + 1, (m + 1) * {PQ_DSUB}) AS sub
+  FROM qres, range({PQ_M}) t(m)
+),
+pair AS (
+  SELECT qs.query_id, e.vec_id AS neighbor_id,
+         CAST(sum({d2.format(a='qs.sub', b='cb.cv')}) AS BIGINT) AS adist
+  FROM qsubs qs
+  JOIN assign a ON a.cent_id = qs.cent_id
+  JOIN enc e ON e.vec_id = a.vec_id AND e.m = qs.m
+  JOIN cb ON cb.m = e.m AND cb.k = e.code
+  WHERE e.vec_id <> qs.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, adist FROM (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM pair
+) WHERE rank <= {k}
+"""
+
+
 def text_langid_sql() -> str:
     """Mirror of the vectorized langid heuristic, generated from the SAME
     trigram profile table (operators/textstats._PROFILES) so the two can't
@@ -3340,6 +3520,47 @@ l{k} AS (
 )""")
         final = f"SELECT host, CAST(lbl AS BIGINT) AS community FROM l{iterations}"
     return head + "," + ",".join(layers) + "\n" + final
+
+
+def webtext_kcore_sql(k: int = 3, rounds: int = 4) -> str:
+    """Mirror of linkgraph.kcore over the shared host-edge fixture: same
+    simple undirected view, same synchronous peeling unrolled ``rounds``
+    layers, same final induced-subgraph degree."""
+    head = f"""
+WITH e AS (
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 7 + 1) % 100) AS dst
+  FROM documents
+  UNION ALL
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 13 + 2) % 100) AS dst
+  FROM documents
+),
+s AS (SELECT src, dst FROM e WHERE src <> dst),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM s UNION ALL SELECT dst AS src, src AS dst FROM s
+  )
+),
+a0 AS (SELECT DISTINCT src AS host FROM und)"""
+    layers = []
+    for r in range(1, rounds + 1):
+        layers.append(f"""
+d{r} AS (
+  SELECT u.src AS host, count(*) AS degree
+  FROM und u
+  JOIN a{r - 1} x ON u.src = x.host
+  JOIN a{r - 1} y ON u.dst = y.host
+  GROUP BY 1
+),
+a{r} AS (SELECT host FROM d{r} WHERE degree >= {k})""")
+    final = f"""
+SELECT u.src AS host, CAST(count(*) AS BIGINT) AS degree
+FROM und u
+JOIN a{rounds} x ON u.src = x.host
+JOIN a{rounds} y ON u.dst = y.host
+GROUP BY 1"""
+    return head + "," + ",".join(layers) + final
 
 
 def text_bpe_apply_sql(merges: int = 8) -> str:

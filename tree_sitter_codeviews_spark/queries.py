@@ -1005,6 +1005,28 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ann.pq_topk(_embs(spark, sf_dir), k=10, every=50)
 
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF routing × PQ/ADC scoring — the faiss-IVFPQ composition production
+    vector stores deploy: nprobe inverted lists bound which vectors a query
+    touches, packed PQ codes bound the bytes per touch. Deterministic
+    sampled centroids + sampled codebook, all-integer, oracle-mirrored
+    bit-for-bit (see operators/ann.ivfpq_topk)."""
+    from .operators import ann
+
+    return ann.ivfpq_topk(_embs(spark, sf_dir), k=10, every=50)
+
+
+def ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVFPQ (faiss's actual IVFPQ): PQ codes quantize
+    vector − assigned-centroid residuals and each query builds one ADC LUT
+    per probed cell — lifts recall over raw-code ``ann_ivfpq_topk`` at the
+    same storage budget (measured in FIXTURES.md). Exact int64 end-to-end,
+    oracle-mirrored bit-for-bit (see operators/ann.ivfpq_residual_topk)."""
+    from .operators import ann
+
+    return ann.ivfpq_residual_topk(_embs(spark, sf_dir), k=10, every=50)
+
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textstats
 
@@ -2296,6 +2318,20 @@ def webtext_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _host_edges(_docs(spark, sf_dir))
     nodes = _host_nodes(spark)
     return linkgraph.label_propagation(edges, nodes, iterations=3)
+
+
+def webtext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the shared host link graph (k=10, 4 unrolled
+    peeling rounds): the link-density spam/farm signal next to rank,
+    HITS and LPA — survivors sit in neighborhoods where every member
+    keeps >= 10 distinct link partners after repeated peeling.
+    Deterministic synchronous schedule, oracle unrolls the same rounds.
+    k chosen non-vacuous on the fixture (host degrees are 9-12 at every
+    sf): peeling measures 100 -> 98 -> 96 hosts and CONVERGES by round 3
+    at sf0.001 and sf0.01, so rounds=4 returns the exact 10-core."""
+    from .operators import linkgraph
+
+    return linkgraph.kcore(_host_edges(_docs(spark, sf_dir)), k=10, rounds=4)
 
 
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
