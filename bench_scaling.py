@@ -127,12 +127,16 @@ def run_child(cores: int, sf_dir: str, repl: int, reps: int = 4,
     # shuffles are tiny and fixed-shape, so it only adds constant overhead
     # that distorts the N-vs-4N comparison
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    # warm up: JVM, codegen, parquet footers — excluded from timing. repl
-    # matters: with a near-empty warmup (repl=1) HotSpot keeps compiling
-    # through the first 1-2 timed reps (measured 1.7-2.5x inflated first
-    # rep at 2B-page scale), so warm with enough volume to finish tiering
+    # warm up AT TARGET SCALE: JVM, codegen, parquet footers, and — the one
+    # that actually bit — HotSpot tier compilation of the hot loops. A
+    # small-repl warmup (geo repl=1000, dedup repl=4) leaves the JIT still
+    # compiling through the first timed reps: measured on the dedup job,
+    # first rep 41 s vs 5.9 s steady-state at 8 cores, which with only 4
+    # reps left a non-converged min (hi-wall 7.65 s vs true 5.9 s) and a
+    # spurious 0.61 efficiency reading. Same fix the query bench applied to
+    # chunk openers (bench.py): one untimed rep of the exact timed job.
     jb = JOBS[job]
-    jb(spark, sf_dir, repl=1000 if job == "geo" else 4, n_parts=cores)
+    jb(spark, sf_dir, repl=repl, n_parts=4 * cores)
     walls = []
     out = {}
     for _ in range(reps):
