@@ -58,10 +58,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== r5 DRIVER WINDOW (first 50) ================================
         # Block A (21): every registry query that has never had a
         # driver-side CORRECTNESS row in r1-r4 (VERDICT r4 next-round #1;
-        # all were green in GATE_FULL_r04). Block NEW-r5 (11): the r5
-        # TPC-H completions + the two IVFPQ variants, new this round.
-        # After this round every one of the 175 registry queries has a
-        # driver row in some round.
+        # all were green in GATE_FULL_r04). Block NEW-r5 (12): the r5
+        # TPC-H completions + the two IVFPQ variants + host k-core, new
+        # this round. After this round every one of the 175 registry
+        # queries has a driver row in some round.
         "webtext_domain_reputation": q.webtext_domain_reputation,  # PR+HITS+dup composite (r4)
         "webtext_geo_regions": q.webtext_geo_regions,  # crawl pages per polygon region via PIP (r4)
         "webtext_anchor_index": q.webtext_anchor_index,  # per-target anchor-text index (r4)
@@ -112,10 +112,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_communities": q.webtext_communities,  # LPA host communities, packed modal argmax (r4w4)
         "webtext_triangles": q.webtext_triangles,  # per-host triangle counts, node-iterator (r4w7)
         "geo_rect_overlay": q.geo_rect_overlay,  # PBSM rect overlay join, duplicate-free reporting (r4w3)
-        # Block C (22): least-recently driver-verified rows — last driver
-        # row r2 for all of these (43 candidates; the 22 chosen are the
+        # Block C (10): least-recently driver-verified rows — last driver
+        # row r2 for all of these (43 candidates; chosen from the
         # hash-verified core of each family, rows-only rows excluded
         # since their driver signal is weaker than the pytest mirror).
+        # Originally 13 slots; the late Block NEW-r5 additions (IVFPQ x2 +
+        # k-core) displaced the last three (geo_cell_encode, geo_tiles,
+        # geo_extract_text) past position 50 — all three have r2 driver
+        # rows, so no never-verified query leaves the window.
         "dedup_exact": q.dedup_exact,
         "dedup_groups": q.dedup_groups,  # same CC change in its path
         "dedup_embedding_lsh": q.dedup_embedding_lsh,
@@ -126,12 +130,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_quantized": q.ann_topk_quantized,
         "events_stream_windows": q.events_stream_windows,  # also schema-changed this round (micros)
         "events_stream_sessions": q.events_stream_sessions,
+        # ==== position 51+: rotated out of the window this round ==========
+        # (the r2-stale rows below were displaced by Block NEW-r5; they
+        # remain gate-mirrored every round and rotate back next window)
         "geo_cell_encode": q.geo_cell_encode,
         "geo_tiles": q.geo_tiles,
         "geo_extract_text": q.geo_extract_text,
-        # ==== position 51+: rotated out of the window this round ==========
-        # (the 9 r2-stale rows below were displaced by Block NEW-r5; they
-        # remain gate-mirrored every round and rotate back next window)
         "geo_pip_docs": q.geo_pip_docs,
         "geo_pip_best": q.geo_pip_best,
         "geo_entities": q.geo_entities,
