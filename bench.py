@@ -169,6 +169,7 @@ HEADLINE = [
     "ann_ivfpq_topk",         # faiss-IVFPQ composition (IVF routing x PQ/ADC)
     "ann_ivfpq_residual",     # residual-encoded IVFPQ (per-cell ADC LUTs)
     "webtext_kcore",          # k-core peeling over the host graph
+    "webtext_crawl_depth",    # multi-source BFS seed distance (host graph)
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -322,6 +323,11 @@ SCALE2 = [
     # text squares its candidate-pair space (distribution-bound, same
     # class as dedup_jaccard).
     "geo_region_centroids", "events_anomaly",
+    # r5: kcore and crawl_depth iterate on the host-bounded simple graph
+    # (the up-front distinct absorbs replica multi-edges — same class as
+    # triangles); cost is linear in the edge-derivation scan, the
+    # iteration tables are host-dim-sized.
+    "webtext_kcore", "webtext_crawl_depth",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two

@@ -129,3 +129,32 @@ def test_kcore_peel_cascades(spark):
     assert r1 == {"b", "c", "d"}
     r2 = {r["host"] for r in linkgraph.kcore(chain, k=2, rounds=2).collect()}
     assert r2 == set()
+
+
+def test_bfs_depth_directed_multi_source(spark):
+    """Seeds a and x over a directed path a->b->c->d plus a shortcut x->c:
+    c takes the SHORTER of its two candidate depths (1 via x, not 2 via a),
+    d follows at 2, edges are not traversed backwards (nothing upstream of
+    a seed gains a depth), duplicate edges don't matter, and the
+    unreached island node never appears in the output."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "c"),
+         ("a", "b"),             # duplicate multi-edge: deduped
+         ("u", "a"),             # upstream of seed a: u must stay unreached
+         ("i", "j")],            # island: neither endpoint reached
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("a",), ("x",)], ["host"])
+    got = {(r["host"], r["depth"])
+           for r in linkgraph.bfs_depth(edges, seeds, rounds=3).collect()}
+    assert got == {("a", 0), ("x", 0), ("b", 1), ("c", 1), ("d", 2)}
+
+
+def test_bfs_depth_seed_wins_over_relaxation(spark):
+    """A seed that is also reachable from another seed keeps depth 0 — the
+    min-merge must never raise an existing depth (b is a seed AND a->b)."""
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("b",)], ["host"])
+    got = {(r["host"], r["depth"])
+           for r in linkgraph.bfs_depth(edges, seeds, rounds=2).collect()}
+    assert got == {("a", 0), ("b", 0), ("c", 1)}

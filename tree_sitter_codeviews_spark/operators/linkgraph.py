@@ -251,6 +251,59 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
     return _induced_deg(alive).select(F.col("src").alias("host"), "degree")
 
 
+def bfs_depth(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
+    """Multi-source BFS hop distance from ``seeds`` over DIRECTED
+    (src, dst) edges — crawl depth. A crawler's frontier expands hop by
+    hop from its seed list, and "how many hops from a seed" is a standard
+    quality/prioritization signal (OPIC-style crawlers budget by it;
+    corpus audits report page-count-by-depth): shallow pages are
+    hub/navigation-heavy, deep pages are where both long-tail content and
+    crawler traps live.
+
+    Semantics: depth(seed) = 0; each synchronous round relaxes
+    ``depth(dst) = min(depth(dst), depth(src) + 1)`` across every edge.
+    All-integer, no tie-breaking needed (min is order-free), so the result
+    is bit-reproducible and the DuckDB oracle unrolls the identical
+    ``rounds`` layers. ``rounds`` is FIXED for the oracle mirror; the
+    returned depths are the exact BFS distances whenever round ``rounds``
+    discovered nothing new (converged) — at corpus scale run the same
+    loop to convergence, stopping when the reached-set count is stable.
+
+    Returns (host, depth) for REACHED hosts only; unreached hosts are
+    absent (their depth is not representable, and downstream joins want
+    the miss, not a sentinel).
+
+    Scale shape: the reached table is host-dimension-sized (orders below
+    the page/link tables); each round is one shuffle join on src + one
+    min-aggregate on dst. Multi-edges are deduped once up front (distinct
+    = one shuffle) — multiplicity cannot change a min-depth. The reached
+    set is localCheckpointed per round: it feeds both the propagate join
+    and the min-merge union, so without the cut the plan doubles every
+    round (the ~4^k lineage-growth rationale of ``kcore`` /
+    ``pagerank_integer``). For graphs where only the newest frontier
+    matters (very deep BFS), subtract the visited set and expand the
+    frontier alone — same plan per round, smaller probe side; at host-dim
+    sizes the min-merge form is simpler and the probe side is already
+    small.
+    """
+    ed = edges.select("src", "dst").distinct().localCheckpoint()
+    reached = seeds.select(
+        F.col("host"), F.lit(0).cast("long").alias("depth")
+    )
+    for _ in range(rounds):
+        step = (
+            ed.join(reached, ed["src"] == reached["host"])
+            .select(F.col("dst").alias("host"), (F.col("depth") + 1).alias("depth"))
+        )
+        reached = (
+            reached.unionAll(step)
+            .groupBy("host")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint()
+        )
+    return reached
+
+
 def label_propagation(
     edges: DataFrame, nodes: DataFrame, iterations: int = 3
 ) -> DataFrame:

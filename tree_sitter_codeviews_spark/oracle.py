@@ -3563,6 +3563,42 @@ GROUP BY 1"""
     return head + "," + ",".join(layers) + final
 
 
+def webtext_crawl_depth_sql(rounds: int = 4) -> str:
+    """Mirror of linkgraph.bfs_depth over the shared host-edge fixture:
+    same directed deduped edge view, same seed list (every 10th host),
+    same synchronous min-relax rounds unrolled as CTE layers."""
+    head = """
+WITH e AS (
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 7 + 1) % 100) AS dst
+  FROM documents
+  UNION ALL
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 13 + 2) % 100) AS dst
+  FROM documents
+),
+ed AS (SELECT DISTINCT src, dst FROM e),
+d0 AS (
+  SELECT printf('host%04d.example', i) AS host, 0 AS depth
+  FROM range(100) t(i) WHERE i % 10 = 0
+)"""
+    layers = []
+    for r in range(1, rounds + 1):
+        layers.append(f"""
+d{r} AS (
+  SELECT host, min(depth) AS depth FROM (
+    SELECT host, depth FROM d{r - 1}
+    UNION ALL
+    SELECT ed.dst AS host, p.depth + 1 AS depth
+    FROM d{r - 1} p JOIN ed ON p.host = ed.src
+  ) GROUP BY 1
+)""")
+    final = (
+        f"SELECT host, CAST(depth AS BIGINT) AS depth FROM d{rounds}"
+    )
+    return head + "," + ",".join(layers) + "\n" + final
+
+
 def text_bpe_apply_sql(merges: int = 8) -> str:
     """bpe_train's unrolled rounds re-learn the merge table, then the
     corpus token table runs through the same replace chain, one CTE layer
