@@ -170,6 +170,7 @@ HEADLINE = [
     "ann_ivfpq_residual",     # residual-encoded IVFPQ (per-cell ADC LUTs)
     "webtext_kcore",          # k-core peeling over the host graph
     "webtext_crawl_depth",    # multi-source BFS seed distance (host graph)
+    "dedup_split_leakage",    # doc-hash vs host-group split leakage audit
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -326,7 +327,9 @@ SCALE2 = [
     # r5: kcore and crawl_depth iterate on the host-bounded simple graph
     # (the up-front distinct absorbs replica multi-edges — same class as
     # triangles); cost is linear in the edge-derivation scan, the
-    # iteration tables are host-dim-sized.
+    # iteration tables are host-dim-sized. dedup_split_leakage stays
+    # EXCLUDED: its pair population is exact-Jaccard over identical-replica
+    # text (same squared-pair-space class as dedup_jaccard).
     "webtext_kcore", "webtext_crawl_depth",
 ]
 

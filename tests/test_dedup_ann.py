@@ -343,3 +343,42 @@ def test_minhash_calibration_error_floor_at_gate_scale(spark, sf_small):
     errs = [abs(r["est_ppm"] - r["jaccard_ppm"]) for r in rows]
     assert max(errs) <= 60_000
     assert sum(errs) / len(errs) <= 25_000
+
+
+def test_split_leakage_audit_hand_computed(spark):
+    """Two planted exact-dup pairs: (0,1) share host 0 (doc_id div 3), so
+    the host-group split can NEVER straddle it; (3,30) sit on hosts 1 and
+    10, so host-group CAN straddle. Expected straddle flags are recomputed
+    independently here with hashlib md5 (the _uniform_col formula), so the
+    test pins both the pair population and the split hashes."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc dd"), (1, "aa bb cc dd"),
+         (3, "ee ff gg hh"), (30, "ee ff gg hh"),
+         (7, "zz yy xx ww vv uu")],
+        ["doc_id", "text"],
+    )
+
+    thr = (16 ** 7 * 10) // 100
+
+    def u(salt: str, key: int) -> int:
+        h = hashlib.md5(f"{salt}{key}".encode()).hexdigest()
+        return int(h[:7], 16)
+
+    def v_doc(d: int) -> bool:
+        return u("split:", d) < thr
+
+    def v_host(d: int) -> bool:
+        return u("hsplit:", (d // 3) % 100) < thr
+
+    exp_doc = sum(1 for a, b in [(0, 1), (3, 30)] if v_doc(a) != v_doc(b))
+    exp_host = sum(1 for a, b in [(0, 1), (3, 30)] if v_host(a) != v_host(b))
+    assert v_host(0) == v_host(1)  # same host -> can never straddle
+
+    got = {r["policy"]: r for r in
+           dedup.split_leakage_audit(docs).collect()}
+    assert got["doc_hash"]["n_dup_pairs"] == 2
+    assert got["host_group"]["n_dup_pairs"] == 2
+    assert got["doc_hash"]["n_straddling_pairs"] == exp_doc
+    assert got["host_group"]["n_straddling_pairs"] == exp_host

@@ -636,3 +636,86 @@ def minhash_md5_calibration(
         .withColumn("est_ppm", est)
         .select("doc_id_a", "doc_id_b", "jaccard_ppm", "est_ppm")
     )
+
+
+def split_leakage_audit(
+    docs: DataFrame, n: int = 3, threshold_ppm: int = 500_000,
+    val_pct: int = 10, n_hosts: int = 100,
+) -> DataFrame:
+    """Train/val leakage audit: how many NEAR-DUPLICATE pairs (n-gram
+    Jaccard >= threshold, the same pair population as ``dedup_jaccard``)
+    straddle the train/val boundary under (a) the naive per-doc hash split
+    and (b) a group-aware per-HOST hash split. Splitting by document lets
+    one copy of a duplicated page land in train and its near-twin in val —
+    the classic contamination that inflates eval scores (the reason
+    C4/RealNews-style corpora split by URL/host, and group-aware splitting
+    is standard in leakage-sensitive ML); splitting by host keeps
+    same-host copies together by construction, so only cross-host
+    duplication can straddle.
+
+    Both split decisions use the deterministic md5-uniform of
+    ``textstats._uniform_col`` (content-addressed — reproducible across
+    partitioning/retries/engines, the same discipline as
+    ``stratified_sample``; the DuckDB oracle recomputes the identical
+    hashes). The host key is the crawl-host fixture shared with the link
+    graph (``queries._host_edges``): ``(doc_id div 3) % n_hosts``.
+    Jaccard is integer ppm (``inter * 1e6 div union``) so the threshold
+    cut is bit-identical in both engines.
+
+    Returns exactly two rows: (policy, n_dup_pairs, n_straddling_pairs)
+    for policy in {doc_hash, host_group} — same duplicate population,
+    different straddle counts.
+
+    Scale shape: the pair population comes from the shingle inverted
+    index (never all-pairs; pass the corpus through ``prune_stop_shingles``
+    upstream at web scale, as ``jaccard_pairs_exact`` documents); the
+    straddle flags are pure per-row hash arithmetic on the pair table and
+    the result is one global aggregate — no extra shuffle beyond the pair
+    computation itself.
+    """
+    from .textstats import _U_MAX, _uniform_col
+
+    thr = (_U_MAX * val_pct) // 100
+
+    def _v_doc(c: str) -> F.Column:
+        return (_uniform_col(F.col(c), "split:") < thr).cast("int")
+
+    def _v_host(c: str) -> F.Column:
+        h = F.expr(f"({c} div 3) % {n_hosts}")
+        return (_uniform_col(h, "hsplit:") < thr).cast("int")
+
+    sh = shingles_df(docs, n).localCheckpoint()
+    pairs = (
+        pair_candidates(sh)
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("inter * 1000000 div (na + nb - inter)"),
+        )
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+    )
+    flagged = pairs.select(
+        (_v_doc("doc_id_a") != _v_doc("doc_id_b"))
+        .cast("long").alias("sd"),
+        (_v_host("doc_id_a") != _v_host("doc_id_b"))
+        .cast("long").alias("sh"),
+    )
+    tot = flagged.agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.coalesce(F.sum("sd"), F.lit(0)).cast("long").alias("s_doc"),
+        F.coalesce(F.sum("sh"), F.lit(0)).cast("long").alias("s_host"),
+    )
+    row = F.explode(
+        F.array(
+            F.struct(
+                F.lit("doc_hash").alias("policy"),
+                F.col("n_dup_pairs"),
+                F.col("s_doc").alias("n_straddling_pairs"),
+            ),
+            F.struct(
+                F.lit("host_group").alias("policy"),
+                F.col("n_dup_pairs"),
+                F.col("s_host").alias("n_straddling_pairs"),
+            ),
+        )
+    ).alias("r")
+    return tot.select(row).select("r.*")

@@ -3563,6 +3563,52 @@ GROUP BY 1"""
     return head + "," + ",".join(layers) + final
 
 
+def dedup_split_leakage_sql(
+    threshold_ppm: int = 500_000, val_pct: int = 10, n_hosts: int = 100
+) -> str:
+    """Mirror of dedup.split_leakage_audit: same inverted-index pair
+    population (integer-ppm Jaccard cut), same md5-uniform split hashes
+    (the _uniform_col formula: first 7 hex chars of md5(salt || key)),
+    same crawl-host fixture key."""
+    thr = (16 ** 7 * val_pct) // 100
+    return f"""
+WITH {_SHINGLES_CTE},
+pr AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+nd AS (
+  SELECT doc_id_a, doc_id_b
+  FROM pr
+  JOIN cnt ca ON doc_id_a = ca.doc_id
+  JOIN cnt cb ON doc_id_b = cb.doc_id
+  WHERE inter * 1000000 // (ca.n + cb.n - inter) >= {threshold_ppm}
+),
+fl AS (
+  SELECT
+    CASE WHEN (('0x' || substr(md5('split:' || CAST(doc_id_a AS VARCHAR)), 1, 7))::BIGINT < {thr})
+          <> (('0x' || substr(md5('split:' || CAST(doc_id_b AS VARCHAR)), 1, 7))::BIGINT < {thr})
+         THEN 1 ELSE 0 END AS sd,
+    CASE WHEN (('0x' || substr(md5('hsplit:' || CAST((doc_id_a // 3) % {n_hosts} AS VARCHAR)), 1, 7))::BIGINT < {thr})
+          <> (('0x' || substr(md5('hsplit:' || CAST((doc_id_b // 3) % {n_hosts} AS VARCHAR)), 1, 7))::BIGINT < {thr})
+         THEN 1 ELSE 0 END AS sh
+  FROM nd
+),
+t AS (
+  SELECT count(*) AS n_dup_pairs,
+         coalesce(sum(sd), 0) AS s_doc,
+         coalesce(sum(sh), 0) AS s_host
+  FROM fl
+)
+SELECT 'doc_hash' AS policy, CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs,
+       CAST(s_doc AS BIGINT) AS n_straddling_pairs FROM t
+UNION ALL
+SELECT 'host_group', CAST(n_dup_pairs AS BIGINT),
+       CAST(s_host AS BIGINT) FROM t
+"""
+
+
 def webtext_crawl_depth_sql(rounds: int = 4) -> str:
     """Mirror of linkgraph.bfs_depth over the shared host-edge fixture:
     same directed deduped edge view, same seed list (every 10th host),

