@@ -58,11 +58,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== r5 DRIVER WINDOW (first 50) ================================
         # Block A (21): every registry query that has never had a
         # driver-side CORRECTNESS row in r1-r4 (VERDICT r4 next-round #1;
-        # all were green in GATE_FULL_r04). Block NEW-r5 (14): the r5
+        # all were green in GATE_FULL_r04). Block NEW-r5 (15): the r5
         # TPC-H completions + the two IVFPQ variants + host k-core +
-        # crawl-depth BFS + the split-leakage audit, new this round.
-        # After this round every one of the 177 registry queries has a
-        # driver row in some round.
+        # crawl-depth BFS + the split-leakage audit + TrustRank, new this
+        # round. After this round every one of the 178 registry queries
+        # has a driver row in some round.
         "webtext_domain_reputation": q.webtext_domain_reputation,  # PR+HITS+dup composite (r4)
         "webtext_geo_regions": q.webtext_geo_regions,  # crawl pages per polygon region via PIP (r4)
         "webtext_anchor_index": q.webtext_anchor_index,  # per-target anchor-text index (r4)
@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_kcore": q.webtext_kcore,  # k-core peeling over the host graph, link-farm density signal (r5)
         "webtext_crawl_depth": q.webtext_crawl_depth,  # multi-source BFS seed-distance over the host graph (r5)
         "dedup_split_leakage": q.dedup_split_leakage,  # train/val leakage audit: doc-hash vs host-group split (r5)
+        "webtext_trustrank": q.webtext_trustrank,  # seed-teleport TrustRank, pagerank-gap spam signal (r5)
         # Block B (7): code paths changed this round — outlink host
         # normalization (absolute-href scheme+host lowercased, ADVICE r4)
         # flows into every outlink-derived query; overlay cover cells
@@ -115,28 +116,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_communities": q.webtext_communities,  # LPA host communities, packed modal argmax (r4w4)
         "webtext_triangles": q.webtext_triangles,  # per-host triangle counts, node-iterator (r4w7)
         "geo_rect_overlay": q.geo_rect_overlay,  # PBSM rect overlay join, duplicate-free reporting (r4w3)
-        # Block C (8): least-recently driver-verified rows — last driver
+        # Block C (7): least-recently driver-verified rows — last driver
         # row r2 for all of these (43 candidates; chosen from the
         # hash-verified core of each family, rows-only rows excluded
         # since their driver signal is weaker than the pytest mirror).
         # Originally 13 slots; the late Block NEW-r5 additions (IVFPQ x2 +
-        # k-core + crawl-depth + split-leakage) displaced five rows past
-        # position 50 — all five have r2 driver rows, so no never-verified
-        # query leaves the window.
+        # k-core + crawl-depth + split-leakage + trustrank) displaced six
+        # rows past position 50 — all six have r2 driver rows, so no
+        # never-verified query leaves the window.
         "dedup_exact": q.dedup_exact,
         "dedup_groups": q.dedup_groups,  # same CC change in its path
         "dedup_embedding_lsh": q.dedup_embedding_lsh,
         "dedup_jaccard": q.dedup_jaccard,
         "dedup_stream_exact": q.dedup_stream_exact,
         "ann_ivf_topk": q.ann_ivf_topk,
-        "ann_topk_quantized": q.ann_topk_quantized,
         "events_stream_windows": q.events_stream_windows,  # also schema-changed this round (micros)
         # ==== position 51+: rotated out of the window this round ==========
         # (the r2-stale rows below were displaced by Block NEW-r5; they
         # remain gate-mirrored every round and rotate back next window.
-        # ann_pq_topk yields its slot to dedup_split_leakage: its PQ
-        # machinery is driver-covered in-window via the two IVFPQ rows)
+        # ann_pq_topk and ann_topk_quantized yield their slots to
+        # dedup_split_leakage and webtext_trustrank: their PQ/quantized-ADC
+        # scoring cores are driver-covered in-window via the two IVFPQ rows)
         "ann_pq_topk": q.ann_pq_topk,
+        "ann_topk_quantized": q.ann_topk_quantized,
         "events_stream_sessions": q.events_stream_sessions,
         "geo_cell_encode": q.geo_cell_encode,
         "geo_tiles": q.geo_tiles,
@@ -413,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         "webtext_kcore": oracle.webtext_kcore_sql(k=10, rounds=4),
         "webtext_crawl_depth": oracle.webtext_crawl_depth_sql(rounds=4),
         "dedup_split_leakage": oracle.dedup_split_leakage_sql(),
+        "webtext_trustrank": oracle.webtext_trustrank_sql(iterations=10),
         "text_tokens": oracle.text_tokens_sql(),
         "text_tokens_bpe": oracle.text_tokens_bpe_sql(),
         "text_sample_stratified": oracle.text_sample_sql(),

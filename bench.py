@@ -171,6 +171,7 @@ HEADLINE = [
     "webtext_kcore",          # k-core peeling over the host graph
     "webtext_crawl_depth",    # multi-source BFS seed distance (host graph)
     "dedup_split_leakage",    # doc-hash vs host-group split leakage audit
+    "webtext_trustrank",      # seed-teleport TrustRank (spam-gap signal)
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -329,8 +330,9 @@ SCALE2 = [
     # triangles); cost is linear in the edge-derivation scan, the
     # iteration tables are host-dim-sized. dedup_split_leakage stays
     # EXCLUDED: its pair population is exact-Jaccard over identical-replica
-    # text (same squared-pair-space class as dedup_jaccard).
-    "webtext_kcore", "webtext_crawl_depth",
+    # text (same squared-pair-space class as dedup_jaccard). trustrank's
+    # rank tables are host-bounded like domain_rank (already in this list).
+    "webtext_kcore", "webtext_crawl_depth", "webtext_trustrank",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two

@@ -158,3 +158,41 @@ def test_bfs_depth_seed_wins_over_relaxation(spark):
     got = {(r["host"], r["depth"])
            for r in linkgraph.bfs_depth(edges, seeds, rounds=2).collect()}
     assert got == {("a", 0), ("b", 0), ("c", 1)}
+
+
+def test_trustrank_seed_gated_teleport(spark):
+    """Star s -> a, s -> b, a -> b with seed {s}, one iteration, by hand:
+    r0 = (s: 1e6, a: 0, b: 0); out_deg(s)=2, out_deg(a)=1.
+    inbound(a) = 1e6 div 2 = 500000; inbound(b) = 500000 + 0 div 1.
+    r1(s) = 150000 + 0 (seed teleport only — nothing links to s).
+    r1(a) = 0 + 85*500000 div 100 = 425000 (NO teleport: not a seed).
+    r1(b) = 0 + 85*500000 div 100 = 425000."""
+    edges = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "b")], ["src", "dst"])
+    nodes = spark.createDataFrame([("s",), ("a",), ("b",)], ["host"])
+    seeds = spark.createDataFrame([("s",)], ["host"])
+    got = {r["host"]: r["rank_micro"]
+           for r in linkgraph.trustrank_integer(edges, nodes, seeds,
+                                                iterations=1).collect()}
+    assert got == {"s": 150000, "a": 425000, "b": 425000}
+
+
+def test_trustrank_farm_starves_without_seed_path(spark):
+    """Two-node farm f1 <-> f2 disconnected from the seed: plain PageRank
+    gives the farm steady teleport-fed mass, TrustRank gives it exactly 0
+    at every iteration — the spam-demotion property the operator exists
+    for."""
+    edges = spark.createDataFrame(
+        [("s", "a"), ("f1", "f2"), ("f2", "f1")], ["src", "dst"])
+    nodes = spark.createDataFrame(
+        [("s",), ("a",), ("f1",), ("f2",)], ["host"])
+    seeds = spark.createDataFrame([("s",)], ["host"])
+    tr = {r["host"]: r["rank_micro"]
+          for r in linkgraph.trustrank_integer(edges, nodes, seeds,
+                                               iterations=5).collect()}
+    pr = {r["host"]: r["rank_micro"]
+          for r in linkgraph.pagerank_integer(edges, nodes,
+                                              iterations=5).collect()}
+    assert tr["f1"] == 0 and tr["f2"] == 0
+    assert pr["f1"] > 0 and pr["f2"] > 0  # the gap IS the signal
+    assert tr["a"] > 0

@@ -251,6 +251,67 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
     return _induced_deg(alive).select(F.col("src").alias("host"), "degree")
 
 
+def trustrank_integer(
+    edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+    iterations: int = 10,
+) -> DataFrame:
+    """Deterministic integer TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004) over (src, dst) edges: PageRank with the teleport restricted
+    to a TRUSTED seed set — the spam-demotion counterpart to
+    ``pagerank_integer``. Hosts reachable from the seeds through short,
+    well-endorsed paths accumulate trust; link farms that inflate plain
+    PageRank by interlinking among themselves starve, because no trust
+    flows in from outside. A crawl pipeline reads the pagerank-vs-trustrank
+    GAP as its spam signal, next to the ``kcore`` density signal.
+
+    Semantics: rank_0 = 1e6 micro for seeds, 0 elsewhere; each iteration
+    ``rank_{k+1} = (seed ? 150000 : 0) + 85 * inbound_sum div 100`` with
+    the same truncating integer arithmetic as ``pagerank_integer`` (the
+    per-SEED teleport of 150000 micro follows that function's per-node
+    convention; downstream consumers read the ORDER of the scores, which
+    a shared scale factor does not disturb). Bit-exact across engines —
+    the DuckDB oracle unrolls the same k layers.
+
+    Scale shape: identical to ``pagerank_integer`` — the trust table is
+    host-dim-sized, each iteration one shuffle join + one aggregate, the
+    edge+degree frame localCheckpointed once and consumed k times.
+    """
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ed = edges.join(out_deg, "src").select("src", "dst", "out_deg")
+    ed = ed.localCheckpoint()  # reused k times; cut the rebuild lineage
+    seed_flag = (
+        nodes.select(F.col("host").alias("node"))
+        .join(seeds.select(F.col("host").alias("node"), F.lit(1).alias("is_seed")),
+              "node", "left")
+        .select("node", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed"))
+        .localCheckpoint()  # consumed every iteration
+    )
+    ranks = seed_flag.select(
+        "node", (F.col("is_seed") * RANK_SCALE).cast("long").alias("rank_micro")
+    )
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro div out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        ranks = (
+            seed_flag.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("is_seed") * TELEPORT_MICRO
+                    + F.expr("85 * coalesce(inbound, 0) div 100")
+                ).cast("long").alias("rank_micro"),
+            )
+        )
+    return ranks.select(F.col("node").alias("host"), "rank_micro")
+
+
 def bfs_depth(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
     """Multi-source BFS hop distance from ``seeds`` over DIRECTED
     (src, dst) edges — crawl depth. A crawler's frontier expands hop by

@@ -2408,6 +2408,47 @@ r{k} AS (
     )
 
 
+def webtext_trustrank_sql(iterations: int = 10) -> str:
+    """Mirror of linkgraph.trustrank_integer: domain_rank_sql's unrolled
+    power iterations with the teleport term gated on the seed set (every
+    10th host, the crawl-seed fixture) — rank_0 = 1e6 for seeds / 0
+    elsewhere, then (seed ? 150000 : 0) + 85*inbound//100 per layer."""
+    head = """
+WITH edges AS (
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 7 + 1) % 100) AS dst
+  FROM documents
+  UNION ALL
+  SELECT printf('host%04d.example', (doc_id // 3) % 100),
+         printf('host%04d.example', (doc_id * 13 + 2) % 100)
+  FROM documents
+),
+nodes AS (SELECT printf('host%04d.example', i) AS host,
+                 CASE WHEN i % 10 = 0 THEN 1 ELSE 0 END AS is_seed
+          FROM (SELECT unnest(generate_series(0, 99)) AS i)),
+deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+ed AS (SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d USING (src)),
+r0 AS (SELECT host AS node, CAST(is_seed * 1000000 AS BIGINT) AS rank_micro
+       FROM nodes)"""
+    layers = []
+    for k in range(1, iterations + 1):
+        layers.append(f"""
+c{k} AS (
+  SELECT ed.dst AS node, sum(r.rank_micro // ed.out_deg) AS inbound
+  FROM ed JOIN r{k - 1} r ON ed.src = r.node GROUP BY 1
+),
+r{k} AS (
+  SELECT n.host AS node,
+         CAST(n.is_seed * 150000 + 85 * coalesce(c.inbound, 0) // 100
+              AS BIGINT) AS rank_micro
+  FROM nodes n LEFT JOIN c{k} c ON n.host = c.node
+)""")
+    return (
+        head + "," + ",".join(layers)
+        + f"\nSELECT node AS host, rank_micro FROM r{iterations}\n"
+    )
+
+
 def bpe_train_sql(merges: int = 8) -> str:
     """The BPE training rounds UNROLLED: word-frequency table once, then
     per round a weighted adjacent-pair count, a (count desc, pair asc)

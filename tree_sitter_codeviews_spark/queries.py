@@ -2366,6 +2366,24 @@ def webtext_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def webtext_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the shared host link graph: PageRank with teleport
+    restricted to the trusted seed list (the crawl-seed fixture shared
+    with webtext_crawl_depth — every 10th host). The pagerank-vs-trustrank
+    gap is the classic link-spam signal (Gyöngyi et al. 2004): farms that
+    interlink to inflate plain PageRank starve of seed-originating trust.
+    10 unrolled integer iterations, bit-exact, oracle mirrors the layers."""
+    from .operators import linkgraph
+
+    seeds = _host_nodes(spark).filter(
+        F.expr("CAST(substr(host, 5, 4) AS INT) % 10 = 0")
+    )
+    return linkgraph.trustrank_integer(
+        _host_edges(_docs(spark, sf_dir)), _host_nodes(spark), seeds,
+        iterations=10,
+    )
+
+
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION: encode the whole corpus with the
     bpe_train merge table (train once -> tokenize everything, the
