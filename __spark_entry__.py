@@ -58,11 +58,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== r5 DRIVER WINDOW (first 50) ================================
         # Block A (21): every registry query that has never had a
         # driver-side CORRECTNESS row in r1-r4 (VERDICT r4 next-round #1;
-        # all were green in GATE_FULL_r04). Block NEW-r5 (15): the r5
+        # all were green in GATE_FULL_r04). Block NEW-r5 (19): the r5
         # TPC-H completions + the two IVFPQ variants + host k-core +
-        # crawl-depth BFS + the split-leakage audit + TrustRank, new this
-        # round. After this round every one of the 178 registry queries
-        # has a driver row in some round.
+        # crawl-depth BFS + the split-leakage audit + TrustRank + the
+        # bowtie decomposition + ExactSubstr span-scrub + the Bloom
+        # frontier audit + the count-min error audit, new this round.
+        # After this round every one of the 182 registry queries has a
+        # driver row in some round.
         "webtext_domain_reputation": q.webtext_domain_reputation,  # PR+HITS+dup composite (r4)
         "webtext_geo_regions": q.webtext_geo_regions,  # crawl pages per polygon region via PIP (r4)
         "webtext_anchor_index": q.webtext_anchor_index,  # per-target anchor-text index (r4)
@@ -105,6 +107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_crawl_depth": q.webtext_crawl_depth,  # multi-source BFS seed-distance over the host graph (r5)
         "dedup_split_leakage": q.dedup_split_leakage,  # train/val leakage audit: doc-hash vs host-group split (r5)
         "webtext_trustrank": q.webtext_trustrank,  # seed-teleport TrustRank, pagerank-gap spam signal (r5)
+        "webtext_bowtie": q.webtext_bowtie,  # Broder bowtie core/in/out/other host classes (r5)
+        "text_dup_span_scrub": q.text_dup_span_scrub,  # ExactSubstr duplicated-span REMOVAL (r5)
+        "dedup_bloom_frontier": q.dedup_bloom_frontier,  # crawl-frontier Bloom pre-filter audit (r5)
+        "text_countmin_calibration": q.text_countmin_calibration,  # count-min sketch error audit (r5)
         # Block B (7): code paths changed this round — outlink host
         # normalization (absolute-href scheme+host lowercased, ADVICE r4)
         # flows into every outlink-derived query; overlay cover cells
@@ -121,13 +127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-verified core of each family, rows-only rows excluded
         # since their driver signal is weaker than the pytest mirror).
         # Originally 13 slots; the late Block NEW-r5 additions (IVFPQ x2 +
-        # k-core + crawl-depth + split-leakage + trustrank) displaced six
-        # rows past position 50 — all six have r2 driver rows, so no
-        # never-verified query leaves the window.
-        "dedup_exact": q.dedup_exact,
-        "dedup_groups": q.dedup_groups,  # same CC change in its path
-        "dedup_embedding_lsh": q.dedup_embedding_lsh,
-        "dedup_jaccard": q.dedup_jaccard,
+        # k-core + crawl-depth + split-leakage + trustrank + bowtie +
+        # span-scrub + bloom-frontier + countmin) displaced ten rows past
+        # position 50 — all ten have r2 driver rows, so no never-verified
+        # query leaves the window.
         "dedup_stream_exact": q.dedup_stream_exact,
         "ann_ivf_topk": q.ann_ivf_topk,
         "events_stream_windows": q.events_stream_windows,  # also schema-changed this round (micros)
@@ -135,8 +138,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the r2-stale rows below were displaced by Block NEW-r5; they
         # remain gate-mirrored every round and rotate back next window.
         # ann_pq_topk and ann_topk_quantized yield their slots to
-        # dedup_split_leakage and webtext_trustrank: their PQ/quantized-ADC
-        # scoring cores are driver-covered in-window via the two IVFPQ rows)
+        # dedup_split_leakage and webtext_trustrank (their PQ/quantized-ADC
+        # scoring cores are driver-covered in-window via the two IVFPQ
+        # rows); dedup_exact and dedup_groups yield theirs to
+        # webtext_bowtie and text_dup_span_scrub (their hash-group core is
+        # driver-covered in-window via dedup_stream_exact + the
+        # dedup_url_canonical Block A row); dedup_jaccard yields its slot
+        # to dedup_bloom_frontier (its exact-pair population is
+        # driver-covered in-window via dedup_split_leakage, which builds
+        # the same pairs); dedup_embedding_lsh yields its slot to
+        # text_countmin_calibration (its bucket-join core is
+        # driver-covered in-window via the ann_ivf_topk row and the r2
+        # driver hash stands).
+        "dedup_exact": q.dedup_exact,
+        "dedup_groups": q.dedup_groups,  # same CC change in its path
+        "dedup_jaccard": q.dedup_jaccard,
+        "dedup_embedding_lsh": q.dedup_embedding_lsh,
         "ann_pq_topk": q.ann_pq_topk,
         "ann_topk_quantized": q.ann_topk_quantized,
         "events_stream_sessions": q.events_stream_sessions,
@@ -416,6 +433,10 @@ def oracle_sql() -> dict[str, str]:
         "webtext_crawl_depth": oracle.webtext_crawl_depth_sql(rounds=4),
         "dedup_split_leakage": oracle.dedup_split_leakage_sql(),
         "webtext_trustrank": oracle.webtext_trustrank_sql(iterations=10),
+        "webtext_bowtie": oracle.webtext_bowtie_sql(rounds=8),
+        "text_dup_span_scrub": oracle.dup_span_scrub_sql(),
+        "dedup_bloom_frontier": oracle.bloom_frontier_sql(m=2048, k=2),
+        "text_countmin_calibration": oracle.countmin_calibration_sql(),
         "text_tokens": oracle.text_tokens_sql(),
         "text_tokens_bpe": oracle.text_tokens_bpe_sql(),
         "text_sample_stratified": oracle.text_sample_sql(),

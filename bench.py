@@ -172,6 +172,10 @@ HEADLINE = [
     "webtext_crawl_depth",    # multi-source BFS seed distance (host graph)
     "dedup_split_leakage",    # doc-hash vs host-group split leakage audit
     "webtext_trustrank",      # seed-teleport TrustRank (spam-gap signal)
+    "webtext_bowtie",         # Broder bowtie core/in/out/other classes
+    "text_dup_span_scrub",    # ExactSubstr duplicated-span removal
+    "dedup_bloom_frontier",   # crawl-frontier Bloom pre-filter audit
+    "text_countmin_calibration",  # count-min sketch error audit
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -333,6 +337,24 @@ SCALE2 = [
     # text (same squared-pair-space class as dedup_jaccard). trustrank's
     # rank tables are host-bounded like domain_rank (already in this list).
     "webtext_kcore", "webtext_crawl_depth", "webtext_trustrank",
+    # bowtie iterates two BFS waves on its own host-bounded deduped graph
+    # (same class as crawl_depth). text_dup_span_scrub is cost-faithful
+    # under identical-replica text but semantics-shifted the same way as
+    # text_dup_ngrams (every shingle df multiplies by REPL2, so every
+    # token is covered and clean_text collapses to ''); its shingle-join +
+    # per-doc-window stages stay linear.
+    "webtext_bowtie", "text_dup_span_scrub",
+    # bloom_frontier's filter dim is <= k*m rows regardless of corpus
+    # size (broadcast probes); the exact leg is one url-keyed join
+    # (linear). Replication multiplies the crawled set 10x so the fixed
+    # test m saturates — cost-faithful, semantics-caveated like
+    # text_dup_ngrams (and the saturation IS the documented lesson).
+    "dedup_bloom_frontier",
+    # countmin's shingle-count aggregate is linear, the counter grid is
+    # constant-size (d*w rows) and the probe set is top-k-bounded;
+    # replica text multiplies counts uniformly (over_ppm shifts
+    # deterministically — cost-faithful like text_dup_ngrams).
+    "text_countmin_calibration",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two

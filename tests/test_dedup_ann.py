@@ -382,3 +382,78 @@ def test_split_leakage_audit_hand_computed(spark):
     assert got["host_group"]["n_dup_pairs"] == 2
     assert got["doc_hash"]["n_straddling_pairs"] == exp_doc
     assert got["host_group"]["n_straddling_pairs"] == exp_host
+
+
+def test_dup_span_scrub_hand_computed(spark):
+    """Shared 3-gram 'a b c' (df=2) covers exactly the token positions
+    under its windows; unique docs pass through untouched and the
+    reassembled text is position-ordered."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x a b c y"), (3, "q r s t u")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in dedup.dup_span_scrub(df, n=3).collect()}
+    assert got == {1: (5, 3, "d e"), 2: (5, 3, "x y"),
+                   3: (5, 0, "q r s t u")}
+
+
+def test_dup_span_scrub_whole_doc_and_short_doc(spark):
+    """Fully duplicated docs scrub to '' (the Lee et al. degenerate case);
+    docs shorter than n have no n-grams and are never touched."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "z z")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in dedup.dup_span_scrub(df, n=3).collect()}
+    assert got == {1: (3, 3, ""), 2: (3, 3, ""), 3: (2, 0, "z z")}
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every candidate that IS in the seen set must bloom-hit (Bloom
+    filters cannot false-negative), so n_bloom_hit >= n_seen_exact."""
+    cand = spark.createDataFrame(
+        [("u1",), ("u2",), ("u3",), ("u4",)], ["url"])
+    seen = spark.createDataFrame([("u1",), ("u3",), ("u9",)], ["url"])
+    r = dedup.bloom_prefilter(cand, seen, m=65536, k=3).collect()[0]
+    assert r.n_candidates == 4 and r.n_seen_exact == 2
+    assert r.n_bloom_hit >= r.n_seen_exact
+
+
+def test_bloom_prefilter_planted_false_positive(spark):
+    """m=1 forces every position to collide: an unseen candidate still
+    hits all k positions — the degenerate undersized filter, counted as
+    a false positive with fp_ppm = 1e6."""
+    cand = spark.createDataFrame([("new-url",)], ["url"])
+    seen = spark.createDataFrame([("old-url",)], ["url"])
+    r = dedup.bloom_prefilter(cand, seen, m=1, k=2).collect()[0]
+    assert (r.n_bloom_hit, r.n_seen_exact, r.n_false_pos, r.fp_ppm) == (
+        1, 0, 1, 1_000_000)
+
+
+def test_countmin_never_underestimates(spark):
+    """Count-min's defining property at a deliberately tiny width: every
+    counter holds the true count plus non-negative collision mass."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c"), (2, "a b c x y z w"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    rows = dedup.countmin_calibration(df, n=3, w=4, d=2, top=50).collect()
+    assert len(rows) > 0
+    assert all(r.est_cnt >= r.exact_cnt for r in rows)
+    assert all(r.over_ppm >= 0 for r in rows)
+
+
+def test_countmin_exact_at_collision_free_width(spark):
+    """With width far above the distinct-shingle count, no collisions
+    survive the min-over-rows and the sketch recovers exact counts."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c f g")],
+        "doc_id long, text string",
+    )
+    rows = dedup.countmin_calibration(df, n=3, w=65536, d=3, top=50).collect()
+    assert {(r.shingle, r.exact_cnt) for r in rows} == {
+        ("a b c", 2), ("b c d", 1), ("c d e", 1), ("b c f", 1),
+        ("c f g", 1)}
+    assert all(r.est_cnt == r.exact_cnt and r.over_ppm == 0 for r in rows)

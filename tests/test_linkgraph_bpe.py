@@ -196,3 +196,30 @@ def test_trustrank_farm_starves_without_seed_path(spark):
     assert tr["f1"] == 0 and tr["f2"] == 0
     assert pr["f1"] > 0 and pr["f2"] > 0  # the gap IS the signal
     assert tr["a"] > 0
+
+
+def test_bowtie_hand_built_classes(spark):
+    """Hand-built bowtie: i -> c1 <-> c2 -> o1 -> o2, x1 -> x2 isolated.
+    Pivot c1: fwd = {c1, c2, o1, o2}, bwd = {c1, c2, i} -> classes are
+    exactly Broder's core/in/out, and the disconnected island is
+    'other'."""
+    edges = spark.createDataFrame(
+        [("i", "c1"), ("c1", "c2"), ("c2", "c1"), ("c2", "o1"),
+         ("o1", "o2"), ("x1", "x2")], ["src", "dst"])
+    nodes = spark.createDataFrame(
+        [("i",), ("c1",), ("c2",), ("o1",), ("o2",), ("x1",), ("x2",)],
+        ["host"])
+    got = {r["host"]: r["cls"]
+           for r in linkgraph.bowtie(edges, nodes, "c1", rounds=4).collect()}
+    assert got == {"i": "in", "c1": "core", "c2": "core",
+                   "o1": "out", "o2": "out", "x1": "other", "x2": "other"}
+
+
+def test_bowtie_isolated_pivot_is_core(spark):
+    """A pivot with no edges still reaches itself both ways (BFS depth 0),
+    so it is its own one-node core; everything else is 'other'."""
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    nodes = spark.createDataFrame([("p",), ("a",), ("b",)], ["host"])
+    got = {r["host"]: r["cls"]
+           for r in linkgraph.bowtie(edges, nodes, "p", rounds=2).collect()}
+    assert got == {"p": "core", "a": "other", "b": "other"}

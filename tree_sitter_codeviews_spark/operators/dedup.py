@@ -537,6 +537,89 @@ def dup_ngram_stats(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def dup_span_scrub(docs: DataFrame, n: int = 3) -> DataFrame:
+    """ExactSubstr REMOVAL (the act-on-it counterpart to
+    ``dup_ngram_stats``): delete every token whose position is covered by
+    a corpus-duplicated n-gram (Lee et al. 2022 remove the duplicated
+    spans themselves rather than whole documents — cross-doc boilerplate,
+    licence blocks and syndicated passages vanish while the unique
+    remainder of each page survives). A token at position t is removed
+    when ANY of the n windows covering it (start positions t-n+1 .. t)
+    is an n-gram seen in >= 2 distinct documents (the ``df >= 2`` rule
+    shared with ``dup_ngram_stats``).
+
+    Engine shape:
+      1. positional n-grams per doc (window ``lead`` over token pos — the
+         ``shingles_df`` codegen-friendly form, multiplicity kept);
+      2. duplicated-shingle dim: per-doc distinct -> df -> ``df >= 2``
+         (two aggregates on the shingle key);
+      3. flag start positions via one equi-join on the shingle key
+         (uniform by hashing; hot boilerplate shingles are ONE dim row
+         each, so fan-out is per-position x 1 — no pair space, ever);
+      4. coverage = max(flag) over a per-doc ``rowsBetween(-(n-1), 0)``
+         window (token positions are contiguous by construction, so the
+         row frame IS the range frame);
+      5. per-doc rollup: counts + ordered reassembly of surviving tokens
+         (collect_list of (pos, tok) structs, array_sort, join with ' ').
+
+    Shuffles: doc window, shingle agg x2, shingle join, doc rollup — all
+    on the two natural keys; the per-doc windows/rollups partition by
+    doc_id so no single-partition stage appears at any corpus size. The
+    reassembled text is byte-deterministic, hence gate-hashable.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text); clean_text = ''
+    when every token of the doc sits under a duplicated span."""
+    from pyspark.sql import Window
+
+    toks = tokens_df(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    pos_sh = toks.select(
+        "doc_id", "pos", "tok",
+        F.when(
+            F.lead("tok", n - 1).over(w).isNotNull(), F.concat_ws(" ", *parts)
+        ).alias("shingle"),
+    )
+    per_doc = (
+        pos_sh.filter(F.col("shingle").isNotNull())
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dup_dim = (
+        per_doc.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("shingle", F.lit(1).alias("_dup"))
+    )
+    flagged = pos_sh.join(dup_dim, "shingle", "left").select(
+        "doc_id", "pos", "tok", F.coalesce("_dup", F.lit(0)).alias("flag")
+    )
+    cov_w = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(n - 1), 0)
+    )
+    cov = flagged.withColumn("covered", F.max("flag").over(cov_w))
+    return (
+        cov.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("covered").cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("covered") == 0, F.struct("pos", "tok")
+                            )
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
 def incremental_new_hashes(
     new: DataFrame,
     old_hashes: DataFrame,
@@ -563,6 +646,82 @@ def incremental_new_hashes(
     )
     return fresh.groupBy(hash_col).agg(
         F.min("doc_id").cast("long").alias("first_doc_id")
+    )
+
+
+def bloom_prefilter(
+    candidates: DataFrame, seen: DataFrame, key_col: str = "url",
+    m: int = 8192, k: int = 2,
+) -> DataFrame:
+    """Bloom-filter pre-filter audit for crawl-frontier dedup — the
+    canonical 100 TB pattern: before shuffling a trillion frontier URLs
+    into an exact anti-join against the crawled set, a compact bit-array
+    filter (k hash positions over m bits, built once from the SEEN side)
+    discards the guaranteed-unseen majority map-side; only bloom HITS pay
+    the exact join. This operator runs both legs and reports the filter's
+    measured quality so the m/k sizing is grounded in numbers, not vibes:
+
+      (n_candidates, n_seen_exact, n_bloom_hit, n_false_pos, fp_ppm)
+
+    with fp_ppm = false positives per million TRUE NEGATIVES — the
+    fraction of genuinely-new URLs the filter would needlessly send to
+    the exact join. Bloom filters have no false negatives by
+    construction, so ``n_bloom_hit >= n_seen_exact`` always (pinned in
+    pytest alongside a planted-FP case).
+
+    Determinism: positions are md5-uniform (``_uniform_col`` discipline
+    — content-addressed, engine-independent), so the entire audit is
+    bit-exact and gate-hashable; the DuckDB oracle rebuilds the identical
+    filter. ``m`` is FIXED for oracle parity; production sizes m from the
+    seen-set cardinality (m ≈ n·k/ln2 per false-positive target).
+
+    Scale shape: the materialized filter is the (hash_i, position)
+    distinct set — at most k·m rows regardless of corpus size — so the
+    membership probes are k BROADCAST joins (zero shuffle on the frontier
+    side); the exact leg is the one hash-partitioned join, and the output
+    is a single aggregate row."""
+    def _pos(col: F.Column, i: int) -> F.Column:
+        s = F.concat(F.lit(f"bloom{i}:"), col.cast("string"))
+        return (
+            F.conv(F.substring(F.md5(s.cast("binary")), 1, 7), 16, 10)
+            .cast("long") % m
+        )
+
+    from pyspark.sql.functions import broadcast
+
+    key = F.col(key_col)
+    cand = candidates.select(key.alias("url")).distinct()
+    seen_keys = seen.select(key.alias("url")).distinct()
+    flagged = cand
+    for i in range(k):
+        bits_i = (
+            seen_keys.select(_pos(F.col("url"), i).alias(f"_p{i}"))
+            .distinct()
+            .withColumn(f"_hit{i}", F.lit(1))
+        )
+        flagged = flagged.withColumn(f"_p{i}", _pos(F.col("url"), i)).join(
+            broadcast(bits_i), f"_p{i}", "left"
+        )
+    bloom_hit = F.coalesce(F.col("_hit0"), F.lit(0))
+    for i in range(1, k):  # AND over 0/1 flags: all k positions must be set
+        bloom_hit = bloom_hit * F.coalesce(F.col(f"_hit{i}"), F.lit(0))
+    probed = flagged.select("url", bloom_hit.alias("bloom_hit"))
+    exact = seen_keys.withColumn("_seen", F.lit(1))
+    audited = probed.join(exact, "url", "left").select(
+        "url", "bloom_hit", F.coalesce("_seen", F.lit(0)).alias("seen_exact")
+    )
+    return audited.agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum("seen_exact").cast("long").alias("n_seen_exact"),
+        F.sum("bloom_hit").cast("long").alias("n_bloom_hit"),
+        F.sum(
+            F.when((F.col("bloom_hit") == 1) & (F.col("seen_exact") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_false_pos"),
+        F.expr(
+            "sum(case when bloom_hit = 1 and seen_exact = 0 then 1 else 0"
+            " end) * 1000000 div (count(*) - sum(seen_exact))"
+        ).alias("fp_ppm"),
     )
 
 
@@ -593,6 +752,80 @@ def novelty_stats(docs: DataFrame, n: int = 3) -> DataFrame:
                 " * 1000000 div count(*)"
             ).alias("novelty_ppm"),
         )
+    )
+
+
+def countmin_calibration(
+    docs: DataFrame, n: int = 3, w: int = 1024, d: int = 3, top: int = 100,
+) -> DataFrame:
+    """Count-min sketch frequency estimation with MEASURED over-estimate
+    error (Cormode & Muthukrishnan 2005) — the heavy-hitter counterpart
+    to the Bloom audit: a d×w counter grid replaces the full shingle
+    frequency table, estimate(x) = min over the d rows of the counter at
+    x's hashed position, and this operator reports estimate-vs-exact for
+    the ``top`` heaviest shingles in integer ppm so the w/d sizing is a
+    measured number. Count-min NEVER underestimates (every counter holds
+    x's true count plus non-negative collision mass), so
+    ``est_cnt >= exact_cnt`` row-by-row — pytest-pinned, alongside an
+    exact-recovery case at collision-free width.
+
+    Determinism: positions are md5-uniform over a data-driven salt
+    ('cm{i}:'), so the grid — and therefore the audit — is bit-identical
+    across engines, partitionings and retries: unlike HLL
+    (``geo_tiles_approx``, rows-only by nature) this sketch row
+    hash-verifies.
+
+    Scale shape: one shingle-count aggregate (the same exchange family as
+    every shingle op), a d×w counter table (3,072 rows here — BROADCAST,
+    constant in corpus size), top-k via TakeOrdered (no global sort
+    materialization), and d broadcast probes. At 100 TB the counter grid
+    is what ships to the planner/monitor instead of a trillion-row
+    frequency table; this op is the error bound that justifies it."""
+    from pyspark.sql import Window
+
+    toks = tokens_df(docs)
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(wn) for j in range(1, n)]
+    pos_sh = (
+        toks.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"),
+                    F.lead("tok", n - 1).over(wn).alias("_t"))
+        .filter(F.col("_t").isNotNull())
+    )
+    counts = pos_sh.groupBy("shingle").agg(F.count("*").alias("exact_cnt"))
+
+    def _pos(sh_col: F.Column, i_col: F.Column) -> F.Column:
+        s = F.concat(F.lit("cm"), i_col.cast("string"), F.lit(":"), sh_col)
+        return (
+            F.conv(F.substring(F.md5(s.cast("binary")), 1, 7), 16, 10)
+            .cast("long") % w
+        )
+
+    ivals = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i")
+    grid = (
+        counts.select("shingle", "exact_cnt", ivals)
+        .select("i", _pos(F.col("shingle"), F.col("i")).alias("pos"),
+                "exact_cnt")
+        .groupBy("i", "pos")
+        .agg(F.sum("exact_cnt").alias("c"))
+    )
+    topk = counts.orderBy(F.desc("exact_cnt"), F.asc("shingle")).limit(top)
+    from pyspark.sql.functions import broadcast
+
+    probed = (
+        topk.select("shingle", "exact_cnt", ivals)
+        .select("shingle", "exact_cnt", "i",
+                _pos(F.col("shingle"), F.col("i")).alias("pos"))
+        .join(broadcast(grid), ["i", "pos"])
+        .groupBy("shingle", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+    return probed.select(
+        "shingle",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        F.expr("(est_cnt - exact_cnt) * 1000000 div exact_cnt").alias(
+            "over_ppm"
+        ),
     )
 
 

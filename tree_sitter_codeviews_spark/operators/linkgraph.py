@@ -365,6 +365,59 @@ def bfs_depth(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
     return reached
 
 
+def bowtie(
+    edges: DataFrame, nodes: DataFrame, pivot: str, rounds: int = 6
+) -> DataFrame:
+    """Bowtie decomposition of a directed host graph (Broder et al.,
+    WWW 2000 — the canonical macro-structure measurement of the web):
+    classify every host relative to a PIVOT known to sit in the giant
+    strongly-connected CORE. Forward BFS reach = {pivot's SCC ∪ OUT};
+    backward BFS reach = {pivot's SCC ∪ IN}; the intersection IS the
+    pivot's SCC (v is in it iff pivot→v and v→pivot). Crawl pipelines
+    read the class mix as a frontier-health signal: a crawl stuck in OUT
+    territory (reachable, never endorsed back) is trap/farm territory,
+    and IN-heavy frontiers are feeder pages the ranker underweights.
+
+    cls: 'core' (fwd ∧ bwd), 'in' (bwd only), 'out' (fwd only),
+    'other' (neither — tendrils + disconnected, which a pivot-pair BFS
+    cannot split further; Broder et al. lump them the same way without
+    extra BFS waves).
+
+    Determinism: pure reachability (min-relax BFS, order-free), so the
+    result is bit-reproducible and the oracle unrolls the same layers.
+    ``rounds`` is fixed for the oracle mirror; the classes are exact
+    whenever both BFS waves converge within ``rounds`` (verify round
+    r == r+1 at the target scale, as the callers do on their fixtures).
+
+    Scale shape: two ``bfs_depth`` runs (each: one shuffle join + one
+    min-aggregate per round over a host-dim-sized reached table) plus
+    two broadcast-able host-dim left joins for the classification —
+    nothing here ever touches page-level row counts."""
+    pv = nodes.filter(F.col("host") == pivot)
+    fwd = bfs_depth(edges, pv, rounds).select(
+        "host", F.lit(1).alias("_f")
+    )
+    bwd = bfs_depth(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        pv, rounds,
+    ).select("host", F.lit(1).alias("_b"))
+    return (
+        nodes.join(fwd, "host", "left")
+        .join(bwd, "host", "left")
+        .select(
+            "host",
+            F.when(
+                F.col("_f").isNotNull() & F.col("_b").isNotNull(),
+                F.lit("core"),
+            )
+            .when(F.col("_b").isNotNull(), F.lit("in"))
+            .when(F.col("_f").isNotNull(), F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("cls"),
+        )
+    )
+
+
 def label_propagation(
     edges: DataFrame, nodes: DataFrame, iterations: int = 3
 ) -> DataFrame:

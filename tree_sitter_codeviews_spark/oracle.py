@@ -2565,6 +2565,48 @@ GROUP BY 1, 2
 """
 
 
+def bloom_frontier_sql(m: int = 2048, k: int = 2) -> str:
+    """Mirror of dedup.bloom_prefilter over the outlink-frontier /
+    crawled-page fixture: identical md5-position filter (same salts,
+    same 7-hex-digit prefix conversion), exact leg, one summary row."""
+    def pos(expr: str, i: int) -> str:
+        return (f"('0x' || substr(md5('bloom{i}:' || {expr}), 1, 7))"
+                f"::BIGINT % {m}")
+
+    bits = ",".join(
+        f"""
+bits{i} AS (SELECT DISTINCT {pos('url', i)} AS p FROM seen)"""
+        for i in range(k)
+    )
+    probes = "\n  ".join(
+        f"LEFT JOIN bits{i} b{i} ON {pos('c.url', i)} = b{i}.p"
+        for i in range(k)
+    )
+    hit = " AND ".join(f"b{i}.p IS NOT NULL" for i in range(k))
+    return f"""
+WITH {_OUTLINKS_CTES},
+cand AS (SELECT DISTINCT regexp_replace(dst_url, '\\?.*$', '') AS url
+         FROM links),
+seen AS (SELECT DISTINCT url FROM page),{bits},
+probed AS (
+  SELECT c.url,
+    CASE WHEN {hit} THEN 1 ELSE 0 END AS bloom_hit,
+    CASE WHEN s.url IS NOT NULL THEN 1 ELSE 0 END AS seen_exact
+  FROM cand c
+  {probes}
+  LEFT JOIN seen s ON c.url = s.url
+)
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+  CAST(sum(seen_exact) AS BIGINT) AS n_seen_exact,
+  CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hit,
+  CAST(sum(CASE WHEN bloom_hit = 1 AND seen_exact = 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_false_pos,
+  CAST(sum(CASE WHEN bloom_hit = 1 AND seen_exact = 0 THEN 1 ELSE 0 END)
+    * 1000000 // (count(*) - sum(seen_exact)) AS BIGINT) AS fp_ppm
+FROM probed
+"""
+
+
 def anchor_index_sql() -> str:
     """Per-target anchor aggregation: inbound link count, distinct anchor
     phrasings, and the modal anchor under the (count desc, anchor asc)
@@ -2703,6 +2745,85 @@ SELECT doc_id,
     AS BIGINT) AS dup_ppm
 FROM pd JOIN dfq USING (shingle)
 GROUP BY 1
+"""
+
+
+def dup_span_scrub_sql() -> str:
+    """Mirror of dedup.dup_span_scrub: duplicated-shingle dim (df >= 2),
+    start-position flags, n-window coverage via the same ROWS BETWEEN
+    2 PRECEDING frame, ordered reassembly of surviving tokens."""
+    return """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ps AS (
+  SELECT doc_id, i AS spos,
+         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+  FROM d, unnest(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+pd AS (SELECT doc_id, shingle FROM ps GROUP BY 1, 2),
+dupsh AS (SELECT shingle FROM pd GROUP BY 1 HAVING count(*) >= 2),
+ds AS (SELECT DISTINCT ps.doc_id, ps.spos FROM ps JOIN dupsh USING (shingle)),
+tok AS (
+  SELECT doc_id, i AS pos, w[i + 1] AS tok
+  FROM d, unnest(range(len(w))) AS t(i)
+),
+flg AS (
+  SELECT tok.doc_id, tok.pos, tok.tok,
+         CASE WHEN ds.spos IS NULL THEN 0 ELSE 1 END AS flag
+  FROM tok LEFT JOIN ds ON ds.doc_id = tok.doc_id AND ds.spos = tok.pos
+),
+cov AS (
+  SELECT doc_id, pos, tok,
+         max(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered
+  FROM flg
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(covered) AS BIGINT) AS n_removed,
+  coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY pos),
+           '') AS clean_text
+FROM cov GROUP BY 1
+"""
+
+
+def countmin_calibration_sql(
+    w: int = 1024, d: int = 3, top: int = 100
+) -> str:
+    """Mirror of dedup.countmin_calibration: same positional 3-gram
+    counts, same md5 'cm{i}:' salted d×w counter grid, same top-k
+    (cnt desc, shingle asc) probe set, min-over-rows estimate."""
+    def pos(expr: str, i_expr: str) -> str:
+        return (f"('0x' || substr(md5('cm' || {i_expr} || ':' || {expr}),"
+                f" 1, 7))::BIGINT % {w}")
+
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ps AS (
+  SELECT doc_id, w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+  FROM toks, unnest(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+cnts AS (SELECT shingle, count(*) AS exact_cnt FROM ps GROUP BY 1),
+iv AS (SELECT unnest(range({d})) AS i),
+grid AS (
+  SELECT i, {pos('shingle', 'i')} AS pos, sum(exact_cnt) AS c
+  FROM cnts CROSS JOIN iv GROUP BY 1, 2
+),
+topk AS (
+  SELECT shingle, exact_cnt FROM cnts
+  ORDER BY exact_cnt DESC, shingle LIMIT {top}
+),
+probed AS (
+  SELECT t.shingle, t.exact_cnt, min(g.c) AS est_cnt
+  FROM topk t CROSS JOIN iv
+  JOIN grid g ON g.i = iv.i AND g.pos = {pos('t.shingle', 'iv.i')}
+  GROUP BY 1, 2
+)
+SELECT shingle, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+  CAST(est_cnt AS BIGINT) AS est_cnt,
+  CAST((est_cnt - exact_cnt) * 1000000 // exact_cnt AS BIGINT) AS over_ppm
+FROM probed
 """
 
 
@@ -3684,6 +3805,60 @@ d{r} AS (
         f"SELECT host, CAST(depth AS BIGINT) AS depth FROM d{rounds}"
     )
     return head + "," + ",".join(layers) + "\n" + final
+
+
+def webtext_bowtie_sql(rounds: int = 6) -> str:
+    """Mirror of linkgraph.bowtie over the bowtie-structured edge fixture
+    (queries._bowtie_edges): same deduped directed edges, forward and
+    backward reach sets unrolled the same ``rounds`` layers from the
+    pivot host0025.example, same 4-class CASE."""
+    head = """
+WITH e AS (
+  SELECT printf('host%04d.example', doc_id % 100) AS src,
+         printf('host%04d.example',
+           CASE WHEN doc_id % 100 < 25 THEN 25 + (doc_id * 7) % 45
+                WHEN doc_id % 100 < 70 THEN 25 + (doc_id % 100 - 25 + 1) % 45
+                WHEN doc_id % 100 < 90 THEN 70 + (doc_id * 3) % 20
+                ELSE 90 + (doc_id * 3) % 10 END) AS dst
+  FROM documents
+  UNION ALL
+  SELECT printf('host%04d.example', doc_id % 100) AS src,
+         printf('host%04d.example',
+           CASE WHEN doc_id % 100 < 25 THEN (doc_id * 11) % 25
+                WHEN doc_id % 100 < 70 THEN
+                  CASE WHEN doc_id % 3 = 0 THEN 70 + doc_id % 20
+                       ELSE 25 + (doc_id * 11) % 45 END
+                WHEN doc_id % 100 < 90 THEN 70 + (doc_id * 7) % 20
+                ELSE 90 + (doc_id * 7) % 10 END) AS dst
+  FROM documents
+),
+ed AS (SELECT DISTINCT src, dst FROM e),
+rv AS (SELECT dst AS src, src AS dst FROM ed),
+f0 AS (SELECT 'host0025.example' AS host),
+b0 AS (SELECT 'host0025.example' AS host)"""
+    layers = []
+    for r in range(1, rounds + 1):
+        for pre, tbl in (("f", "ed"), ("b", "rv")):
+            layers.append(f"""
+{pre}{r} AS (
+  SELECT DISTINCT host FROM (
+    SELECT host FROM {pre}{r - 1}
+    UNION ALL
+    SELECT {tbl}.dst AS host
+    FROM {pre}{r - 1} p JOIN {tbl} ON p.host = {tbl}.src
+  )
+)""")
+    final = f"""
+SELECT n.host,
+  CASE WHEN f.host IS NOT NULL AND b.host IS NOT NULL THEN 'core'
+       WHEN b.host IS NOT NULL THEN 'in'
+       WHEN f.host IS NOT NULL THEN 'out'
+       ELSE 'other' END AS cls
+FROM (SELECT printf('host%04d.example', i) AS host FROM range(100) t(i)) n
+LEFT JOIN f{rounds} f ON n.host = f.host
+LEFT JOIN b{rounds} b ON n.host = b.host
+"""
+    return head + "," + ",".join(layers) + final
 
 
 def text_bpe_apply_sql(merges: int = 8) -> str:

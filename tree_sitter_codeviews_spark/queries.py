@@ -2384,6 +2384,108 @@ def webtext_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bowtie_edges(docs: DataFrame):
+    """Deterministic bowtie-structured host graph (its OWN fixture — the
+    shared ``_host_edges`` graph is one giant SCC, which would make the
+    decomposition vacuous; same sanctioned sub-fixture pattern as the
+    snapshot-diff corpora). Host classes by residue h = doc_id % 100:
+    IN [0,25) -> CORE only; CORE [25,70) strongly connected (h->h+1
+    cycle + doc-derived chords) with every-3rd-doc CORE->OUT exits;
+    OUT [70,90) links only within OUT; OTHER [90,100) is a disconnected
+    island. Two edges per doc, mirrored verbatim by the oracle CTE."""
+    h = F.col("doc_id") % 100
+    e1_dst = (
+        F.when(h < 25, 25 + (F.col("doc_id") * 7) % 45)
+        .when(h < 70, 25 + (h - 25 + 1) % 45)
+        .when(h < 90, 70 + (F.col("doc_id") * 3) % 20)
+        .otherwise(90 + (F.col("doc_id") * 3) % 10)
+    )
+    e2_dst = (
+        F.when(h < 25, (F.col("doc_id") * 11) % 25)
+        .when(
+            h < 70,
+            F.when(F.col("doc_id") % 3 == 0, 70 + F.col("doc_id") % 20)
+            .otherwise(25 + (F.col("doc_id") * 11) % 45),
+        )
+        .when(h < 90, 70 + (F.col("doc_id") * 7) % 20)
+        .otherwise(90 + (F.col("doc_id") * 7) % 10)
+    )
+    src = F.format_string("host%04d.example", h).alias("src")
+    e1 = docs.select(src, F.format_string("host%04d.example", e1_dst).alias("dst"))
+    e2 = docs.select(src, F.format_string("host%04d.example", e2_dst).alias("dst"))
+    return e1.unionAll(e2)
+
+
+def webtext_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowtie decomposition (Broder et al. 2000) of the class-structured
+    host graph: every host labeled core / in / out / other relative to
+    the pivot ``host0025.example`` (in the CORE by construction). Two
+    fixed-round BFS waves (forward + backward), classes from the
+    reach-flag pair; the oracle unrolls the identical layers. The waves
+    converge at round 7 on the fixture (round 7 == round 8 verified at
+    sf0.001 and sf0.01 — the backward wave walks the reversed core
+    cycle, so it needs more rounds than the chord-rich forward wave);
+    rounds=8 adds one round of margin, so the classes are the exact
+    reachability classes: 25 in / 45 core / 20 out / 10 other."""
+    from .operators import linkgraph
+
+    return linkgraph.bowtie(
+        _bowtie_edges(_docs(spark, sf_dir)), _host_nodes(spark),
+        pivot="host0025.example", rounds=8,
+    )
+
+
+def dedup_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier Bloom pre-filter audit: the extracted outlink URLs
+    (the frontier, keyed query-string-insensitively — frontier schedulers
+    normalize harder than content dedup since '?ref=' variants fetch the
+    same page) probe a k=2/m=2048 md5-position Bloom filter built from
+    the crawled page-URL set, next to the exact membership join —
+    reporting hit/false-positive counts and the measured fp_ppm that
+    grounds the filter sizing. Deterministic bit-for-bit (md5-uniform
+    positions), so the oracle rebuilds the identical filter; no false
+    negatives by construction (n_bloom_hit >= n_seen_exact, pytest-pinned).
+    m is fixed for oracle parity — production sizes m ≈ n·k/ln2 from the
+    crawled-set cardinality (the sf0.1 run SHOWS why: 10× the crawled set
+    saturates this m and fp_ppm degrades toward 1e6), and the probe side
+    stays k broadcast joins however big the frontier grows."""
+    from .operators import dedup, webtext
+
+    pages = _linked_pages(_docs(spark, sf_dir))
+    cands = webtext.outlink_extract(pages).select(
+        F.regexp_replace(F.col("dst_url"), "[?].*$", "").alias("url")
+    )
+    return dedup.bloom_prefilter(cands, pages.select("url"), m=2048, k=2)
+
+
+def text_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022): strip every token
+    covered by a 3-gram that occurs in >= 2 distinct documents, and
+    reassemble each doc's surviving text byte-deterministically. The
+    act-on-it counterpart to text_dup_ngrams' measurement — returns
+    (doc_id, n_tokens, n_removed, clean_text), value-checked whole
+    (including the reassembled strings) against the oracle."""
+    from .operators import dedup
+
+    return dedup.dup_span_scrub(_docs(spark, sf_dir), n=3)
+
+
+def text_countmin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimation audit: a 3×1024 counter
+    grid over the corpus 3-gram stream (16k–27k distinct shingles at
+    test scales, so collisions are guaranteed and the over-estimate is
+    non-vacuous), estimate-vs-exact for the top-100 shingles in integer
+    ppm. Bit-deterministic md5 positions — the sketch row itself
+    hash-verifies against the oracle, unlike HLL which is rows-only by
+    nature. The never-underestimates property and exact recovery at
+    collision-free width are pytest-pinned."""
+    from .operators import dedup
+
+    return dedup.countmin_calibration(
+        _docs(spark, sf_dir), n=3, w=1024, d=3, top=100
+    )
+
+
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION: encode the whole corpus with the
     bpe_train merge table (train once -> tokenize everything, the
