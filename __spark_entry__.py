@@ -58,13 +58,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== r5 DRIVER WINDOW (first 50) ================================
         # Block A (21): every registry query that has never had a
         # driver-side CORRECTNESS row in r1-r4 (VERDICT r4 next-round #1;
-        # all were green in GATE_FULL_r04). Block NEW-r5 (19): the r5
+        # all were green in GATE_FULL_r04). Block NEW-r5 (21): the r5
         # TPC-H completions + the two IVFPQ variants + host k-core +
         # crawl-depth BFS + the split-leakage audit + TrustRank + the
         # bowtie decomposition + ExactSubstr span-scrub + the Bloom
-        # frontier audit + the count-min error audit, new this round.
-        # After this round every one of the 182 registry queries has a
-        # driver row in some round.
+        # frontier audit + the count-min error audit + CDC chunk dedup +
+        # co-citation related hosts, new this round. After this round
+        # every one of the 184 registry queries has a driver row in some
+        # round.
         "webtext_domain_reputation": q.webtext_domain_reputation,  # PR+HITS+dup composite (r4)
         "webtext_geo_regions": q.webtext_geo_regions,  # crawl pages per polygon region via PIP (r4)
         "webtext_anchor_index": q.webtext_anchor_index,  # per-target anchor-text index (r4)
@@ -111,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_span_scrub": q.text_dup_span_scrub,  # ExactSubstr duplicated-span REMOVAL (r5)
         "dedup_bloom_frontier": q.dedup_bloom_frontier,  # crawl-frontier Bloom pre-filter audit (r5)
         "text_countmin_calibration": q.text_countmin_calibration,  # count-min sketch error audit (r5)
+        "dedup_cdc_chunks": q.dedup_cdc_chunks,  # content-defined chunking dedup stats (r5)
+        "webtext_cocitation": q.webtext_cocitation,  # related hosts by shared out-targets (r5)
         # Block B (7): code paths changed this round — outlink host
         # normalization (absolute-href scheme+host lowercased, ADVICE r4)
         # flows into every outlink-derived query; overlay cover cells
@@ -128,11 +131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # since their driver signal is weaker than the pytest mirror).
         # Originally 13 slots; the late Block NEW-r5 additions (IVFPQ x2 +
         # k-core + crawl-depth + split-leakage + trustrank + bowtie +
-        # span-scrub + bloom-frontier + countmin) displaced ten rows past
-        # position 50 — all ten have r2 driver rows, so no never-verified
-        # query leaves the window.
-        "dedup_stream_exact": q.dedup_stream_exact,
-        "ann_ivf_topk": q.ann_ivf_topk,
+        # span-scrub + bloom-frontier + countmin + cdc-chunks +
+        # cocitation) displaced twelve rows past position 50 — all twelve
+        # have r2 driver rows, so no never-verified query leaves the
+        # window.
         "events_stream_windows": q.events_stream_windows,  # also schema-changed this round (micros)
         # ==== position 51+: rotated out of the window this round ==========
         # (the r2-stale rows below were displaced by Block NEW-r5; they
@@ -149,11 +151,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same pairs); dedup_embedding_lsh yields its slot to
         # text_countmin_calibration (its bucket-join core is
         # driver-covered in-window via the ann_ivf_topk row and the r2
-        # driver hash stands).
+        # driver hash stands); dedup_stream_exact yields its slot to
+        # dedup_cdc_chunks (its exact-hash core is driver-covered via the
+        # dedup_url_canonical Block A row, and the stateful-streaming
+        # engine stays driver-covered via events_stream_windows);
+        # ann_ivf_topk yields its slot to webtext_cocitation (its IVF
+        # routing core is driver-covered in-window via the two IVFPQ
+        # rows, same rationale as the PQ swaps above).
         "dedup_exact": q.dedup_exact,
+        "ann_ivf_topk": q.ann_ivf_topk,
         "dedup_groups": q.dedup_groups,  # same CC change in its path
         "dedup_jaccard": q.dedup_jaccard,
         "dedup_embedding_lsh": q.dedup_embedding_lsh,
+        "dedup_stream_exact": q.dedup_stream_exact,
         "ann_pq_topk": q.ann_pq_topk,
         "ann_topk_quantized": q.ann_topk_quantized,
         "events_stream_sessions": q.events_stream_sessions,
@@ -437,6 +447,8 @@ def oracle_sql() -> dict[str, str]:
         "text_dup_span_scrub": oracle.dup_span_scrub_sql(),
         "dedup_bloom_frontier": oracle.bloom_frontier_sql(m=2048, k=2),
         "text_countmin_calibration": oracle.countmin_calibration_sql(),
+        "dedup_cdc_chunks": oracle.cdc_chunk_stats_sql(w=3, mod=16),
+        "webtext_cocitation": oracle.webtext_cocitation_sql(min_common=2),
         "text_tokens": oracle.text_tokens_sql(),
         "text_tokens_bpe": oracle.text_tokens_bpe_sql(),
         "text_sample_stratified": oracle.text_sample_sql(),

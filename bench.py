@@ -176,6 +176,8 @@ HEADLINE = [
     "text_dup_span_scrub",    # ExactSubstr duplicated-span removal
     "dedup_bloom_frontier",   # crawl-frontier Bloom pre-filter audit
     "text_countmin_calibration",  # count-min sketch error audit
+    "dedup_cdc_chunks",       # content-defined chunking dedup stats
+    "webtext_cocitation",     # related hosts by shared out-targets
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -355,6 +357,13 @@ SCALE2 = [
     # replica text multiplies counts uniformly (over_ppm shifts
     # deterministically — cost-faithful like text_dup_ngrams).
     "text_countmin_calibration",
+    # cdc_chunks is per-doc window work + one chunk-hash df aggregate
+    # (linear, uniform md5 keys); identical-replica text multiplies every
+    # chunk df by REPL2 (dup_ppm saturates — the text_dup_ngrams caveat).
+    "dedup_cdc_chunks",
+    # cocitation's pair space is host-dim-bounded after the up-front
+    # distinct (replica multi-edges absorbed, same class as triangles).
+    "webtext_cocitation",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two

@@ -457,3 +457,34 @@ def test_countmin_exact_at_collision_free_width(spark):
         ("a b c", 2), ("b c d", 1), ("c d e", 1), ("b c f", 1),
         ("c f g", 1)}
     assert all(r.est_cnt == r.exact_cnt and r.over_ppm == 0 for r in rows)
+
+
+def test_cdc_identical_spans_chunk_identically(spark):
+    """The CDC property: a long span shared by two docs at DIFFERENT
+    offsets produces identical interior chunks (boundaries are functions
+    of content, not position), so both docs report duplicated chunks —
+    exactly what fixed-offset blocking would miss."""
+    common = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, common), (2, "off0 off1 off2 off3 off4 " + common)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            dedup.cdc_chunk_stats(df, w=3, mod=4).collect()}
+    assert rows[1].n_dup_chunks >= 1 and rows[2].n_dup_chunks >= 1
+
+
+def test_cdc_unique_and_short_docs(spark):
+    """Disjoint-vocabulary docs share no chunks; a doc shorter than the
+    window has no boundaries and is exactly one (unique) chunk."""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(30))),
+         (2, " ".join(f"b{i}" for i in range(30))),
+         (3, "x y")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            dedup.cdc_chunk_stats(df, w=3, mod=4).collect()}
+    assert all(r.n_dup_chunks == 0 and r.dup_chunk_ppm == 0
+               for r in rows.values())
+    assert rows[3].n_chunks == 1

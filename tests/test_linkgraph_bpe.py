@@ -223,3 +223,27 @@ def test_bowtie_isolated_pivot_is_core(spark):
     got = {r["host"]: r["cls"]
            for r in linkgraph.bowtie(edges, nodes, "p", rounds=2).collect()}
     assert got == {"p": "core", "a": "other", "b": "other"}
+
+
+def test_cocitation_hand_computed(spark):
+    """a->{x,y,z}, b->{x,y}, c->{x}: only (a,b) shares >= 2 targets;
+    cosine-squared ppm = 2*2*1e6 div (3*2) = 666666, src< ordering."""
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", "z"), ("b", "x"), ("b", "y"),
+         ("c", "x")], ["src", "dst"])
+    rows = linkgraph.cocitation(edges, min_common=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.host_a, r.host_b, r.common, r.cocite_ppm) == (
+        "a", "b", 2, 666666)
+
+
+def test_cocitation_multiedges_count_once(spark):
+    """Duplicate (src, dst) rows (multi-links from many pages) must not
+    inflate common-target counts: edges dedupe up front."""
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x"), ("b", "x"),
+         ("a", "y"), ("b", "y")], ["src", "dst"])
+    rows = linkgraph.cocitation(edges, min_common=2).collect()
+    assert len(rows) == 1 and rows[0].common == 2
+    assert rows[0].cocite_ppm == 1_000_000  # identical target sets

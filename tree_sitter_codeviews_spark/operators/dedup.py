@@ -755,6 +755,91 @@ def novelty_stats(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def cdc_chunk_stats(
+    docs: DataFrame, w: int = 3, mod: int = 16
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup stats — the rsync/LBFS
+    boundary trick (Muthitacharoen et al., SOSP 2001) applied to the
+    token stream: a chunk boundary falls AFTER every position whose
+    trailing w-token window hashes to 0 mod ``mod`` (expected chunk
+    length ≈ mod tokens), so identical text spans produce identical
+    chunks NO MATTER WHERE they sit in their documents — the alignment
+    robustness fixed-offset blocking lacks, and the reason crawl-snapshot
+    storage and long-span dedup both reach for CDC over fixed windows.
+    A chunk is duplicated when its exact content appears in >= 2 distinct
+    documents (the df >= 2 rule of the shingle family).
+
+    Engine shape (all standard relational moves):
+      1. rolling window hash per position (the ``shingles_df`` lead
+         chain + the md5-uniform discipline) -> boundary flag;
+      2. chunk index = exclusive prefix sum of boundary flags (one
+         per-doc window, ``rowsBetween(unboundedPreceding, -1)``);
+      3. chunk content = ordered reassembly per (doc, chunk_idx) (the
+         ``dup_span_scrub`` collect/sort/join move), keyed by md5;
+      4. chunk-hash document frequency -> per-doc rollup in integer ppm.
+
+    Returns (doc_id, n_chunks, n_dup_chunks, dup_chunk_ppm). Scale: the
+    per-doc windows and rollups partition by doc_id; the chunk-hash df
+    aggregate + join are uniform md5-key shuffles (hot boilerplate chunks
+    are one aggregate row each — no pair space); chunk contents never
+    leave the executors except as hashes."""
+    from pyspark.sql import Window
+
+    toks = tokens_df(docs)
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    # trailing w-token window ENDING at pos: [pos-w+1 .. pos] via lag
+    parts = [F.lag("tok", w - 1 - j).over(wn) for j in range(w)]
+    win = F.when(
+        F.lag("tok", w - 1).over(wn).isNotNull(), F.concat_ws(" ", *parts)
+    )
+    hsh = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("cdc:"), win).cast("binary")),
+                           1, 7), 16, 10).cast("long") % mod
+    )
+    flagged = toks.select(
+        "doc_id", "pos", "tok",
+        F.when(win.isNotNull() & (hsh == 0), 1).otherwise(0).alias("bnd"),
+    )
+    cw = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    idx = flagged.withColumn(
+        "chunk_idx", F.coalesce(F.sum("bnd").over(cw), F.lit(0))
+    )
+    chunks = (
+        idx.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("chunk_hash")
+        )
+    )
+    dfq = (
+        chunks.select("doc_id", "chunk_hash").distinct()
+        .groupBy("chunk_hash").agg(F.count("*").alias("df"))
+    )
+    return (
+        chunks.join(dfq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long")
+            .alias("n_dup_chunks"),
+            F.expr(
+                "sum(case when df >= 2 then 1 else 0 end) * 1000000"
+                " div count(*)"
+            ).alias("dup_chunk_ppm"),
+        )
+    )
+
+
 def countmin_calibration(
     docs: DataFrame, n: int = 3, w: int = 1024, d: int = 3, top: int = 100,
 ) -> DataFrame:

@@ -418,6 +418,61 @@ def bowtie(
     )
 
 
+def cocitation(edges: DataFrame, min_common: int = 2) -> DataFrame:
+    """Bibliographic-coupling host similarity (the Dean & Henzinger
+    "related pages" move, WWW 1998, at host granularity): two hosts are
+    related in proportion to their SHARED OUT-TARGETS — an endorsement
+    signal link spam can't easily fake, and the standard "related
+    domains" feature a crawl pipeline derives from the domain graph
+    next to rank. Scored as integer cosine² in ppm:
+    ``common² * 1e6 div (out_deg_a * out_deg_b)`` — exact integer
+    arithmetic end to end, no float drift, hence gate-hashable.
+
+    Shape: dedupe edges, self-join on the shared target (the inverted-
+    index pair move of ``dedup.pair_candidates`` with dst as the posting
+    key), count per unordered pair (src< ordering, no double-count),
+    two broadcast joins against the host-dim out-degree table. Pair
+    space is Σ in_deg(dst)² — on a host graph that's dim-bounded; at
+    corpus scale hot universal targets are pruned by a max in-degree cut
+    first (the ``prune_stop_shingles`` discipline: a target half the web
+    links to carries no similarity information), keeping the join
+    df-bounded rather than quadratic. ``min_common`` drops the common=1
+    noise floor before the degree joins."""
+    from pyspark.sql.functions import broadcast
+
+    ed = edges.select("src", "dst").distinct()
+    deg = ed.groupBy("src").agg(F.count("*").alias("deg"))
+    pairs = (
+        ed.alias("a")
+        .join(
+            ed.alias("b"),
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("host_a"), F.col("b.src").alias("host_b")
+        )
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    return (
+        pairs.join(
+            broadcast(deg.select(F.col("src").alias("host_a"),
+                                 F.col("deg").alias("deg_a"))), "host_a"
+        )
+        .join(
+            broadcast(deg.select(F.col("src").alias("host_b"),
+                                 F.col("deg").alias("deg_b"))), "host_b"
+        )
+        .select(
+            "host_a", "host_b", "common",
+            F.expr(
+                "common * common * 1000000 div (deg_a * deg_b)"
+            ).alias("cocite_ppm"),
+        )
+    )
+
+
 def label_propagation(
     edges: DataFrame, nodes: DataFrame, iterations: int = 3
 ) -> DataFrame:

@@ -2787,6 +2787,49 @@ FROM cov GROUP BY 1
 """
 
 
+def cdc_chunk_stats_sql(w: int = 3, mod: int = 16) -> str:
+    """Mirror of dedup.cdc_chunk_stats: same trailing w-token rolling
+    window, same 'cdc:'-salted md5 boundary rule, exclusive-prefix-sum
+    chunk indices, ordered chunk reassembly keyed by md5, df >= 2."""
+    lags = " || ' ' || ".join(
+        [f"lag(tok, {w - 1 - j}) OVER w1" for j in range(w - 1)] + ["tok"]
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (
+  SELECT doc_id, i AS pos, w[i + 1] AS tok
+  FROM d, unnest(range(len(w))) AS t(i)
+),
+flg AS (
+  SELECT doc_id, pos, tok,
+    CASE WHEN pos >= {w - 1} AND
+      ('0x' || substr(md5('cdc:' || {lags}), 1, 7))::BIGINT % {mod} = 0
+    THEN 1 ELSE 0 END AS bnd
+  FROM tok WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)
+),
+cidx AS (
+  SELECT doc_id, pos, tok,
+    coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM flg
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+  FROM cidx GROUP BY 1, 2
+),
+dfq AS (
+  SELECT chunk_hash, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, chunk_hash FROM chunks) GROUP BY 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000 // count(*)
+    AS BIGINT) AS dup_chunk_ppm
+FROM chunks JOIN dfq USING (chunk_hash) GROUP BY 1
+"""
+
+
 def countmin_calibration_sql(
     w: int = 1024, d: int = 3, top: int = 100
 ) -> str:
@@ -3807,7 +3850,38 @@ d{r} AS (
     return head + "," + ",".join(layers) + "\n" + final
 
 
-def webtext_bowtie_sql(rounds: int = 6) -> str:
+def webtext_cocitation_sql(min_common: int = 2) -> str:
+    """Mirror of linkgraph.cocitation over the shared host-edge fixture:
+    deduped edges, shared-dst self-join with src< ordering, out-degree
+    joins, integer cosine-squared ppm."""
+    return f"""
+WITH e AS (
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 7 + 1) % 100) AS dst
+  FROM documents
+  UNION ALL
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 13 + 2) % 100) AS dst
+  FROM documents
+),
+ed AS (SELECT DISTINCT src, dst FROM e),
+deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+pairs AS (
+  SELECT a.src AS host_a, b.src AS host_b, count(*) AS common
+  FROM ed a JOIN ed b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_common}
+)
+SELECT host_a, host_b, CAST(common AS BIGINT) AS common,
+  CAST(common * common * 1000000 // (da.deg * db.deg) AS BIGINT)
+    AS cocite_ppm
+FROM pairs
+JOIN deg da ON da.src = host_a
+JOIN deg db ON db.src = host_b
+"""
+
+
+def webtext_bowtie_sql(rounds: int = 8) -> str:
     """Mirror of linkgraph.bowtie over the bowtie-structured edge fixture
     (queries._bowtie_edges): same deduped directed edges, forward and
     backward reach sets unrolled the same ``rounds`` layers from the

@@ -2470,6 +2470,18 @@ def text_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_span_scrub(_docs(spark, sf_dir), n=3)
 
 
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup stats (rsync/LBFS boundaries over
+    the token stream, expected chunk ≈ 16 tokens): per-doc share of
+    chunks whose exact content recurs in other documents — the
+    alignment-robust long-span dedup signal fixed-offset blocking cannot
+    give (shared spans chunk identically wherever they sit). Non-vacuous
+    on the fixture: 297 of 2,161 chunks duplicated at sf0.001."""
+    from .operators import dedup
+
+    return dedup.cdc_chunk_stats(_docs(spark, sf_dir), w=3, mod=16)
+
+
 def text_countmin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy-hitter estimation audit: a 3×1024 counter
     grid over the corpus 3-gram stream (16k–27k distinct shingles at
@@ -2483,6 +2495,19 @@ def text_countmin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return dedup.countmin_calibration(
         _docs(spark, sf_dir), n=3, w=1024, d=3, top=100
+    )
+
+
+def webtext_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-host pairs by bibliographic coupling over the shared host
+    link graph: shared-out-target counts scored as integer cosine² ppm
+    (Dean & Henzinger related-pages at host granularity) — the
+    "related domains" signal next to rank/HITS/communities. Exact
+    integer arithmetic; pair space dim-bounded on the host graph."""
+    from .operators import linkgraph
+
+    return linkgraph.cocitation(
+        _host_edges(_docs(spark, sf_dir)), min_common=2
     )
 
 
