@@ -105,3 +105,28 @@ def test_curation_ops_are_jvm_native(spark, sf_tiny):
                text_boilerplate_strip):
         plan = plans.explain_str(fn(spark, sf_tiny))
         assert "EvalPython" not in plan, f"{fn.__name__} has a Python stage"
+
+
+def test_r5_sketch_probes_are_broadcast(spark, sf_tiny):
+    """The Bloom filter bits and the count-min counter grid are
+    constant-size dims — their probe joins must be broadcast, and no
+    plan may fall back to a cartesian product."""
+    from tree_sitter_codeviews_spark.queries import (
+        dedup_bloom_frontier, text_countmin_calibration)
+
+    for q in (dedup_bloom_frontier, text_countmin_calibration):
+        df = q(spark, sf_tiny)
+        assert plans.uses_broadcast_join(df), q.__name__
+        assert "CartesianProduct" not in plans.explain_str(df), q.__name__
+
+
+def test_r5_per_doc_windows_stay_partitioned(spark, sf_tiny):
+    """Span-scrub and CDC chunking window/roll up BY doc_id — a refactor
+    that introduces a global (SinglePartition) exchange would serialize
+    the whole corpus through one task at scale."""
+    from tree_sitter_codeviews_spark.queries import (
+        dedup_cdc_chunks, text_dup_span_scrub)
+
+    for q in (text_dup_span_scrub, dedup_cdc_chunks):
+        assert "SinglePartition" not in plans.explain_str(
+            q(spark, sf_tiny)), q.__name__
