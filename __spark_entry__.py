@@ -63,9 +63,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl-depth BFS + the split-leakage audit + TrustRank + the
         # bowtie decomposition + ExactSubstr span-scrub + the Bloom
         # frontier audit + the count-min error audit + CDC chunk dedup +
-        # co-citation related hosts, new this round. After this round
-        # every one of the 184 registry queries has a driver row in some
-        # round.
+        # co-citation related hosts, new this round; plus Block NEW-r5-geo
+        # (4) below — 46 never-verified rows total, all inside the
+        # 50-slot window. After this round every one of the 188 registry
+        # queries has a driver row in some round.
         "webtext_domain_reputation": q.webtext_domain_reputation,  # PR+HITS+dup composite (r4)
         "webtext_geo_regions": q.webtext_geo_regions,  # crawl pages per polygon region via PIP (r4)
         "webtext_anchor_index": q.webtext_anchor_index,  # per-target anchor-text index (r4)
@@ -114,16 +115,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_countmin_calibration": q.text_countmin_calibration,  # count-min sketch error audit (r5)
         "dedup_cdc_chunks": q.dedup_cdc_chunks,  # content-defined chunking dedup stats (r5)
         "webtext_cocitation": q.webtext_cocitation,  # related hosts by shared out-targets (r5)
-        # Block B (7): code paths changed this round — outlink host
+        # Block NEW-r5-geo (4): the exact-vector-geometry wave, new this
+        # round (never driver-verified). They take the slots of the four
+        # link-analysis rows (domain_rank/hits/communities/triangles):
+        # those run over the printf _host_edges fixture, their code is
+        # unchanged this round, and all four have green r4 driver rows.
+        "geo_segment_join": q.geo_segment_join,  # trajectory x transit-line exact crossing join (r5)
+        "geo_tile_diameter": q.geo_tile_diameter,  # per-tile hull diameter vs quadratic oracle (r5)
+        "geo_tile_pyramid": q.geo_tile_pyramid,  # all-resolution rollup pyramid in one pass (r5)
+        "geo_geohash": q.geo_geohash,  # Niemeyer base32 geohash encode + prefix parent (r5)
+        # Block B (3): code paths changed this round — outlink host
         # normalization (absolute-href scheme+host lowercased, ADVICE r4)
         # flows into every outlink-derived query; overlay cover cells
         # moved from float floor-div to arithmetic shift (ADVICE r4).
         "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4)
         "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4)
-        "webtext_domain_rank": q.webtext_domain_rank,  # integer PageRank over the host link graph (r4)
-        "webtext_hits": q.webtext_hits,  # integer HITS hub/authority scores (r4)
-        "webtext_communities": q.webtext_communities,  # LPA host communities, packed modal argmax (r4w4)
-        "webtext_triangles": q.webtext_triangles,  # per-host triangle counts, node-iterator (r4w7)
         "geo_rect_overlay": q.geo_rect_overlay,  # PBSM rect overlay join, duplicate-free reporting (r4w3)
         # Block C (7): least-recently driver-verified rows — last driver
         # row r2 for all of these (43 candidates; chosen from the
@@ -139,6 +145,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== position 51+: rotated out of the window this round ==========
         # (the r2-stale rows below were displaced by Block NEW-r5; they
         # remain gate-mirrored every round and rotate back next window.
+        # domain_rank/hits/communities/triangles yielded their Block B
+        # slots to the NEW-r5-geo wave (see above) — all four r4-green,
+        # code unchanged.
+        "webtext_domain_rank": q.webtext_domain_rank,  # integer PageRank over the host link graph (r4)
+        "webtext_hits": q.webtext_hits,  # integer HITS hub/authority scores (r4)
+        "webtext_communities": q.webtext_communities,  # LPA host communities, packed modal argmax (r4w4)
+        "webtext_triangles": q.webtext_triangles,  # per-host triangle counts, node-iterator (r4w7)
         # ann_pq_topk and ann_topk_quantized yield their slots to
         # dedup_split_leakage and webtext_trustrank (their PQ/quantized-ADC
         # scoring cores are driver-covered in-window via the two IVFPQ
@@ -336,6 +349,10 @@ def oracle_sql() -> dict[str, str]:
         "text_novelty": oracle.text_novelty_sql(),
         "text_length_quantiles": oracle.text_length_quantiles_sql(),
         "geo_route_cells": oracle.geo_route_cells_sql(),
+        "geo_segment_join": oracle.geo_segment_join_sql(),
+        "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
+        "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),
+        "geo_geohash": oracle.geo_geohash_sql(),
         "geo_tile_autocorr": oracle.geo_tile_autocorr_sql(),
         "events_funnel": oracle.events_funnel_sql(),
         "events_retention": oracle.events_retention_sql(),

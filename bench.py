@@ -178,6 +178,10 @@ HEADLINE = [
     "text_countmin_calibration",  # count-min sketch error audit
     "dedup_cdc_chunks",       # content-defined chunking dedup stats
     "webtext_cocitation",     # related hosts by shared out-targets
+    "geo_segment_join",       # trajectory x transit-line exact crossing join
+    "geo_tile_diameter",      # per-tile hull diameter (O(n log n + h^2) vs n^2 oracle)
+    "geo_tile_pyramid",       # all-resolution rollup pyramid in one pass
+    "geo_geohash",            # Niemeyer base32 geohash encode (scan-bound)
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -364,6 +368,16 @@ SCALE2 = [
     # cocitation's pair space is host-dim-bounded after the up-front
     # distinct (replica multi-edges absorbed, same class as triangles).
     "webtext_cocitation",
+    # r5 geometry wave: segment_join's probe side is linear in events
+    # (bbox <= 128 px -> O(1) cover cells each) and its line-corridor dim
+    # is fixed-size broadcast; tile_diameter's groups are tile-bounded
+    # (<= 2^10 distinct locations per shift-5 tile — replication fills
+    # tiles toward that cap, the grouped-map cost stays grid-bounded);
+    # tile_pyramid aggregates ONCE at the finest res then explodes the
+    # grid-bounded cell table; geohash is a pure scan-bound encode (same
+    # class as geo_quadkey above).
+    "geo_segment_join", "geo_tile_diameter", "geo_tile_pyramid",
+    "geo_geohash",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two

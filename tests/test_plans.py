@@ -130,3 +130,28 @@ def test_r5_per_doc_windows_stay_partitioned(spark, sf_tiny):
     for q in (text_dup_span_scrub, dedup_cdc_chunks):
         assert "SinglePartition" not in plans.explain_str(
             q(spark, sf_tiny)), q.__name__
+
+
+def test_r5_geometry_wave_plan_shapes(spark, sf_tiny):
+    """The geometry wave's scale contracts, pinned:
+    - segment_join broadcasts the (small, fixed) line-corridor cover dim —
+      never a cartesian product or a sort-merge over the exploded covers;
+    - geohash is a zero-exchange 100% JVM scan-fused encode;
+    - tile_pyramid and tile_diameter keep every window/agg partitioned
+      (a SinglePartition exchange would serialize the corpus)."""
+    from tree_sitter_codeviews_spark.queries import (
+        geo_geohash, geo_segment_join, geo_tile_diameter, geo_tile_pyramid)
+
+    sj = geo_segment_join(spark, sf_tiny)
+    assert plans.uses_broadcast_join(sj)
+    sj_plan = plans.explain_str(sj)
+    assert "CartesianProduct" not in sj_plan
+    assert "SortMergeJoin" not in sj_plan
+
+    gh_plan = plans.explain_str(geo_geohash(spark, sf_tiny))
+    assert "Exchange" not in gh_plan
+    assert "EvalPython" not in gh_plan
+
+    for q in (geo_tile_pyramid, geo_tile_diameter):
+        assert "SinglePartition" not in plans.explain_str(
+            q(spark, sf_tiny)), q.__name__

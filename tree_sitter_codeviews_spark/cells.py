@@ -229,3 +229,19 @@ def x_from_cell_sql(cell_expr: str, res: int) -> str:
 def y_from_cell_sql(cell_expr: str, res: int) -> str:
     terms = [f"((({cell_expr} >> {2 * i + 1}) & 1) << {i})" for i in range(res)]
     return "(" + " | ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# geohash (Niemeyer base32) — shared by the Spark encode and the DuckDB
+# oracle; a geohash is the Morton interleave with lon on the LEADING bit,
+# chunked into 5-bit base32 characters.
+# ---------------------------------------------------------------------------
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_char_sql(g_expr: str, k: int, precision: int = 4) -> str:
+    """SQL for the k-th base32 char of a (5*precision)-bit interleave —
+    identical text under Spark SQL and DuckDB (both substr() 1-based)."""
+    shift = 5 * (precision - 1 - k)
+    return f"substr('{GEOHASH_B32}', CAST(({g_expr} >> {shift}) % 32 AS INT) + 1, 1)"

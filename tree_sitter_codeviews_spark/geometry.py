@@ -156,3 +156,141 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     dl = np.radians(np.asarray(lon2, dtype=np.float64) - np.asarray(lon1, dtype=np.float64))
     a = np.sin(dp / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
     return 2 * r * np.arcsin(np.sqrt(a))
+
+
+# ---------------------------------------------------------------------------
+# exact integer segment intersection (single source of truth for the
+# Spark engine — via F.expr — AND the DuckDB oracle; CLRS §33.1 predicate)
+# ---------------------------------------------------------------------------
+
+def cross_sql(ox: str, oy: str, px: str, py: str, qx: str, qy: str) -> str:
+    """SQL for the exact integer cross product (p-o) x (q-o). With grid
+    coords |v| < 2^20 the product stays < 2^41 — no int64 overflow."""
+    return (
+        f"((({px}) - ({ox})) * (({qy}) - ({oy})) - "
+        f"(({py}) - ({oy})) * (({qx}) - ({ox})))"
+    )
+
+
+def seg_cross_exprs(
+    ax0: str = "ax0", ay0: str = "ay0", ax1: str = "ax1", ay1: str = "ay1",
+    bx0: str = "bx0", by0: str = "by0", bx1: str = "bx1", by1: str = "by1",
+) -> dict[str, str]:
+    """The four orientation determinants of the classic segment-intersection
+    test: d1/d2 orient A's endpoints against segment B, d3/d4 orient B's
+    endpoints against segment A. Computed ONCE as columns/CTE fields (each
+    is consumed 2-3x by the predicate below)."""
+    return {
+        "d1": cross_sql(bx0, by0, bx1, by1, ax0, ay0),
+        "d2": cross_sql(bx0, by0, bx1, by1, ax1, ay1),
+        "d3": cross_sql(ax0, ay0, ax1, ay1, bx0, by0),
+        "d4": cross_sql(ax0, ay0, ax1, ay1, bx1, by1),
+    }
+
+
+def _onseg_sql(sx0: str, sy0: str, sx1: str, sy1: str, px: str, py: str) -> str:
+    """Collinear case: point p lies within segment s's bbox."""
+    return (
+        f"(least({sx0}, {sx1}) <= ({px}) AND ({px}) <= greatest({sx0}, {sx1}) AND "
+        f"least({sy0}, {sy1}) <= ({py}) AND ({py}) <= greatest({sy0}, {sy1}))"
+    )
+
+
+def seg_intersect_pred_sql(
+    ax0: str = "ax0", ay0: str = "ay0", ax1: str = "ax1", ay1: str = "ay1",
+    bx0: str = "bx0", by0: str = "by0", bx1: str = "bx1", by1: str = "by1",
+) -> str:
+    """Boolean SQL over precomputed d1..d4 columns (seg_cross_exprs) + the
+    raw coords: segments A and B intersect (touching endpoints and
+    collinear overlap INCLUDED — closed-segment semantics). Integer-exact;
+    identical text runs under Spark SQL and DuckDB."""
+    general = (
+        "(((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) AND "
+        "((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))"
+    )
+    touch = " OR ".join([
+        f"(d1 = 0 AND {_onseg_sql(bx0, by0, bx1, by1, ax0, ay0)})",
+        f"(d2 = 0 AND {_onseg_sql(bx0, by0, bx1, by1, ax1, ay1)})",
+        f"(d3 = 0 AND {_onseg_sql(ax0, ay0, ax1, ay1, bx0, by0)})",
+        f"(d4 = 0 AND {_onseg_sql(ax0, ay0, ax1, ay1, bx1, by1)})",
+    ])
+    return f"({general} OR {touch})"
+
+
+def segments_intersect_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized numpy twin of seg_intersect_pred_sql for property tests:
+    a, b are (N, 4) int64 arrays of (x0, y0, x1, y1) row pairs."""
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+
+    def cross(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    d1 = cross(b[:, 0], b[:, 1], b[:, 2], b[:, 3], a[:, 0], a[:, 1])
+    d2 = cross(b[:, 0], b[:, 1], b[:, 2], b[:, 3], a[:, 2], a[:, 3])
+    d3 = cross(a[:, 0], a[:, 1], a[:, 2], a[:, 3], b[:, 0], b[:, 1])
+    d4 = cross(a[:, 0], a[:, 1], a[:, 2], a[:, 3], b[:, 2], b[:, 3])
+    gen = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+
+    def onseg(s, px, py):
+        return (
+            (np.minimum(s[:, 0], s[:, 2]) <= px) & (px <= np.maximum(s[:, 0], s[:, 2]))
+            & (np.minimum(s[:, 1], s[:, 3]) <= py) & (py <= np.maximum(s[:, 1], s[:, 3]))
+        )
+
+    touch = (
+        ((d1 == 0) & onseg(b, a[:, 0], a[:, 1]))
+        | ((d2 == 0) & onseg(b, a[:, 2], a[:, 3]))
+        | ((d3 == 0) & onseg(a, b[:, 0], b[:, 1]))
+        | ((d4 == 0) & onseg(a, b[:, 2], b[:, 3]))
+    )
+    return gen | touch
+
+
+# ---------------------------------------------------------------------------
+# convex hull (Andrew monotone chain, exact python-int cross products)
+# ---------------------------------------------------------------------------
+
+def hull_np(xs: np.ndarray, ys: np.ndarray):
+    """Convex hull vertices of an integer point set — monotone chain over
+    python ints (exact; no float round-off, no overflow). Returns
+    (hx, hy) int64 arrays. Collinear points are dropped (strict turns),
+    which is sufficient for diameter: extreme points always survive."""
+    pts = sorted(set(zip(np.asarray(xs, dtype=np.int64).tolist(),
+                         np.asarray(ys, dtype=np.int64).tolist())))
+    if len(pts) <= 2:
+        hx = np.array([p[0] for p in pts], dtype=np.int64)
+        hy = np.array([p[1] for p in pts], dtype=np.int64)
+        return hx, hy
+
+    def cross(o, p, q):
+        return (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (q[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    hx = np.array([p[0] for p in hull], dtype=np.int64)
+    hy = np.array([p[1] for p in hull], dtype=np.int64)
+    return hx, hy
+
+
+def diameter_sq_np(xs: np.ndarray, ys: np.ndarray) -> int:
+    """Exact max squared euclidean distance over a point set: hull first
+    (the diameter's endpoints are hull vertices), then brute force over
+    the h hull vertices only — O(n log n + h^2), h << n."""
+    hx, hy = hull_np(xs, ys)
+    if len(hx) == 0:
+        return 0
+    dx = hx[:, None] - hx[None, :]
+    dy = hy[:, None] - hy[None, :]
+    return int((dx * dx + dy * dy).max())

@@ -198,3 +198,30 @@ PARCEL_H_SQL = "(4 + (doc_id * 37 + 5) % 32)"
 # ---------------------------------------------------------------------------
 EVT_GX_SQL = "(event_id * 48271 + 7) % 1024"
 EVT_GY_SQL = "(event_id * 16807 + 12345) % 1024"
+
+
+# ---------------------------------------------------------------------------
+# transit-line layer: long integer segments connecting gazetteer landmarks
+# (the B-side dim of the segment-crossing join — "which trajectory hops
+# cross which transit lines"). Deterministic, SQL-twinned like everything
+# above; line j runs gaz(3j+1) -> gaz((17j+3) % N_GAZ), never degenerate
+# for j < 200 (37/73 are odd, so distinct gaz indices never collide on
+# BOTH grid axes).
+# ---------------------------------------------------------------------------
+
+N_LINES = 200
+
+LINE_X0_SQL = "(((({j}) * 3 + 1) * 37 + 11) % 1024)"
+LINE_Y0_SQL = "(((({j}) * 3 + 1) * 73 + 29) % 1024)"
+LINE_X1_SQL = "((((({j}) * 17 + 3) % 1000) * 37 + 11) % 1024)"
+LINE_Y1_SQL = "((((({j}) * 17 + 3) % 1000) * 73 + 29) % 1024)"
+
+
+def line_endpoints_np(j: np.ndarray):
+    """Numpy twin of the LINE_*_SQL formulas."""
+    j = np.asarray(j, dtype=np.int64)
+    i1 = j * 3 + 1
+    i2 = (j * 17 + 3) % N_GAZ
+    x0, y0 = gaz_grid_xy_np(i1)
+    x1, y1 = gaz_grid_xy_np(i2)
+    return x0, y0, x1, y1

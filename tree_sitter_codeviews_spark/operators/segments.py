@@ -1,0 +1,154 @@
+"""Exact segment-crossing join + per-tile hull diameter.
+
+Spatial line-vs-line analytics: the vector-overlay sibling of the engine's
+two-phase point-in-polygon join (``pip_join.py``) and rectangle overlay
+(``overlay.py``) — same filter/refine discipline the reference applies to
+scope containment (``codeviews/SDFG/SDFG_c.py:53-68``: cheap prefilter, then
+an exact check):
+
+1. **Filter**: a cover-cell equi-join pairs only geometries whose covers
+   share a grid cell. Short probe segments use a bbox cover (O(1) cells);
+   the long line dim uses a *chunked corridor* cover — each line is split
+   into Chebyshev-length/2^shift parameter chunks whose per-chunk bboxes
+   (padded 1 px for the integer-truncation of chunk endpoints) tile the
+   line's corridor instead of its full bbox. A 1024-px diagonal covers ~2N
+   corridor cells instead of N^2 bbox cells — output-sensitive, and the
+   whole exploded dim stays broadcast-sized.
+2. **Refine**: the classic four-determinant segment-intersection predicate
+   (CLRS §33.1) in exact int64 arithmetic, generated from the SAME SQL text
+   (``geometry.seg_cross_exprs`` / ``seg_intersect_pred_sql``) the DuckDB
+   oracle runs — closed-segment semantics, collinear overlap included.
+
+At 100 TB: the corridor dim (lines x corridor-cells) is a few thousand rows
+per 10^3 lines — broadcast; the probe side never shuffles before the join
+(cover explode is map-side), and the only shuffle is the final distinct on
+(probe-id, line-id), sized by the true crossing count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import geometry
+
+__all__ = ["segment_crossing_join", "tile_diameter"]
+
+
+def segment_crossing_join(
+    probes: DataFrame,
+    lines: DataFrame,
+    id_cols: list[str],
+    line_id: str = "line_id",
+    shift: int = 6,
+) -> DataFrame:
+    """Exact crossing join: ``probes`` (short segments: id_cols +
+    ax0/ay0/ax1/ay1) x ``lines`` (a dim of long segments: line_id +
+    bx0/by0/bx1/by1). Returns distinct (id_cols..., line_id) for every
+    intersecting pair (closed-segment semantics).
+
+    ``shift`` sets the cover-cell size (2^shift grid px). Probe bboxes
+    should be O(cell)-sized (split longer probes upstream — the DDA
+    pattern in ``geo_route_cells``); lines may be arbitrarily long thanks
+    to the corridor cover.
+    """
+    cheb = F.greatest(
+        F.abs(F.col("bx1") - F.col("bx0")),
+        F.abs(F.col("by1") - F.col("by0")),
+        F.lit(1),
+    )
+    # chunked corridor cover: K ~ length-in-cells chunks; the chunk's
+    # integer endpoints are within 1 px of the true curve points, so a
+    # 1-px pad keeps each chunk bbox a guaranteed superset of the cells
+    # that chunk of the REAL line passes through (no corner-cut misses).
+    ln = lines.withColumn("k_chunks", F.greatest(F.lit(1), F.shiftright(cheb, shift)))
+    ch = ln.withColumn(
+        "c", F.explode(F.sequence(F.lit(0), F.col("k_chunks") - 1))
+    ).select(
+        line_id, "bx0", "by0", "bx1", "by1",
+        F.expr("bx0 + ((bx1 - bx0) * c) div k_chunks").alias("cx0"),
+        F.expr("by0 + ((by1 - by0) * c) div k_chunks").alias("cy0"),
+        F.expr("bx0 + ((bx1 - bx0) * (c + 1)) div k_chunks").alias("cx1"),
+        F.expr("by0 + ((by1 - by0) * (c + 1)) div k_chunks").alias("cy1"),
+    )
+    line_cover = ch.select(
+        line_id, "bx0", "by0", "bx1", "by1",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.least("cx0", "cx1") - F.lit(1), shift),
+                F.shiftright(F.greatest("cx0", "cx1") + F.lit(1), shift),
+            )
+        ).alias("ccx"),
+        F.least("cy0", "cy1").alias("lo_y"),
+        F.greatest("cy0", "cy1").alias("hi_y"),
+    ).select(
+        line_id, "bx0", "by0", "bx1", "by1", "ccx",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.col("lo_y") - F.lit(1), shift),
+                F.shiftright(F.col("hi_y") + F.lit(1), shift),
+            )
+        ).alias("ccy"),
+    ).distinct()  # chunk-border cells repeat; the dim stays minimal
+
+    probe_cover = probes.select(
+        *id_cols, "ax0", "ay0", "ax1", "ay1",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.least("ax0", "ax1"), shift),
+                F.shiftright(F.greatest("ax0", "ax1"), shift),
+            )
+        ).alias("ccx"),
+    ).select(
+        *id_cols, "ax0", "ay0", "ax1", "ay1", "ccx",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.least("ay0", "ay1"), shift),
+                F.shiftright(F.greatest("ay0", "ay1"), shift),
+            )
+        ).alias("ccy"),
+    )
+
+    d = geometry.seg_cross_exprs()
+    refined = (
+        probe_cover.join(F.broadcast(line_cover), ["ccx", "ccy"])
+        .withColumns({k: F.expr(v) for k, v in d.items()})
+        .filter(F.expr(geometry.seg_intersect_pred_sql()))
+    )
+    return refined.select(*id_cols, line_id).distinct()
+
+
+def tile_diameter(pts: DataFrame, shift: int = 5) -> DataFrame:
+    """Per-tile point-set diameter: for each 2^shift x 2^shift grid tile,
+    the number of DISTINCT point locations and the exact max squared
+    pairwise distance (int64) — computed per group as convex hull
+    (monotone chain, exact python-int cross products) + brute force over
+    the h hull vertices only: O(n log n + h^2) per tile vs the oracle's
+    O(n^2) quadratic self-join.
+
+    Scale shape: one distinct on the (tile, point) key bounds every group
+    by the tile's pixel count (<= 2^(2*shift)); the grouped-map batch is
+    tile-sized, never corpus-sized. Skewed hot cells collapse under the
+    distinct (identical coordinates are one location).
+    """
+    d = pts.select(
+        F.shiftright("gx", shift).alias("tx"),
+        F.shiftright("gy", shift).alias("ty"),
+        "gx", "gy",
+    ).distinct()
+
+    def _diam(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf["gx"].to_numpy(dtype=np.int64)
+        ys = pdf["gy"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "tx": pdf["tx"].iloc[:1],
+            "ty": pdf["ty"].iloc[:1],
+            "n_pts": [len(pdf)],
+            "diam_sq": [geometry.diameter_sq_np(xs, ys)],
+        })
+
+    return d.groupBy("tx", "ty").applyInPandas(
+        _diam, "tx long, ty long, n_pts long, diam_sq long"
+    )

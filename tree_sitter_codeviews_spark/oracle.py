@@ -9,7 +9,7 @@ exact integer arithmetic, so value hashes match bit-for-bit.
 
 from __future__ import annotations
 
-from . import cells, layers
+from . import cells, geometry, layers
 
 
 def _pts_cte(res: int = layers.GRID_RES) -> str:
@@ -4589,4 +4589,110 @@ WHERE bal_e2 > avg_e2
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# r5 wave: exact vector geometry — segment crossings, hull diameter,
+# tile pyramid, geohash encode. The crossing/diameter oracles are the
+# deliberate brute-force twins (quadratic cross join / quadratic max-pair)
+# of the engine's filter-refine and hull-based plans.
+# ---------------------------------------------------------------------------
+
+def geo_segment_join_sql() -> str:
+    """Quadratic oracle: every trajectory hop x every transit line, the SAME
+    exact four-determinant predicate text (geometry.seg_intersect_pred_sql)
+    the engine refines with — no cover-cell prefilter, so any filter-phase
+    miss in the engine shows up as a row diff."""
+    d = geometry.seg_cross_exprs()
+    det = ",\n         ".join(f"{v} AS {k}" for k, v in d.items())
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+seg AS (
+  SELECT user_id, event_id AS seg_id,
+         lag(ex) OVER w AS ax0, lag(ey) OVER w AS ay0,
+         ex AS ax1, ey AS ay1
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+probes AS (
+  SELECT * FROM seg
+  WHERE ax0 IS NOT NULL AND greatest(abs(ax1 - ax0), abs(ay1 - ay0)) <= 128
+),
+lines AS (
+  SELECT CAST(j AS BIGINT) AS line_id,
+         {layers.LINE_X0_SQL.format(j="j")} AS bx0,
+         {layers.LINE_Y0_SQL.format(j="j")} AS by0,
+         {layers.LINE_X1_SQL.format(j="j")} AS bx1,
+         {layers.LINE_Y1_SQL.format(j="j")} AS by1
+  FROM unnest(generate_series(0, {layers.N_LINES - 1})) AS g(j)
+),
+pairs AS (
+  SELECT probes.*, lines.*,
+         {det}
+  FROM probes CROSS JOIN lines
+)
+SELECT DISTINCT user_id, seg_id, line_id
+FROM pairs
+WHERE {geometry.seg_intersect_pred_sql()}
+"""
+
+
+def geo_tile_diameter_sql() -> str:
+    """Quadratic oracle for the per-tile diameter: max squared pairwise
+    distance over DISTINCT point locations via tile-local self-join — vs
+    the engine's O(n log n + h^2) hull path."""
+    return f"""
+WITH {_pts0_only()},
+d AS (
+  SELECT DISTINCT gx >> 5 AS tx, gy >> 5 AS ty, gx, gy FROM pts0
+),
+cnt AS (
+  SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_pts FROM d GROUP BY 1, 2
+),
+diam AS (
+  SELECT a.tx AS tx, a.ty AS ty,
+         CAST(max((a.gx - b.gx) * (a.gx - b.gx)
+                  + (a.gy - b.gy) * (a.gy - b.gy)) AS BIGINT) AS diam_sq
+  FROM d a JOIN d b USING (tx, ty)
+  GROUP BY 1, 2
+)
+SELECT cnt.tx, cnt.ty, n_pts, diam_sq
+FROM cnt JOIN diam USING (tx, ty)
+"""
+
+
+def geo_tile_pyramid_sql() -> str:
+    res = layers.GRID_RES
+    return f"""
+WITH {_pts0_only()},
+base AS (
+  SELECT {cells.morton_sql("gx", "gy", res)} AS c10, count(*) AS n
+  FROM pts0 GROUP BY 1
+),
+lv AS (
+  SELECT CAST(r AS BIGINT) AS res,
+         c10 >> (2 * ({res} - r)) AS cell_id,
+         n
+  FROM base, unnest(generate_series(0, {res})) AS g(r)
+)
+SELECT res, CAST(cell_id AS BIGINT) AS cell_id, CAST(sum(n) AS BIGINT) AS n_docs
+FROM lv GROUP BY 1, 2
+"""
+
+
+def geo_geohash_sql() -> str:
+    chars = ", ".join(cells.geohash_char_sql("g", k) for k in range(4))
+    return f"""
+WITH {_pts0_only()},
+gm AS (
+  SELECT doc_id, {cells.morton_sql("gy", "gx", layers.GRID_RES)} AS g FROM pts0
+),
+enc AS (
+  SELECT doc_id, concat({chars}) AS gh4 FROM gm
+)
+SELECT doc_id, gh4, substr(gh4, 1, 3) AS gh3 FROM enc
 """

@@ -2825,3 +2825,116 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(coalesce(hit, 0)) * 1000000 div count(*)").alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r5 wave: exact vector geometry (segment crossings, hull diameter,
+# tile pyramid, geohash encode)
+# ---------------------------------------------------------------------------
+
+def geo_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-hop x transit-line crossing join: every user's
+    consecutive-ping segments (Chebyshev length <= 128 — longer hops are
+    GPS teleports, discarded like geo_route_cells densifies them) against
+    the 200-line gazetteer transit layer, exact closed-segment
+    intersection semantics. Two-phase: bbox cover for the short probe
+    side, chunked-corridor cover for the long line dim (broadcast), then
+    the four-determinant integer refine — the same SQL text the oracle
+    runs quadratically (operators/segments.py)."""
+    from .operators import segments
+    from .sources.testdata import load_table
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.select(
+            "user_id", F.col("event_id").alias("seg_id"),
+            F.lag("ex").over(w).alias("ax0"), F.lag("ey").over(w).alias("ay0"),
+            F.col("ex").alias("ax1"), F.col("ey").alias("ay1"),
+        )
+        .filter(F.col("ax0").isNotNull())
+        .filter(
+            F.greatest(
+                F.abs(F.col("ax1") - F.col("ax0")),
+                F.abs(F.col("ay1") - F.col("ay0")),
+            ) <= 128
+        )
+    )
+    lines = spark.range(layers.N_LINES).select(
+        F.col("id").alias("line_id"),
+        F.expr(layers.LINE_X0_SQL.format(j="id")).alias("bx0"),
+        F.expr(layers.LINE_Y0_SQL.format(j="id")).alias("by0"),
+        F.expr(layers.LINE_X1_SQL.format(j="id")).alias("bx1"),
+        F.expr(layers.LINE_Y1_SQL.format(j="id")).alias("by1"),
+    )
+    return segments.segment_crossing_join(
+        seg, lines, id_cols=["user_id", "seg_id"], shift=6
+    )
+
+
+def geo_tile_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-res-5-tile point-set diameter (exact max squared pairwise
+    distance over distinct doc locations) — the spatial-extent /
+    dispersion stat per tile. Engine: convex hull + calipers-style
+    hull-vertex scan per tile in a grouped Arrow batch, O(n log n + h^2);
+    oracle: the O(n^2) quadratic self-join — the classic
+    smart-algorithm-vs-brute-force correctness pairing."""
+    from .operators import segments
+
+    return segments.tile_diameter(
+        pages_src.doc_points_df(spark, sf_dir).select("gx", "gy"), shift=5
+    )
+
+
+def geo_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tile pyramid in one pass: doc counts at EVERY Morton
+    resolution 0..10 (the compacted cell hierarchy the north star's
+    raster->vector path rolls up into). Aggregate ONCE at the finest res,
+    THEN explode 11 (res, parent) pairs per base cell and re-aggregate —
+    the explode runs on the cell table (<= 2^20 rows), never on the
+    corpus, so the second shuffle is bounded by the grid, not the data."""
+    pts = pages_src.doc_points_df(spark, sf_dir)
+    base = pts.groupBy(
+        cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES).alias("c10")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lv = base.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).cast("long").alias("res"),
+                    F.shiftright("c10", 2 * (layers.GRID_RES - r)).alias("cell_id"),
+                )
+                for r in range(0, layers.GRID_RES + 1)
+            ])
+        ).alias("l"),
+        "n",
+    )
+    return (
+        lv.select("l.res", "l.cell_id", "n")
+        .groupBy("res", "cell_id")
+        .agg(F.sum("n").cast("long").alias("n_docs"))
+    )
+
+
+def geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard geohash encode (Niemeyer base32) at precision 4 — 20 bits,
+    lon bit first, exactly the res-10 grid. The interleave is the Morton
+    transform with the axes swapped (lon on ODD bit positions so it leads
+    the MSB), then 4x 5-bit base32 chars by substring lookup
+    (cells.geohash_char_sql — the same text the oracle runs). Pure JVM
+    bit arithmetic + string ops fused with the scan; gh3 = the 3-char
+    parent prefix (geohash's containment-by-prefix property)."""
+    pts = pages_src.doc_points_df(spark, sf_dir)
+    g = cells.morton_col(F.col("gy"), F.col("gx"), layers.GRID_RES).alias("g")
+    chars = [F.expr(cells.geohash_char_sql("g", k)) for k in range(4)]
+    return (
+        pts.select("doc_id", g)
+        .select("doc_id", F.concat(*chars).alias("gh4"))
+        .withColumn("gh3", F.substring("gh4", 1, 3))
+    )
