@@ -182,6 +182,8 @@ HEADLINE = [
     "geo_tile_diameter",      # per-tile hull diameter (O(n log n + h^2) vs n^2 oracle)
     "geo_tile_pyramid",       # all-resolution rollup pyramid in one pass
     "geo_geohash",            # Niemeyer base32 geohash encode (scan-bound)
+    "geo_map_match",          # snap pings to nearest rasterized transit line
+    "geo_traj_simplify",      # Visvalingam single-pass trajectory simplify
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -378,6 +380,11 @@ SCALE2 = [
     # class as geo_quadkey above).
     "geo_segment_join", "geo_tile_diameter", "geo_tile_pyramid",
     "geo_geohash",
+    # map_match's dim (line raster x 3x3 ring) is fixed-size broadcast and
+    # the corpus side maps its own cell key (linear scan + one per-ping
+    # argmin shuffle); traj_simplify is one user-partitioned window pass
+    # (same class as events_trajectory above).
+    "geo_map_match", "geo_traj_simplify",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two

@@ -155,3 +155,20 @@ def test_r5_geometry_wave_plan_shapes(spark, sf_tiny):
     for q in (geo_tile_pyramid, geo_tile_diameter):
         assert "SinglePartition" not in plans.explain_str(
             q(spark, sf_tiny)), q.__name__
+
+
+def test_r5_map_match_and_simplify_plan_shapes(spark, sf_tiny):
+    """map_match broadcasts the (fixed-size) line-raster ring dim — the
+    corpus side must not explode or cartesian; traj_simplify's window
+    stays partitioned by user (no SinglePartition)."""
+    from tree_sitter_codeviews_spark.queries import (
+        geo_map_match, geo_traj_simplify)
+
+    mm = geo_map_match(spark, sf_tiny)
+    assert plans.uses_broadcast_join(mm)
+    mm_plan = plans.explain_str(mm)
+    assert "CartesianProduct" not in mm_plan
+    assert "SortMergeJoin" not in mm_plan
+
+    assert "SinglePartition" not in plans.explain_str(
+        geo_traj_simplify(spark, sf_tiny))

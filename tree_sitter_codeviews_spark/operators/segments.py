@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 from .. import geometry
 
-__all__ = ["segment_crossing_join", "tile_diameter"]
+__all__ = [
+    "segment_crossing_join",
+    "tile_diameter",
+    "rasterize_segments",
+    "snap_to_lines",
+]
 
 
 def segment_crossing_join(
@@ -151,4 +156,100 @@ def tile_diameter(pts: DataFrame, shift: int = 5) -> DataFrame:
 
     return d.groupBy("tx", "ty").applyInPandas(
         _diam, "tx long, ty long, n_pts long, diam_sq long"
+    )
+
+
+def rasterize_segments(lines: DataFrame, line_id: str = "line_id") -> DataFrame:
+    """Exact-integer DDA rasterization of a segment dim: one distinct
+    (line_id, px, py) row per integer sample point — the same truncated-
+    division sampling rule as ``geo_route_cells`` (xt = x0 + (dx*t) div L,
+    L = Chebyshev length), so both engines emit identical point sets.
+    Output size = sum of Chebyshev lengths — dim-bounded, broadcastable."""
+    ln = lines.withColumn(
+        "L",
+        F.greatest(
+            F.abs(F.col("bx1") - F.col("bx0")),
+            F.abs(F.col("by1") - F.col("by0")),
+            F.lit(1),
+        ),
+    )
+    return (
+        ln.select(
+            line_id,
+            F.explode(F.sequence(F.lit(0), F.col("L"))).alias("t"),
+            "bx0", "by0", "bx1", "by1", "L",
+        )
+        .select(
+            line_id,
+            F.expr("bx0 + ((bx1 - bx0) * t) div L").alias("px"),
+            F.expr("by0 + ((by1 - by0) * t) div L").alias("py"),
+        )
+        .distinct()
+    )
+
+
+def snap_to_lines(
+    probes: DataFrame,
+    raster: DataFrame,
+    id_cols: list[str],
+    radius: int = 16,
+    line_id: str = "line_id",
+) -> DataFrame:
+    """Map-matching: snap each probe point (id_cols + ex/ey) to the nearest
+    rasterized line point within euclidean ``radius`` (dist_sq <= radius^2);
+    probes with no line in range are dropped. Deterministic argmin via the
+    repo's integer packing idiom: pack = dist_sq * 1024 + line_id (min
+    dist_sq first, then min line_id on ties) — requires line_id < 1024 and
+    radius <= 22 (dist_sq < 2^9 keeps the pack < 2^19, far inside int64;
+    the engine asserts the radius bound, callers own the line_id bound).
+
+    Scale shape: the raster dim explodes to its 3x3 neighbor cells at
+    shift = floor(log2(radius)) + 1 BEFORE the join (cells >= radius px, so
+    any point within radius of a probe lands in the probe's OWN cell key
+    ±1 — covered by the dim-side ring). The probe side (the corpus) never
+    explodes and never shuffles before the broadcast equi-join; the only
+    probe-keyed aggregate is the final argmin.
+    """
+    if radius > 22:
+        raise ValueError("snap_to_lines: radius > 22 breaks the pack bound")
+    # minimal cell size 2^shift >= radius: any point within euclidean
+    # radius of a probe is at most 1 cell away on each axis, and the
+    # smallest admissible cell minimizes candidates per probe (the ring
+    # covers (2*2^shift + 2^shift)px; halving an oversized cell cuts the
+    # candidate area ~4x while the dim-side ring stays 3x3)
+    shift = (max(radius, 1) - 1).bit_length()
+    ring = (
+        raster.select(
+            line_id, "px", "py",
+            F.explode(
+                F.sequence(
+                    F.shiftright("px", shift) - 1, F.shiftright("px", shift) + 1
+                )
+            ).alias("cx"),
+        )
+        .select(
+            line_id, "px", "py", "cx",
+            F.explode(
+                F.sequence(
+                    F.shiftright("py", shift) - 1, F.shiftright("py", shift) + 1
+                )
+            ).alias("cy"),
+        )
+    )
+    cand = probes.withColumns(
+        {"cx": F.shiftright("ex", shift), "cy": F.shiftright("ey", shift)}
+    ).join(F.broadcast(ring), ["cx", "cy"])
+    d2 = (F.col("ex") - F.col("px")) * (F.col("ex") - F.col("px")) + (
+        F.col("ey") - F.col("py")
+    ) * (F.col("ey") - F.col("py"))
+    return (
+        cand.withColumn("d2", d2)
+        .filter(F.col("d2") <= radius * radius)
+        .groupBy(*id_cols)
+        .agg(F.min(F.col("d2") * 1024 + F.col(line_id)).alias("pack"))
+        .select(
+            *id_cols,
+            (F.col("pack") % 1024).alias(line_id),
+            F.expr("pack div 1024").alias("snap_dist_sq"),
+        )
     )

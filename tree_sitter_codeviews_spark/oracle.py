@@ -4696,3 +4696,75 @@ enc AS (
 )
 SELECT doc_id, gh4, substr(gh4, 1, 3) AS gh3 FROM enc
 """
+
+
+def _lines_raster_cte() -> str:
+    """Shared CTE text: the transit-line dim + its exact-integer DDA
+    raster (same truncated-division rule as geo_route_cells_sql)."""
+    return f"""
+lines AS (
+  SELECT CAST(j AS BIGINT) AS line_id,
+         {layers.LINE_X0_SQL.format(j="j")} AS bx0,
+         {layers.LINE_Y0_SQL.format(j="j")} AS by0,
+         {layers.LINE_X1_SQL.format(j="j")} AS bx1,
+         {layers.LINE_Y1_SQL.format(j="j")} AS by1
+  FROM unnest(generate_series(0, {layers.N_LINES - 1})) AS g(j)
+),
+ln AS (
+  SELECT *, greatest(abs(bx1 - bx0), abs(by1 - by0), 1) AS L FROM lines
+),
+raster AS (
+  SELECT DISTINCT line_id,
+         bx0 + ((bx1 - bx0) * t) // L AS px,
+         by0 + ((by1 - by0) * t) // L AS py
+  FROM ln, unnest(generate_series(0, L)) AS g(t)
+)"""
+
+
+def geo_map_match_sql() -> str:
+    """Quadratic oracle: every ping x every raster point (no cell-ring
+    prefilter), same radius cut and packed argmin as the engine."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+{_lines_raster_cte().lstrip()},
+cand AS (
+  SELECT ev.user_id, ev.event_id, raster.line_id,
+         (ex - px) * (ex - px) + (ey - py) * (ey - py) AS d2
+  FROM ev CROSS JOIN raster
+),
+best AS (
+  SELECT user_id, event_id, min(d2 * 1024 + line_id) AS pack
+  FROM cand WHERE d2 <= 256
+  GROUP BY 1, 2
+)
+SELECT user_id, event_id,
+       CAST(pack % 1024 AS BIGINT) AS line_id,
+       CAST(pack // 1024 AS BIGINT) AS snap_dist_sq
+FROM best
+"""
+
+
+def geo_traj_simplify_sql() -> str:
+    from .queries import TRAJ_SIMPLIFY_AREA2
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+t AS (
+  SELECT user_id, event_id, ex, ey,
+         lag(ex) OVER w AS px, lag(ey) OVER w AS py,
+         lead(ex) OVER w AS nx, lead(ey) OVER w AS ny
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ex, ey
+FROM t
+WHERE px IS NULL OR nx IS NULL
+   OR abs((ex - px) * (ny - py) - (ey - py) * (nx - px)) >= {TRAJ_SIMPLIFY_AREA2}
+"""

@@ -2938,3 +2938,78 @@ def geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.concat(*chars).alias("gh4"))
         .withColumn("gh3", F.substring("gh4", 1, 3))
     )
+
+
+def geo_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS map-matching: snap every trajectory ping to the nearest
+    rasterized transit line within euclidean radius 16 px (exact integer
+    dist^2; deterministic min-dist-then-min-line tie-break via the packed
+    argmin); unmatched pings drop out. The dim side (200 lines DDA-sampled
+    to ~80k integer points, exploded to 3x3 neighbor cells) broadcasts;
+    the corpus side maps its own cell key and never shuffles before the
+    final per-ping argmin (operators/segments.py:snap_to_lines)."""
+    from .operators import segments
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    )
+    lines = spark.range(layers.N_LINES).select(
+        F.col("id").alias("line_id"),
+        F.expr(layers.LINE_X0_SQL.format(j="id")).alias("bx0"),
+        F.expr(layers.LINE_Y0_SQL.format(j="id")).alias("by0"),
+        F.expr(layers.LINE_X1_SQL.format(j="id")).alias("bx1"),
+        F.expr(layers.LINE_Y1_SQL.format(j="id")).alias("by1"),
+    )
+    raster = segments.rasterize_segments(lines)
+    return segments.snap_to_lines(
+        ev, raster, id_cols=["user_id", "event_id"], radius=16
+    )
+
+
+# one synchronous Visvalingam pass: a ping survives if it is a trajectory
+# endpoint or its triangle-with-neighbors area is at least this (area2 =
+# TWICE the triangle area, exact int64 cross product). The synchronous
+# single pass — every interior point judged against its ORIGINAL
+# neighbors — is the deterministic distributable variant of the
+# sequential smallest-first elimination (which is order-dependent and
+# inherently serial per polyline).
+TRAJ_SIMPLIFY_AREA2 = 200_000
+
+
+def geo_traj_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory simplification (Visvalingam–Whyatt single pass): drop
+    interior pings whose lag/lead neighbor triangle has 2*area below
+    TRAJ_SIMPLIFY_AREA2. Pure window + exact integer cross product —
+    zero Python, one shuffle on the user key, the same SQL text as the
+    oracle's window CTE."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.withColumns({
+            "px": F.lag("ex").over(w), "py": F.lag("ey").over(w),
+            "nx": F.lead("ex").over(w), "ny": F.lead("ey").over(w),
+        })
+        .withColumn(
+            "area2",
+            F.abs(
+                (F.col("ex") - F.col("px")) * (F.col("ny") - F.col("py"))
+                - (F.col("ey") - F.col("py")) * (F.col("nx") - F.col("px"))
+            ),
+        )
+    )
+    return t.filter(
+        F.col("px").isNull()
+        | F.col("nx").isNull()
+        | (F.col("area2") >= TRAJ_SIMPLIFY_AREA2)
+    ).select("user_id", "event_id", "ex", "ey")
