@@ -184,6 +184,8 @@ HEADLINE = [
     "geo_geohash",            # Niemeyer base32 geohash encode (scan-bound)
     "geo_map_match",          # snap pings to nearest rasterized transit line
     "geo_traj_simplify",      # Visvalingam single-pass trajectory simplify
+    "events_colocation",      # co-traveler pairs via (day, tile) inverted index
+    "geo_od_flows",           # origin-destination tile flow matrix
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -385,6 +387,11 @@ SCALE2 = [
     # argmin shuffle); traj_simplify is one user-partitioned window pass
     # (same class as events_trajectory above).
     "geo_map_match", "geo_traj_simplify",
+    # od_flows is two shared-shuffle windows + a grid-bounded rollup
+    # (linear). events_colocation stays EXCLUDED: replication multiplies
+    # distinct users per (day, tile) key ~10x, so the pair space grows
+    # ~100x — distribution-bound, the dedup_jaccard class, not a scale-up.
+    "geo_od_flows",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two

@@ -172,3 +172,18 @@ def test_r5_map_match_and_simplify_plan_shapes(spark, sf_tiny):
 
     assert "SinglePartition" not in plans.explain_str(
         geo_traj_simplify(spark, sf_tiny))
+
+
+def test_r5_colocation_and_od_plan_shapes(spark, sf_tiny):
+    """colocation must never cartesian (pairing is an equi-join on the
+    (day, tile) key) and its windows/aggs stay partitioned; od_flows'
+    two row_number windows share one (user, day) shuffle."""
+    from tree_sitter_codeviews_spark.queries import (
+        events_colocation, geo_od_flows)
+
+    cl = plans.explain_str(events_colocation(spark, sf_tiny))
+    assert "CartesianProduct" not in cl
+    assert "SinglePartition" not in cl
+
+    od = plans.explain_str(geo_od_flows(spark, sf_tiny))
+    assert "SinglePartition" not in od

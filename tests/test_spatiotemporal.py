@@ -1,0 +1,84 @@
+"""Co-location pair join + OD flow matrix: scalar references and the
+hot-key cut contract."""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+
+from tree_sitter_codeviews_spark import queries as q
+
+
+def test_colocation_vs_scalar_reference(spark):
+    """Engine result == brute-force pair enumeration over the same
+    distinct (user, day, tile) sets (sf0.001 — small enough to enumerate)."""
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q.events_colocation(spark, sf)
+        .toPandas()
+        .set_index(["user_a", "user_b"])["n_meetings"]
+        .sort_index()
+    )
+    import duckdb
+
+    ev = duckdb.sql(f"""
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               ((event_id * 48271 + 7) % 1024) >> 6 AS cx,
+               ((event_id * 16807 + 12345) % 1024) >> 6 AS cy
+        FROM read_parquet('{sf}/events.parquet')
+    """).df()
+    meet: dict = {}
+    for _, grp in ev.groupby(["day", "cx", "cy"]):
+        users = sorted(grp["user_id"])
+        if len(users) > q.COLOC_MAX_USERS_PER_KEY:
+            continue
+        for a, b in itertools.combinations(users, 2):
+            meet[(a, b)] = meet.get((a, b), 0) + 1
+    want = pd.Series(meet).sort_index()
+    assert len(got) == len(want) > 0
+    assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_colocation_hot_key_cut(spark):
+    """A (day, tile) key with > COLOC_MAX_USERS_PER_KEY distinct users
+    contributes NO pairs (the stadium-cell guard) — pinned on a synthetic
+    frame pushed through the same operator chain semantics."""
+    from pyspark.sql import functions as F
+
+    n_hot = q.COLOC_MAX_USERS_PER_KEY + 5
+    rows = [(u, 1, 0, 0) for u in range(n_hot)] + [
+        (1, 2, 3, 3), (2, 2, 3, 3)  # one small key with a single pair
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, day long, cx long, cy long").distinct()
+    key = ["day", "cx", "cy"]
+    small = (
+        ev.groupBy(*key).agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= q.COLOC_MAX_USERS_PER_KEY).select(*key)
+    )
+    e = ev.join(small, key)
+    a = e.select(*key, F.col("user_id").alias("user_a"))
+    b = e.select(*key, F.col("user_id").alias("user_b"))
+    pairs = (
+        a.join(b, key).filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b").agg(F.count(F.lit(1)).alias("n_meetings"))
+        .collect()
+    )
+    assert len(pairs) == 1
+    assert (pairs[0]["user_a"], pairs[0]["user_b"], pairs[0]["n_meetings"]) == (1, 2, 1)
+
+
+def test_od_flows_conserve_trips(spark):
+    """Every (user, day) contributes exactly one trip; single-ping days
+    are self-loops (origin == destination)."""
+    sf = "/root/testdata/sf0.001"
+    flows = q.geo_od_flows(spark, sf).toPandas()
+    import duckdb
+
+    n_user_days = duckdb.sql(f"""
+        SELECT count(*) FROM (
+          SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+          FROM read_parquet('{sf}/events.parquet'))
+    """).fetchone()[0]
+    assert flows["n_trips"].sum() == n_user_days

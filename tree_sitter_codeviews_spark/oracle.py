@@ -4768,3 +4768,57 @@ FROM t
 WHERE px IS NULL OR nx IS NULL
    OR abs((ex - px) * (ny - py) - (ey - py) * (nx - px)) >= {TRAJ_SIMPLIFY_AREA2}
 """
+
+
+def events_colocation_sql() -> str:
+    from .queries import COLOC_MAX_USERS_PER_KEY
+
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         ({layers.EVT_GX_SQL}) >> 6 AS cx,
+         ({layers.EVT_GY_SQL}) >> 6 AS cy
+  FROM events
+),
+small AS (
+  SELECT day, cx, cy FROM ev
+  GROUP BY 1, 2, 3
+  HAVING count(*) <= {COLOC_MAX_USERS_PER_KEY}
+),
+e AS (SELECT ev.* FROM ev JOIN small USING (day, cx, cy))
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(count(*) AS BIGINT) AS n_meetings
+FROM e a JOIN e b USING (day, cx, cy)
+WHERE a.user_id < b.user_id
+GROUP BY 1, 2
+"""
+
+
+def geo_od_flows_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         ({layers.EVT_GX_SQL}) >> 7 AS tx,
+         ({layers.EVT_GY_SQL}) >> 7 AS ty
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rd
+  FROM ev
+),
+trips AS (
+  SELECT user_id, day,
+         max(CASE WHEN rn = 1 THEN tx END) AS otx,
+         max(CASE WHEN rn = 1 THEN ty END) AS oty,
+         max(CASE WHEN rd = 1 THEN tx END) AS dtx,
+         max(CASE WHEN rd = 1 THEN ty END) AS dty
+  FROM r WHERE rn = 1 OR rd = 1
+  GROUP BY 1, 2
+)
+SELECT otx, oty, dtx, dty, CAST(count(*) AS BIGINT) AS n_trips
+FROM trips GROUP BY 1, 2, 3, 4
+"""

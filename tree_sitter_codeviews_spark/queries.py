@@ -3013,3 +3013,86 @@ def geo_traj_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("nx").isNull()
         | (F.col("area2") >= TRAJ_SIMPLIFY_AREA2)
     ).select("user_id", "event_id", "ex", "ey")
+
+
+# co-location: two users "meet" when both ping the same res-4 tile (64-px cells) on the
+# same epoch-day. Hot-key bound: a (day, cell) group with more than this
+# many distinct users is dropped BEFORE pairing (a stadium/viral cell
+# squares the pair space; the cut is the same discipline as dedup.py's
+# stop-shingle df-cut and is mirrored verbatim in the oracle).
+COLOC_MAX_USERS_PER_KEY = 50
+
+
+def events_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-location (co-traveler) pair join: (user_a < user_b, n_meetings)
+    where a meeting is a shared distinct (epoch_day, res-4 tile). Inverted-
+    index self-equi-join on the (day, cell) key — never user x user — with
+    the group-size cut above bounding any key's pair contribution at
+    C(50,2). One distinct + one count + one equi-join + one pair
+    aggregate; all exact integer, zero Python."""
+    from .sources.testdata import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT)").alias("day"),
+            F.shiftright(F.expr(layers.EVT_GX_SQL), 6).alias("cx"),
+            F.shiftright(F.expr(layers.EVT_GY_SQL), 6).alias("cy"),
+        )
+        .distinct()
+    )
+    key = ["day", "cx", "cy"]
+    small = (
+        ev.groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") <= COLOC_MAX_USERS_PER_KEY)
+        .select(*key)
+    )
+    e = ev.join(small, key)
+    a = e.select(*key, F.col("user_id").alias("user_a"))
+    b = e.select(*key, F.col("user_id").alias("user_b"))
+    return (
+        a.join(b, key)
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_meetings"))
+    )
+
+
+def geo_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix: per (user, epoch_day) the first and
+    last ping (by ts, event_id) give the trip's origin / destination res-3
+    tile (128-px cells, 8x8 grid); flows aggregate trips per (o, d) tile
+    pair. Two row_number windows on the SAME (user, day) partitioning —
+    one shuffle, reused by both — then one conditional-aggregate pivot and
+    one flow rollup; the OD table is grid-bounded (<= 64^2 rows)."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr("CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT)").alias("day"),
+        F.shiftright(F.expr(layers.EVT_GX_SQL), 7).alias("tx"),
+        F.shiftright(F.expr(layers.EVT_GY_SQL), 7).alias("ty"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    trips = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("rd", F.row_number().over(wd))
+        .filter((F.col("rn") == 1) | (F.col("rd") == 1))
+        .groupBy("user_id", "day")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("tx"))).alias("otx"),
+            F.max(F.when(F.col("rn") == 1, F.col("ty"))).alias("oty"),
+            F.max(F.when(F.col("rd") == 1, F.col("tx"))).alias("dtx"),
+            F.max(F.when(F.col("rd") == 1, F.col("ty"))).alias("dty"),
+        )
+    )
+    return trips.groupBy("otx", "oty", "dtx", "dty").agg(
+        F.count(F.lit(1)).alias("n_trips")
+    )
