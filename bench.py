@@ -186,6 +186,7 @@ HEADLINE = [
     "geo_traj_simplify",      # Visvalingam single-pass trajectory simplify
     "events_colocation",      # co-traveler pairs via (day, tile) inverted index
     "geo_od_flows",           # origin-destination tile flow matrix
+    "geo_range_count",        # 64 rect counts from the pyramid, one corpus pass
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -392,6 +393,9 @@ SCALE2 = [
     # distinct users per (day, tile) key ~10x, so the pair space grows
     # ~100x — distribution-bound, the dedup_jaccard class, not a scale-up.
     "geo_od_flows",
+    # range_count is ONE corpus aggregate + grid-bounded pyramid/dim joins
+    # (linear in the scan, constant in the query set).
+    "geo_range_count",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two

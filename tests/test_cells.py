@@ -110,3 +110,35 @@ def test_sql_matches_numpy():
         f"SELECT {cells.morton_sql('x', 'y', res)} AS m FROM xy"
     ).fetchnumpy()["m"]
     assert (got.astype(np.int64) == want).all()
+
+
+def test_quadtree_decompose_is_exact_partition():
+    """Every pixel of the rectangle lies in EXACTLY one decomposition
+    cell and no cell sticks out (checked exhaustively on a res-6 grid)."""
+    import numpy as np
+    from tree_sitter_codeviews_spark import cells
+
+    rng = np.random.RandomState(13)
+    for _ in range(25):
+        x0, x1 = sorted(rng.randint(0, 64, 2).tolist())
+        y0, y1 = sorted(rng.randint(0, 64, 2).tolist())
+        cover = np.zeros((64, 64), dtype=np.int64)
+        for res, cell in cells.quadtree_decompose(x0, y0, x1, y1, max_res=6):
+            s = 1 << (6 - res)
+            cx, cy = cells.morton_decode_np(np.array([cell]), res)
+            cover[cx[0] * s:(cx[0] + 1) * s, cy[0] * s:(cy[0] + 1) * s] += 1
+        want = np.zeros((64, 64), dtype=np.int64)
+        want[x0:x1 + 1, y0:y1 + 1] = 1
+        assert (cover == want).all(), (x0, y0, x1, y1)
+
+
+def test_quadtree_decompose_output_sensitive():
+    """Full-grid rect is ONE root cell; a single pixel is one res-max
+    cell; cell count stays O(perimeter * levels)."""
+    from tree_sitter_codeviews_spark import cells
+
+    assert cells.quadtree_decompose(0, 0, 1023, 1023) == [(0, 0)]
+    assert cells.quadtree_decompose(5, 7, 5, 7) == cells.quadtree_decompose(5, 7, 5, 7)
+    assert len(cells.quadtree_decompose(5, 7, 5, 7)) == 1
+    n = len(cells.quadtree_decompose(1, 1, 1022, 1022))
+    assert n <= 4 * (1022 * 2 + 1022 * 2)  # well under 4*perimeter

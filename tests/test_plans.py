@@ -187,3 +187,22 @@ def test_r5_colocation_and_od_plan_shapes(spark, sf_tiny):
 
     od = plans.explain_str(geo_od_flows(spark, sf_tiny))
     assert "SinglePartition" not in od
+
+
+def test_r5_range_count_is_pyramid_bounded(spark, sf_tiny):
+    """The decomposition dim must broadcast (never shuffle the pyramid to
+    a sort-merge) and the plan reads the documents scan exactly once —
+    the whole point is that 64 range queries cost ONE corpus pass."""
+    from tree_sitter_codeviews_spark.queries import geo_range_count
+
+    df = geo_range_count(spark, sf_tiny)
+    plan = plans.explain_str(df)
+    assert plans.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # both joins are dim-sized builds
+    # one parquet scan NODE in the plan tree (the formatted explain also
+    # repeats the node in the details section, hence <= 2 mentions)
+    n_scans = sum(
+        1 for ln in plan.splitlines() if "Scan parquet" in ln and "+-" in ln
+    )
+    assert n_scans == 1, plan

@@ -245,3 +245,39 @@ def geohash_char_sql(g_expr: str, k: int, precision: int = 4) -> str:
     identical text under Spark SQL and DuckDB (both substr() 1-based)."""
     shift = 5 * (precision - 1 - k)
     return f"substr('{GEOHASH_B32}', CAST(({g_expr} >> {shift}) % 32 AS INT) + 1, 1)"
+
+
+def quadtree_decompose(
+    x0: int, y0: int, x1: int, y1: int, max_res: int = 10
+) -> list[tuple[int, int]]:
+    """Exact quadtree decomposition of an inclusive integer rectangle into
+    maximal pyramid cells: returns (res, cell_id) pairs — cell_id is the
+    SAME Morton id `geo_tile_pyramid` aggregates at that res — whose cells
+    are pairwise disjoint and cover the rectangle exactly. O(perimeter)
+    cells (each recursion level contributes a ring of at most O(side/s)
+    partially-covered cells). Pure-int driver-side helper for DIM-SIZED
+    rectangle sets only: the decomposition list is broadcast, never
+    computed per corpus row."""
+    out: list[tuple[int, int]] = []
+
+    def rec(res: int, cx: int, cy: int) -> None:
+        s = 1 << (max_res - res)
+        lox, hix = cx * s, cx * s + s - 1
+        loy, hiy = cy * s, cy * s + s - 1
+        if lox > x1 or hix < x0 or loy > y1 or hiy < y0:
+            return
+        if lox >= x0 and hix <= x1 and loy >= y0 and hiy <= y1:
+            # scalar morton (a 1-element-array morton_np call per cell is
+            # ~100x slower than this loop over plain ints)
+            m = 0
+            for i in range(res):
+                m |= ((cx >> i) & 1) << (2 * i)
+                m |= ((cy >> i) & 1) << (2 * i + 1)
+            out.append((res, m))
+            return
+        for dx in (0, 1):
+            for dy in (0, 1):
+                rec(res + 1, 2 * cx + dx, 2 * cy + dy)
+
+    rec(0, 0, 0)
+    return out

@@ -225,3 +225,25 @@ def line_endpoints_np(j: np.ndarray):
     x0, y0 = gaz_grid_xy_np(i1)
     x1, y1 = gaz_grid_xy_np(i2)
     return x0, y0, x1, y1
+
+
+# ---------------------------------------------------------------------------
+# query-rectangle layer for the pyramid range-count: K axis-aligned rects
+# with naturally varied extents (each bound is the min/max of two
+# independent hash points, so sizes range from near-pixel to near-grid).
+# Inclusive integer bounds; SQL + numpy twins like every layer above.
+# ---------------------------------------------------------------------------
+
+N_QRECTS = 64
+
+QRECT_XA_SQL = "((({j}) * 557 + 31) % 1024)"
+QRECT_XB_SQL = "((({j}) * 271 + 7) % 1024)"
+QRECT_YA_SQL = "((({j}) * 769 + 83) % 1024)"
+QRECT_YB_SQL = "((({j}) * 389 + 201) % 1024)"
+
+
+def qrect_bounds(j: int) -> tuple[int, int, int, int]:
+    """Python twin of the QRECT_*_SQL formulas: (x0, y0, x1, y1) inclusive."""
+    xa, xb = (j * 557 + 31) % 1024, (j * 271 + 7) % 1024
+    ya, yb = (j * 769 + 83) % 1024, (j * 389 + 201) % 1024
+    return min(xa, xb), min(ya, yb), max(xa, xb), max(ya, yb)

@@ -4822,3 +4822,24 @@ trips AS (
 SELECT otx, oty, dtx, dty, CAST(count(*) AS BIGINT) AS n_trips
 FROM trips GROUP BY 1, 2, 3, 4
 """
+
+
+def geo_range_count_sql() -> str:
+    """Brute-force oracle: count points per rectangle directly (BETWEEN
+    on the raw grid coords) — deliberately ignorant of the pyramid and
+    the quadtree decomposition the engine uses."""
+    return f"""
+WITH {_pts0_only()},
+rects AS (
+  SELECT CAST(j AS BIGINT) AS rect_id,
+         least({layers.QRECT_XA_SQL.format(j="j")}, {layers.QRECT_XB_SQL.format(j="j")}) AS x0,
+         least({layers.QRECT_YA_SQL.format(j="j")}, {layers.QRECT_YB_SQL.format(j="j")}) AS y0,
+         greatest({layers.QRECT_XA_SQL.format(j="j")}, {layers.QRECT_XB_SQL.format(j="j")}) AS x1,
+         greatest({layers.QRECT_YA_SQL.format(j="j")}, {layers.QRECT_YB_SQL.format(j="j")}) AS y1
+  FROM unnest(generate_series(0, {layers.N_QRECTS - 1})) AS g(j)
+)
+SELECT rect_id, CAST(count(pts0.gx) AS BIGINT) AS n_docs
+FROM rects LEFT JOIN pts0
+  ON pts0.gx BETWEEN x0 AND x1 AND pts0.gy BETWEEN y0 AND y1
+GROUP BY 1
+"""

@@ -3096,3 +3096,42 @@ def geo_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trips.groupBy("otx", "oty", "dtx", "dty").agg(
         F.count(F.lit(1)).alias("n_trips")
     )
+
+
+def geo_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pyramid range-count: answer 64 arbitrary-rectangle doc counts from
+    the multi-resolution tile pyramid instead of scanning the corpus per
+    query. Each rectangle decomposes driver-side into its maximal-cell
+    quadtree cover (exact, disjoint, O(perimeter) cells —
+    cells.quadtree_decompose; ~85k dim rows for all 64 rects) and the
+    count is one broadcast equi-join against the SAME (res, cell_id,
+    n_docs) aggregate geo_tile_pyramid materializes, plus a rect-keyed
+    sum. The corpus is touched ONCE (the finest-res base aggregate);
+    every query after that costs pyramid rows. The oracle never sees the
+    decomposition — it brute-forces each rectangle straight off the
+    points, so any decomposition bug (overlap, gap, wrong parent id)
+    shows up as a count diff."""
+    pyramid = geo_tile_pyramid(spark, sf_dir)
+    rows = []
+    for j in range(layers.N_QRECTS):
+        x0, y0, x1, y1 = layers.qrect_bounds(j)
+        for res, cell_id in cells.quadtree_decompose(x0, y0, x1, y1):
+            rows.append((j, res, cell_id))
+    import pandas as pd
+
+    # pandas + Arrow path: ~5x faster than a python-tuple createDataFrame
+    # for the ~85k-row dim
+    dim = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["rect_id", "res", "cell_id"]).astype("int64")
+    )
+    counts = (
+        pyramid.join(F.broadcast(dim), ["res", "cell_id"])
+        .groupBy("rect_id")
+        .agg(F.sum("n_docs").alias("n"))
+    )
+    return (
+        spark.range(layers.N_QRECTS)
+        .select(F.col("id").alias("rect_id"))
+        .join(F.broadcast(counts), "rect_id", "left")  # counts is <= 64 rows
+        .select("rect_id", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_docs"))
+    )
