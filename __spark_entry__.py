@@ -68,7 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-slot window. After this round every registry query has a
         # driver row in some round EXCEPT the r5-late geometry/
         # spatiotemporal additions (geo_map_match, geo_traj_simplify,
-        # events_colocation, geo_od_flows, geo_range_count) registered
+        # events_colocation, geo_od_flows, geo_range_count,
+        # events_stay_points) registered
         # past position 50 — see the note at the position-51 marker.
         "webtext_domain_reputation": q.webtext_domain_reputation,  # PR+HITS+dup composite (r4)
         "webtext_geo_regions": q.webtext_geo_regions,  # crawl pages per polygon region via PIP (r4)
@@ -147,7 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_windows": q.events_stream_windows,  # also schema-changed this round (micros)
         # ==== position 51+: rotated out of the window this round ==========
         # geo_map_match / geo_traj_simplify / events_colocation /
-        # geo_od_flows / geo_range_count land past the window BY
+        # geo_od_flows / geo_range_count / events_stay_points land past the window BY
         # DESIGN: every in-window row is either never-driver-verified or
         # code-changed this round, so displacing one would trade a
         # strictly stronger driver row for these. Their verification is
@@ -159,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_colocation": q.events_colocation,  # co-traveler pairs via (day, tile) inverted index (r5)
         "geo_od_flows": q.geo_od_flows,  # origin-destination tile flow matrix per user-day (r5)
         "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
+        "events_stay_points": q.events_stay_points,  # gaps-and-islands stay-point detection (r5)
         # (the r2-stale rows below were displaced by Block NEW-r5; they
         # remain gate-mirrored every round and rotate back next window.
         # domain_rank/hits/communities/triangles yielded their Block B
@@ -371,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "events_colocation": oracle.events_colocation_sql(),
         "geo_od_flows": oracle.geo_od_flows_sql(),
         "geo_range_count": oracle.geo_range_count_sql(),
+        "events_stay_points": oracle.events_stay_points_sql(),
         "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
         "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),
         "geo_geohash": oracle.geo_geohash_sql(),

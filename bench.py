@@ -187,6 +187,7 @@ HEADLINE = [
     "events_colocation",      # co-traveler pairs via (day, tile) inverted index
     "geo_od_flows",           # origin-destination tile flow matrix
     "geo_range_count",        # 64 rect counts from the pyramid, one corpus pass
+    "events_stay_points",     # gaps-and-islands stay-point detection
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -396,6 +397,9 @@ SCALE2 = [
     # range_count is ONE corpus aggregate + grid-bounded pyramid/dim joins
     # (linear in the scan, constant in the query set).
     "geo_range_count",
+    # stay_points is two window passes + one aggregate on the user key
+    # (linear; same class as traj_simplify above).
+    "events_stay_points",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two

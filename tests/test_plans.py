@@ -206,3 +206,10 @@ def test_r5_range_count_is_pyramid_bounded(spark, sf_tiny):
         1 for ln in plan.splitlines() if "Scan parquet" in ln and "+-" in ln
     )
     assert n_scans == 1, plan
+
+
+def test_r5_stay_points_plan_stays_partitioned(spark, sf_tiny):
+    from tree_sitter_codeviews_spark.queries import events_stay_points
+
+    assert "SinglePartition" not in plans.explain_str(
+        events_stay_points(spark, sf_tiny))

@@ -82,3 +82,37 @@ def test_od_flows_conserve_trips(spark):
           FROM read_parquet('{sf}/events.parquet'))
     """).fetchone()[0]
     assert flows["n_trips"].sum() == n_user_days
+
+
+def test_stay_points_islands_are_true_runs(spark):
+    """Reconstruct each user's ordered stream and check the gaps-and-
+    islands grouping: within a reported stay every consecutive hop is
+    <= STAY_RADIUS, and the hops INTO the island's first ping (if any)
+    exceed it."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    stays = q.events_stay_points(spark, sf).toPandas()
+    ev = duckdb.sql(f"""
+        SELECT user_id, event_id,
+               ((event_id * 48271 + 7) % 1024) AS ex,
+               ((event_id * 16807 + 12345) % 1024) AS ey
+        FROM read_parquet('{sf}/events.parquet')
+        ORDER BY user_id, ts, event_id
+    """).df()
+    by_user = {u: g.reset_index(drop=True) for u, g in ev.groupby("user_id")}
+    for s in stays.itertuples():
+        g = by_user[s.user_id]
+        i0 = g.index[g["event_id"] == s.first_event_id][0]
+        # run of n_pings starting at i0: internal hops all small
+        for k in range(i0 + 1, i0 + s.n_pings):
+            hop = max(abs(g.ex[k] - g.ex[k - 1]), abs(g.ey[k] - g.ey[k - 1]))
+            assert hop <= q.STAY_RADIUS, (s.user_id, k)
+        # boundary hops (if neighbors exist) are breaks
+        if i0 > 0:
+            hop = max(abs(g.ex[i0] - g.ex[i0 - 1]), abs(g.ey[i0] - g.ey[i0 - 1]))
+            assert hop > q.STAY_RADIUS
+        j = i0 + s.n_pings
+        if j < len(g):
+            hop = max(abs(g.ex[j] - g.ex[j - 1]), abs(g.ey[j] - g.ey[j - 1]))
+            assert hop > q.STAY_RADIUS

@@ -4843,3 +4843,35 @@ FROM rects LEFT JOIN pts0
   ON pts0.gx BETWEEN x0 AND x1 AND pts0.gy BETWEEN y0 AND y1
 GROUP BY 1
 """
+
+
+def events_stay_points_sql() -> str:
+    from .queries import STAY_MIN_PINGS, STAY_RADIUS
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN greatest(abs(ex - lag(ex) OVER w), abs(ey - lag(ey) OVER w))
+                   <= {STAY_RADIUS}
+              THEN 0 ELSE 1 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT user_id, min(event_id) AS first_event_id,
+       CAST(count(*) AS BIGINT) AS n_pings,
+       max(sec) - min(sec) AS dwell_sec,
+       CAST(sum(ex) // count(*) AS BIGINT) AS cx,
+       CAST(sum(ey) // count(*) AS BIGINT) AS cy
+FROM isl GROUP BY user_id, island
+HAVING count(*) >= {STAY_MIN_PINGS}
+"""

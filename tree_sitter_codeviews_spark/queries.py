@@ -3135,3 +3135,58 @@ def geo_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(counts), "rect_id", "left")  # counts is <= 64 rows
         .select("rect_id", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_docs"))
     )
+
+
+# stay-point parameters: a ping continues the current stay if its
+# Chebyshev hop from the previous ping is <= this radius; a stay is
+# reported when at least MIN_PINGS consecutive pings cluster. The radius
+# is fixture-scaled (synthetic pings are near-uniform over the 1024 grid,
+# so a GPS-realistic 32-px radius would make stays vanishingly rare);
+# the operator shape — gaps-and-islands run grouping — is radius-free.
+STAY_RADIUS = 128
+STAY_MIN_PINGS = 2
+
+
+def events_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (Li et al. 2008 shape): split each user's
+    ordered ping stream into islands at every hop whose Chebyshev length
+    exceeds STAY_RADIUS (gaps-and-islands: island_id = running sum of the
+    break flag), then one aggregate per island — ping count, dwell
+    seconds (truncated epoch), integer centroid (sum div n). Two window
+    passes + one aggregate on the SAME (user) partitioning; all exact
+    integer, zero Python."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "brk",
+        F.when(
+            F.greatest(
+                F.abs(F.col("ex") - F.lag("ex").over(w)),
+                F.abs(F.col("ey") - F.lag("ey").over(w)),
+            ) <= STAY_RADIUS,
+            F.lit(0),
+        ).otherwise(F.lit(1)),  # first ping has NULL lag -> otherwise() -> 1
+    ).withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            (F.max("sec") - F.min("sec")).alias("dwell_sec"),
+            F.expr("sum(ex) div count(*)").alias("cx"),
+            F.expr("sum(ey) div count(*)").alias("cy"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .filter(F.col("n_pings") >= STAY_MIN_PINGS)
+        .select("user_id", "first_event_id", "n_pings", "dwell_sec", "cx", "cy")
+    )
