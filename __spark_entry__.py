@@ -64,13 +64,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bowtie decomposition + ExactSubstr span-scrub + the Bloom
         # frontier audit + the count-min error audit + CDC chunk dedup +
         # co-citation related hosts, new this round; plus Block NEW-r5-geo
-        # (4) below — 46 never-verified rows total, all inside the
-        # 50-slot window. After this round every registry query has a
-        # driver row in some round EXCEPT the r5-late geometry/
-        # spatiotemporal additions (geo_map_match, geo_traj_simplify,
-        # events_colocation, geo_od_flows, geo_range_count,
-        # events_stay_points) registered
-        # past position 50 — see the note at the position-51 marker.
+        # (4) and Block B (4, the late spatiotemporal wave) below — all
+        # 50 window slots are spent on never-driver-verified queries.
+        # After this round every one of the 194 registry queries has a
+        # driver row in some round EXCEPT geo_traj_simplify and
+        # geo_range_count (52 never-verified candidates for 50 slots) —
+        # see the note at the position-51 marker.
         "webtext_domain_reputation": q.webtext_domain_reputation,  # PR+HITS+dup composite (r4)
         "webtext_geo_regions": q.webtext_geo_regions,  # crawl pages per polygon region via PIP (r4)
         "webtext_anchor_index": q.webtext_anchor_index,  # per-target anchor-text index (r4)
@@ -128,39 +127,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_diameter": q.geo_tile_diameter,  # per-tile hull diameter vs quadratic oracle (r5)
         "geo_tile_pyramid": q.geo_tile_pyramid,  # all-resolution rollup pyramid in one pass (r5)
         "geo_geohash": q.geo_geohash,  # Niemeyer base32 geohash encode + prefix parent (r5)
-        # Block B (3): code paths changed this round — outlink host
-        # normalization (absolute-href scheme+host lowercased, ADVICE r4)
-        # flows into every outlink-derived query; overlay cover cells
-        # moved from float floor-div to arithmetic shift (ADVICE r4).
-        "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4)
-        "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4)
-        "geo_rect_overlay": q.geo_rect_overlay,  # PBSM rect overlay join, duplicate-free reporting (r4w3)
-        # Block C (7): least-recently driver-verified rows — last driver
-        # row r2 for all of these (43 candidates; chosen from the
-        # hash-verified core of each family, rows-only rows excluded
-        # since their driver signal is weaker than the pytest mirror).
-        # Originally 13 slots; the late Block NEW-r5 additions (IVFPQ x2 +
-        # k-core + crawl-depth + split-leakage + trustrank + bowtie +
-        # span-scrub + bloom-frontier + countmin + cdc-chunks +
-        # cocitation) displaced twelve rows past position 50 — all twelve
-        # have r2 driver rows, so no never-verified query leaves the
-        # window.
-        "events_stream_windows": q.events_stream_windows,  # also schema-changed this round (micros)
-        # ==== position 51+: rotated out of the window this round ==========
-        # geo_map_match / geo_traj_simplify / events_colocation /
-        # geo_od_flows / geo_range_count / events_stay_points land past the window BY
-        # DESIGN: every in-window row is either never-driver-verified or
-        # code-changed this round, so displacing one would trade a
-        # strictly stronger driver row for these. Their verification is
-        # the same-comparison gate mirror (GATE_FULL) at sf0.01 plus
-        # quadratic-reference pytest rows; both are benched at both scale
-        # points like every windowed query.
+        # Block B (4): the r5-late spatiotemporal wave — never
+        # driver-verified, new this round. 52 never-verified queries
+        # compete for 50 slots; these four join the window, and the two
+        # left out (geo_traj_simplify, geo_range_count — see the
+        # position-51 note) are the pair whose semantics carry the
+        # strongest oracle-independent pytest evidence (quadratic
+        # effective-area reference / brute-force rectangle recount).
         "geo_map_match": q.geo_map_match,  # snap pings to nearest rasterized transit line (r5)
-        "geo_traj_simplify": q.geo_traj_simplify,  # Visvalingam single-pass trajectory simplify (r5)
         "events_colocation": q.events_colocation,  # co-traveler pairs via (day, tile) inverted index (r5)
         "geo_od_flows": q.geo_od_flows,  # origin-destination tile flow matrix per user-day (r5)
-        "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
         "events_stay_points": q.events_stay_points,  # gaps-and-islands stay-point detection (r5)
+        # ==== position 51+: rotated out of the window this round ==========
+        # geo_traj_simplify / geo_range_count are the 2 of 52
+        # never-verified queries that do not fit the 50-slot window; their
+        # verification is the same-comparison gate mirror (GATE_FULL) at
+        # sf0.01 plus quadratic-reference pytest rows. The code-changed
+        # rows (webtext_outlinks / webtext_host_graph / geo_rect_overlay:
+        # ADVICE-r4 host-lowercase + shiftright cover cells;
+        # events_stream_windows: micros schema change) yielded their
+        # slots — all four have green prior-round driver rows AND are
+        # re-verified against DuckDB by the gate mirror every round, so a
+        # first-ever driver row strictly dominates a re-verification.
+        "geo_traj_simplify": q.geo_traj_simplify,  # Visvalingam single-pass trajectory simplify (r5)
+        "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
+        "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4; host-lowercase r5)
+        "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4; host-lowercase r5)
+        "geo_rect_overlay": q.geo_rect_overlay,  # PBSM rect overlay join (r4w3; shiftright cover r5)
+        "events_stream_windows": q.events_stream_windows,  # micros schema change this round
         # (the r2-stale rows below were displaced by Block NEW-r5; they
         # remain gate-mirrored every round and rotate back next window.
         # domain_rank/hits/communities/triangles yielded their Block B
