@@ -66,10 +66,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # co-citation related hosts, new this round; plus Block NEW-r5-geo
         # (4) and Block B (4, the late spatiotemporal wave) below — all
         # 50 window slots are spent on never-driver-verified queries.
-        # After this round every one of the 194 registry queries has a
-        # driver row in some round EXCEPT geo_traj_simplify and
-        # geo_range_count (52 never-verified candidates for 50 slots) —
-        # see the note at the position-51 marker.
+        # After this round every one of the 196 registry queries has a
+        # driver row in some round EXCEPT geo_traj_simplify /
+        # geo_range_count (52 never-verified candidates for 50 slots when
+        # the window froze) and the post-freeze additions
+        # geo_emerging_hotspots / events_traj_similarity — see the note
+        # at the position-51 marker.
         "webtext_domain_reputation": q.webtext_domain_reputation,  # PR+HITS+dup composite (r4)
         "webtext_geo_regions": q.webtext_geo_regions,  # crawl pages per polygon region via PIP (r4)
         "webtext_anchor_index": q.webtext_anchor_index,  # per-target anchor-text index (r4)
@@ -149,7 +151,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slots — all four have green prior-round driver rows AND are
         # re-verified against DuckDB by the gate mirror every round, so a
         # first-ever driver row strictly dominates a re-verification.
+        # (geo_emerging_hotspots / events_traj_similarity were written
+        # after the window froze; same verification story as the two
+        # displaced rows above.)
         "geo_traj_simplify": q.geo_traj_simplify,  # Visvalingam single-pass trajectory simplify (r5)
+        "geo_emerging_hotspots": q.geo_emerging_hotspots,  # space-time cube + Mann-Kendall trend (r5)
+        "events_traj_similarity": q.events_traj_similarity,  # per-user top-5 Jaccard co-traveler kNN (r5)
         "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
         "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4; host-lowercase r5)
         "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4; host-lowercase r5)
@@ -368,6 +375,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_od_flows": oracle.geo_od_flows_sql(),
         "geo_range_count": oracle.geo_range_count_sql(),
         "events_stay_points": oracle.events_stay_points_sql(),
+        "geo_emerging_hotspots": oracle.geo_emerging_hotspots_sql(),
+        "events_traj_similarity": oracle.events_traj_similarity_sql(),
         "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
         "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),
         "geo_geohash": oracle.geo_geohash_sql(),

@@ -188,6 +188,8 @@ HEADLINE = [
     "geo_od_flows",           # origin-destination tile flow matrix
     "geo_range_count",        # 64 rect counts from the pyramid, one corpus pass
     "events_stay_points",     # gaps-and-islands stay-point detection
+    "geo_emerging_hotspots",  # space-time cube + Mann-Kendall trend per tile
+    "events_traj_similarity", # per-user top-5 Jaccard co-traveler kNN
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -400,6 +402,10 @@ SCALE2 = [
     # stay_points is two window passes + one aggregate on the user key
     # (linear; same class as traj_simplify above).
     "events_stay_points",
+    # hotspots: one (tile, day) corpus aggregate, grid-bounded tail;
+    # traj-similarity: one corpus distinct, cell-bounded pair space.
+    "geo_emerging_hotspots",
+    "events_traj_similarity",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two

@@ -213,3 +213,34 @@ def test_r5_stay_points_plan_stays_partitioned(spark, sf_tiny):
 
     assert "SinglePartition" not in plans.explain_str(
         events_stay_points(spark, sf_tiny))
+
+
+def test_r5_emerging_hotspots_single_corpus_pass(spark, sf_tiny):
+    """Everything downstream of the (tile, day) aggregate works on the
+    checkpointed grid-bounded table: no parquet re-scan in the final
+    plan, the zero-fill join and the day-pair self-join broadcast, and
+    nothing goes cartesian. (The one SinglePartition exchange is the
+    2-column day-span scalar over the grid table — dim-sized by
+    construction.)"""
+    from tree_sitter_codeviews_spark.queries import geo_emerging_hotspots
+
+    df = geo_emerging_hotspots(spark, sf_tiny)
+    plan = plans.explain_str(df)
+    assert plans.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan  # corpus read once, inside the checkpoint
+
+
+def test_r5_traj_similarity_plan_shapes(spark, sf_tiny):
+    """Pairing is an equi-join on the cell key (never cartesian), the
+    size joins broadcast, the rank window partitions by user (no
+    single-partition exchange), and the distinct cells table is read
+    from its checkpoint, not re-scanned per branch."""
+    from tree_sitter_codeviews_spark.queries import events_traj_similarity
+
+    df = events_traj_similarity(spark, sf_tiny)
+    plan = plans.explain_str(df)
+    assert plans.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "Scan parquet" not in plan

@@ -116,3 +116,89 @@ def test_stay_points_islands_are_true_runs(spark):
         if j < len(g):
             hop = max(abs(g.ex[j] - g.ex[j - 1]), abs(g.ey[j] - g.ey[j - 1]))
             assert hop > q.STAY_RADIUS
+
+
+def test_emerging_hotspots_vs_scalar_mann_kendall(spark):
+    """Engine S statistic == a pure-python Mann-Kendall over the zero-
+    filled daily count series rebuilt independently (dict-of-counters,
+    no SQL)."""
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q.geo_emerging_hotspots(spark, sf)
+        .toPandas()
+        .set_index(["tx", "ty"])
+        .sort_index()
+    )
+    import duckdb
+
+    ev = duckdb.sql(f"""
+        SELECT ((event_id * 48271 + 7) % 1024) >> 7 AS tx,
+               ((event_id * 16807 + 12345) % 1024) >> 7 AS ty,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM read_parquet('{sf}/events.parquet')
+    """).df()
+    dmin, dmax = int(ev["day"].min()), int(ev["day"].max())
+    days = range(dmin, dmax + 1)
+    from collections import Counter
+
+    per_tile = {
+        t: Counter(g["day"]) for t, g in ev.groupby(["tx", "ty"])
+    }
+    assert len(got) == len(per_tile)
+    for tile, cnts in per_tile.items():
+        series = [cnts.get(d, 0) for d in days]
+        s = sum(
+            (series[j] > series[i]) - (series[j] < series[i])
+            for i in range(len(series))
+            for j in range(i + 1, len(series))
+        )
+        row = got.loc[tile]
+        assert int(row.s_stat) == s, tile
+        assert int(row.n_days) == dmax - dmin + 1
+        assert int(row.n_pings) == sum(series)
+        assert row.trend == ("emerging" if s > 0 else "cooling" if s < 0 else "flat")
+
+
+def test_traj_similarity_vs_scalar_topk(spark):
+    """Engine top-5 == brute-force exact-Jaccard kNN over per-user res-5
+    cell sets with the same (jaccard desc, shared desc, user_b) tie-break;
+    the per-cell cut is a no-op at sf0.001 (15 users < 50) so brute force
+    is the full answer."""
+    sf = "/root/testdata/sf0.001"
+    got = q.events_traj_similarity(spark, sf).toPandas()
+    import duckdb
+
+    ev = duckdb.sql(f"""
+        SELECT DISTINCT user_id,
+               ((event_id * 48271 + 7) % 1024) >> 5 AS cx,
+               ((event_id * 16807 + 12345) % 1024) >> 5 AS cy
+        FROM read_parquet('{sf}/events.parquet')
+    """).df()
+    sets = {
+        u: set(zip(g["cx"], g["cy"])) for u, g in ev.groupby("user_id")
+    }
+    for ua in sets:
+        cands = []
+        for ub in sets:
+            if ub == ua:
+                continue
+            shared = len(sets[ua] & sets[ub])
+            if shared < q.TRAJSIM_MIN_SHARED:
+                continue
+            jac = shared * 1_000_000 // len(sets[ua] | sets[ub])
+            cands.append((-jac, -shared, ub))
+        cands.sort()
+        want = cands[: q.TRAJSIM_TOPK]
+        rows = got[got.user_a == ua].sort_values("rank")
+        assert list(rows.user_b) == [c[2] for c in want], ua
+        assert list(rows.jaccard_ppm) == [-c[0] for c in want], ua
+        assert list(rows["rank"]) == list(range(1, len(want) + 1)), ua
+
+
+def test_traj_similarity_topk_bound(spark):
+    """Contract: <= TRAJSIM_TOPK rows per user, ranks contiguous from 1."""
+    got = q.events_traj_similarity(spark, "/root/testdata/sf0.001").toPandas()
+    for ua, g in got.groupby("user_a"):
+        r = sorted(g["rank"])
+        assert len(r) <= q.TRAJSIM_TOPK
+        assert r == list(range(1, len(r) + 1)), ua

@@ -4875,3 +4875,89 @@ SELECT user_id, min(event_id) AS first_event_id,
 FROM isl GROUP BY user_id, island
 HAVING count(*) >= {STAY_MIN_PINGS}
 """
+
+
+def geo_emerging_hotspots_sql() -> str:
+    from .queries import HOTSPOT_SHIFT
+
+    return f"""
+WITH ev AS (
+  SELECT ({layers.EVT_GX_SQL}) >> {HOTSPOT_SHIFT} AS tx,
+         ({layers.EVT_GY_SQL}) >> {HOTSPOT_SHIFT} AS ty,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+counts AS (
+  SELECT tx, ty, day, CAST(count(*) AS BIGINT) AS cnt FROM ev GROUP BY 1, 2, 3
+),
+span AS (SELECT min(day) AS dmin, max(day) AS dmax FROM ev),
+tiles AS (SELECT DISTINCT tx, ty FROM counts),
+cube AS (
+  SELECT t.tx, t.ty, d.day, coalesce(c.cnt, 0) AS cnt
+  FROM tiles t
+  CROSS JOIN span s
+  CROSS JOIN LATERAL (SELECT unnest(range(s.dmin, s.dmax + 1)) AS day) d
+  LEFT JOIN counts c ON c.tx = t.tx AND c.ty = t.ty AND c.day = d.day
+),
+mk AS (
+  SELECT a.tx, a.ty,
+         CAST(sum(CAST(sign(b.cnt - a.cnt) AS BIGINT)) AS BIGINT) AS s_stat,
+         max(b.day) - min(a.day) + 1 AS n_days
+  FROM cube a JOIN cube b ON a.tx = b.tx AND a.ty = b.ty AND a.day < b.day
+  GROUP BY 1, 2
+),
+tot AS (SELECT tx, ty, CAST(sum(cnt) AS BIGINT) AS n_pings FROM cube GROUP BY 1, 2)
+SELECT mk.tx, mk.ty, mk.s_stat, mk.n_days, tot.n_pings,
+       CASE WHEN mk.s_stat > 0 THEN 'emerging'
+            WHEN mk.s_stat < 0 THEN 'cooling'
+            ELSE 'flat' END AS trend
+FROM mk JOIN tot ON mk.tx = tot.tx AND mk.ty = tot.ty
+"""
+
+
+def events_traj_similarity_sql() -> str:
+    from .queries import (
+        TRAJSIM_MAX_USERS_PER_CELL,
+        TRAJSIM_MIN_SHARED,
+        TRAJSIM_SHIFT,
+        TRAJSIM_TOPK,
+    )
+
+    return f"""
+WITH cells AS (
+  SELECT DISTINCT user_id,
+         ({layers.EVT_GX_SQL}) >> {TRAJSIM_SHIFT} AS cx,
+         ({layers.EVT_GY_SQL}) >> {TRAJSIM_SHIFT} AS cy
+  FROM events
+),
+sizes AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_cells FROM cells GROUP BY 1),
+small AS (
+  SELECT cx, cy FROM cells GROUP BY 1, 2
+  HAVING count(*) <= {TRAJSIM_MAX_USERS_PER_CELL}
+),
+e AS (SELECT cells.* FROM cells JOIN small USING (cx, cy)),
+shared AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM e a JOIN e b USING (cx, cy)
+  WHERE a.user_id <> b.user_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {TRAJSIM_MIN_SHARED}
+),
+scored AS (
+  SELECT s.user_a, s.user_b, s.n_shared,
+         s.n_shared * 1000000 // (sa.n_cells + sb.n_cells - s.n_shared)
+           AS jaccard_ppm
+  FROM shared s
+  JOIN sizes sa ON sa.user_id = s.user_a
+  JOIN sizes sb ON sb.user_id = s.user_b
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_a ORDER BY jaccard_ppm DESC, n_shared DESC, user_b
+  ) AS rank
+  FROM scored
+)
+SELECT user_a, user_b, n_shared, jaccard_ppm, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TRAJSIM_TOPK}
+"""

@@ -3190,3 +3190,153 @@ def events_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_pings") >= STAY_MIN_PINGS)
         .select("user_id", "first_event_id", "n_pings", "dwell_sec", "cx", "cy")
     )
+
+
+# -- emerging-hotspot / trajectory-similarity constants (SQL-twinned) -------
+# Mann-Kendall runs over res-3 tiles (128-px cells, the od_flows grid) so
+# every tile has enough daily mass for a trend to be meaningful at gate
+# scale; trajectory similarity runs over res-5 cells (32-px, the route
+# raster grid). TRAJSIM cuts mirror events_colocation's stadium-cell guard.
+HOTSPOT_SHIFT = 7
+TRAJSIM_SHIFT = 5
+TRAJSIM_MAX_USERS_PER_CELL = 50
+TRAJSIM_MIN_SHARED = 2
+TRAJSIM_TOPK = 5
+
+
+def geo_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot analysis (space-time cube + Mann-Kendall trend,
+    the ArcGIS "emerging hot spot" shape): per res-3 tile, the daily ping
+    counts over the corpus's FULL day range (zero-filled — absent days
+    count 0, exactly like the space-time cube) feed the Mann-Kendall
+    statistic S = sum over day pairs d1 < d2 of sign(cnt(d2) - cnt(d1)),
+    classified by sign. One corpus-wide (tile, day) aggregate is the only
+    full-data pass; the zero-fill, the day-pair self-join (<= 64 tiles x
+    C(30,2) pairs) and the trend rollup are all grid-bounded. Exact
+    integer throughout — S is a sum of {-1,0,1}, no variance estimate
+    floats. Reference parity: the per-scope aggregate family
+    (SDFG_c.py's per-scope def counts) lifted to a per-tile time series.
+    """
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.shiftright(F.expr(layers.EVT_GX_SQL), HOTSPOT_SHIFT).alias("tx"),
+        F.shiftright(F.expr(layers.EVT_GY_SQL), HOTSPOT_SHIFT).alias("ty"),
+        F.expr("CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT)").alias("day"),
+    )
+    # the single corpus-wide shuffle: observed (tile, day) counts. Every
+    # downstream input (day span, tile list, zero-filled cube, n_pings)
+    # derives from THIS grid-bounded table; localCheckpoint materializes
+    # it (<= n_tiles x n_days rows) so the corpus parquet is scanned
+    # exactly once however many times the DAG references it.
+    counts = (
+        ev.groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    span = counts.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    tiles = counts.select("tx", "ty").distinct()
+    cube = (
+        tiles.crossJoin(F.broadcast(span))
+        .select(
+            "tx", "ty",
+            F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("day"),
+        )
+        .join(F.broadcast(counts), ["tx", "ty", "day"], "left")
+        .select("tx", "ty", "day", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    a = cube.select("tx", "ty", F.col("day").alias("d1"), F.col("cnt").alias("c1"))
+    b = cube.select("tx", "ty", F.col("day").alias("d2"), F.col("cnt").alias("c2"))
+    pairs = a.join(F.broadcast(b), ["tx", "ty"]).filter(F.col("d1") < F.col("d2"))
+    return (
+        pairs.groupBy("tx", "ty")
+        .agg(
+            F.sum(F.signum(F.col("c2") - F.col("c1")).cast("long")).alias("s_stat"),
+            (F.max("d2") - F.min("d1") + 1).alias("n_days"),
+        )
+        .join(
+            cube.groupBy("tx", "ty").agg(F.sum("cnt").alias("n_pings")),
+            ["tx", "ty"],
+        )
+        .select(
+            "tx", "ty", "s_stat", "n_days", "n_pings",
+            F.when(F.col("s_stat") > 0, F.lit("emerging"))
+            .when(F.col("s_stat") < 0, F.lit("cooling"))
+            .otherwise(F.lit("flat"))
+            .alias("trend"),
+        )
+    )
+
+
+def events_traj_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-similarity kNN: for each user, the TRAJSIM_TOPK users
+    whose visited-cell SETS (distinct res-5 cells over the whole corpus)
+    are most Jaccard-similar, exact integer ppm. Top-k-per-user rather
+    than an absolute threshold because absolute Jaccard is scale-
+    dependent (denser corpora shift the whole distribution) while "the 5
+    most similar co-travelers" is meaningful at any density. Inverted-
+    index shape — candidate pairs form per CELL (equi-join on the cell
+    key, never user x user), a per-cell group-size cut bounds any cell's
+    pair contribution at 50*49 (stadium-cell guard, mirrored verbatim in
+    the oracle), per-user set sizes join back broadcast, and the rank
+    window partitions by user (no single-partition exchange). Pairs
+    sharing < TRAJSIM_MIN_SHARED cells are noise and are cut before the
+    size join. All exact integer, zero Python."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    # the only corpus-wide pass: distinct (user, cell). Four downstream
+    # branches (sizes, hot-cell cut, both join sides) reference it, so
+    # localCheckpoint materializes the distinct result once — its size is
+    # sum over users of |cells visited|, orders below the raw ping count.
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.shiftright(F.expr(layers.EVT_GX_SQL), TRAJSIM_SHIFT).alias("cx"),
+            F.shiftright(F.expr(layers.EVT_GY_SQL), TRAJSIM_SHIFT).alias("cy"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = cells.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_cells"))
+    key = ["cx", "cy"]
+    small = (
+        cells.groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") <= TRAJSIM_MAX_USERS_PER_CELL)
+        .select(*key)
+    )
+    e = cells.join(small, key)
+    a = e.select(*key, F.col("user_id").alias("user_a"))
+    b = e.select(*key, F.col("user_id").alias("user_b"))
+    shared = (
+        a.join(b, key)
+        .filter(F.col("user_a") != F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= TRAJSIM_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("user_id").alias("user_a"), F.col("n_cells").alias("na"))
+    sb = sizes.select(F.col("user_id").alias("user_b"), F.col("n_cells").alias("nb"))
+    scored = (
+        shared.join(F.broadcast(sa), "user_a")
+        .join(F.broadcast(sb), "user_b")
+        .select(
+            "user_a", "user_b", "n_shared",
+            F.expr("n_shared * 1000000 div (na + nb - n_shared)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+    w = Window.partitionBy("user_a").orderBy(
+        F.col("jaccard_ppm").desc(), F.col("n_shared").desc(), F.col("user_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TRAJSIM_TOPK)
+        .select("user_a", "user_b", "n_shared", "jaccard_ppm", "rank")
+    )
