@@ -3257,7 +3257,7 @@ def geo_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("d2") - F.min("d1") + 1).alias("n_days"),
         )
         .join(
-            cube.groupBy("tx", "ty").agg(F.sum("cnt").alias("n_pings")),
+            F.broadcast(cube.groupBy("tx", "ty").agg(F.sum("cnt").alias("n_pings"))),
             ["tx", "ty"],
         )
         .select(
