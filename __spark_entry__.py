@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_traj_simplify": q.geo_traj_simplify,  # Visvalingam single-pass trajectory simplify (r5)
         "geo_emerging_hotspots": q.geo_emerging_hotspots,  # space-time cube + Mann-Kendall trend (r5)
         "events_traj_similarity": q.events_traj_similarity,  # per-user top-5 Jaccard co-traveler kNN (r5)
+        "events_geofence_dwell": q.events_geofence_dwell,  # two-phase fence containment dwell rollup (r5)
+        "events_geofence_transitions": q.events_geofence_transitions,  # enter/exit/switch state changes (r5)
         "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
         "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4; host-lowercase r5)
         "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4; host-lowercase r5)
@@ -377,6 +379,8 @@ def oracle_sql() -> dict[str, str]:
         "events_stay_points": oracle.events_stay_points_sql(),
         "geo_emerging_hotspots": oracle.geo_emerging_hotspots_sql(),
         "events_traj_similarity": oracle.events_traj_similarity_sql(),
+        "events_geofence_dwell": oracle.events_geofence_dwell_sql(),
+        "events_geofence_transitions": oracle.events_geofence_transitions_sql(),
         "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
         "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),
         "geo_geohash": oracle.geo_geohash_sql(),

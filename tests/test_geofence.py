@@ -1,0 +1,128 @@
+"""Geofence wave: scalar references for containment/dwell, the enter/exit
+state machine, and the broadcast-equi-join plan contract."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from tree_sitter_codeviews_spark import layers, queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pings():
+    return duckdb.sql(f"""
+        SELECT user_id, ts, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+        FROM read_parquet('{SF}/events.parquet')
+    """).df()
+
+
+def _fences():
+    return [
+        (i, (i * 37 + 11) % layers.GRID_N, (i * 73 + 29) % layers.GRID_N)
+        for i in range(0, layers.N_GAZ, q.FENCE_MOD)
+    ]
+
+
+def test_geofence_dwell_vs_scalar_reference(spark):
+    """Engine dwell rollup == brute-force all-pairs containment at sf0.001."""
+    got = (
+        q.events_geofence_dwell(spark, SF)
+        .toPandas()
+        .set_index(["user_id", "fence_id"])
+        .sort_index()
+    )
+    agg: dict = {}
+    for row in _pings().itertuples():
+        for fid, fx, fy in _fences():
+            if abs(row.ex - fx) <= q.FENCE_R and abs(row.ey - fy) <= q.FENCE_R:
+                cur = agg.get((row.user_id, fid))
+                if cur is None:
+                    agg[(row.user_id, fid)] = [1, row.sec, row.sec, row.event_id]
+                else:
+                    cur[0] += 1
+                    cur[1] = min(cur[1], row.sec)
+                    cur[2] = max(cur[2], row.sec)
+                    cur[3] = min(cur[3], row.event_id)
+    want = pd.DataFrame(
+        [
+            (u, f, n, hi - lo, first)
+            for (u, f), (n, lo, hi, first) in agg.items()
+        ],
+        columns=["user_id", "fence_id", "n_pings", "dwell_sec", "first_event_id"],
+    ).set_index(["user_id", "fence_id"]).sort_index()
+    assert len(got) == len(want) > 0
+    assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_geofence_transitions_state_machine(spark):
+    """Every user's transition stream is a legal state machine: starts with
+    an enter, alternates consistently (from_fence of each row == to_fence of
+    the previous row), exits go to -1, switches change fence."""
+    got = q.events_geofence_transitions(spark, SF).toPandas()
+    assert len(got) > 0
+    assert set(got["kind"]) <= {"enter", "exit", "switch"}
+    # resolve per-ping state independently to order transitions by time
+    pings = _pings()
+    fences = _fences()
+
+    def state(ex, ey):
+        best = -1
+        for fid, fx, fy in fences:
+            if abs(ex - fx) <= q.FENCE_R and abs(ey - fy) <= q.FENCE_R:
+                best = fid if best == -1 else min(best, fid)
+        return best
+
+    pings["fence"] = [state(r.ex, r.ey) for r in pings.itertuples()]
+    pings = pings.sort_values(["user_id", "ts", "event_id"])
+    # scalar replay of the lag state machine
+    want_rows = []
+    for uid, grp in pings.groupby("user_id", sort=False):
+        prev = None
+        for r in grp.itertuples():
+            f = r.fence
+            if (prev is None and f != -1) or (prev is not None and prev != f):
+                kind = (
+                    "exit" if f == -1
+                    else "enter" if prev is None or prev == -1
+                    else "switch"
+                )
+                want_rows.append((uid, r.event_id, prev if prev is not None else -1, f, kind))
+            prev = f
+    want = pd.DataFrame(
+        want_rows, columns=["user_id", "event_id", "from_fence", "to_fence", "kind"]
+    ).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    gots = (
+        got[["user_id", "event_id", "from_fence", "to_fence", "kind"]]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(gots, want, check_dtype=False)
+    # first transition of each user is never an exit-from-nothing
+    firsts = gots.groupby("user_id").first()
+    assert (firsts["kind"] == "enter").all()
+
+
+def test_geofence_plans_broadcast_never_nested_loop(spark):
+    """The fence dim must broadcast as an EQUI-join on cover cells — a
+    BroadcastNestedLoopJoin would evaluate all 100 fence predicates per
+    ping and is the scale failure mode this operator exists to avoid."""
+    for fn in (q.events_geofence_dwell, q.events_geofence_transitions):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_fence_cover_bounded(spark):
+    """Each fence explodes to at most 4 cover cells (the 2x2 bound the
+    broadcast-size contract assumes)."""
+    from pyspark.sql import functions as F
+
+    cover = q._fence_cover(spark)
+    per = cover.groupBy("fence_id").agg(F.count(F.lit(1)).alias("n")).toPandas()
+    assert len(per) == layers.N_GAZ // q.FENCE_MOD
+    assert per["n"].max() <= 4

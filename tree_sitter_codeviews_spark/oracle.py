@@ -4961,3 +4961,66 @@ ranked AS (
 SELECT user_a, user_b, n_shared, jaccard_ppm, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {TRAJSIM_TOPK}
 """
+
+
+def _fences_cte() -> str:
+    from .queries import FENCE_MOD
+
+    return f"""fences AS (
+  SELECT i AS fence_id, (i * 37 + 11) % 1024 AS fx, (i * 73 + 29) % 1024 AS fy
+  FROM range(0, {layers.N_GAZ}, {FENCE_MOD}) t(i)
+)"""
+
+
+def events_geofence_dwell_sql() -> str:
+    from .queries import FENCE_R
+
+    return f"""
+WITH {_fences_cte()},
+ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+)
+SELECT e.user_id, f.fence_id,
+       CAST(count(*) AS BIGINT) AS n_pings,
+       max(e.sec) - min(e.sec) AS dwell_sec,
+       min(e.event_id) AS first_event_id
+FROM ev e JOIN fences f
+  ON abs(e.ex - f.fx) <= {FENCE_R} AND abs(e.ey - f.fy) <= {FENCE_R}
+GROUP BY 1, 2
+"""
+
+
+def events_geofence_transitions_sql() -> str:
+    from .queries import FENCE_R
+
+    return f"""
+WITH {_fences_cte()},
+ev AS (
+  SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+pinged AS (
+  SELECT e.user_id, e.ts, e.event_id, e.sec,
+         coalesce(min(CASE WHEN abs(e.ex - f.fx) <= {FENCE_R}
+                            AND abs(e.ey - f.fy) <= {FENCE_R}
+                           THEN f.fence_id END), -1) AS fence
+  FROM ev e LEFT JOIN fences f
+    ON abs(e.ex - f.fx) <= {FENCE_R} AND abs(e.ey - f.fy) <= {FENCE_R}
+  GROUP BY 1, 2, 3, 4
+),
+lagged AS (
+  SELECT *, lag(fence) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM pinged
+)
+SELECT user_id, event_id, sec,
+       coalesce(prev, -1) AS from_fence,
+       fence AS to_fence,
+       CASE WHEN fence = -1 THEN 'exit'
+            WHEN prev IS NULL OR prev = -1 THEN 'enter'
+            ELSE 'switch' END AS kind
+FROM lagged
+WHERE (prev IS NULL AND fence <> -1) OR (prev IS NOT NULL AND prev <> fence)
+"""

@@ -3340,3 +3340,133 @@ def events_traj_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TRAJSIM_TOPK)
         .select("user_a", "user_b", "n_shared", "jaccard_ppm", "rank")
     )
+
+
+# -- geofence constants (SQL-twinned) ----------------------------------------
+# 100 fences: every FENCE_MOD-th gazetteer entry becomes a Chebyshev square
+# of half-width FENCE_R around its res-10 grid point. Cover cells sit at
+# FENCE_SHIFT (64-px), so a 65-px fence box covers at most 2x2 cells and the
+# ping->fence match is a broadcast EQUI-join on the ping's OWN cell — never
+# a nested-loop range join, the same two-phase discipline as pip_join.py.
+FENCE_MOD = 10
+FENCE_R = 32
+FENCE_SHIFT = 6
+
+
+def _fence_cover(spark: SparkSession) -> DataFrame:
+    """(fence_id, fx, fy, ccx, ccy): each fence exploded to the <= 4 cover
+    cells its box intersects. 100 fences x <= 4 cells — always broadcast."""
+    f = spark.range(0, layers.N_GAZ, FENCE_MOD).select(
+        F.col("id").alias("fence_id"),
+        ((F.col("id") * 37 + 11) % layers.GRID_N).alias("fx"),
+        ((F.col("id") * 73 + 29) % layers.GRID_N).alias("fy"),
+    )
+    # arithmetic shiftright IS floor division for the possibly-negative
+    # fx - FENCE_R edge boxes (overlay.py's exact-int64 cover discipline)
+    return f.select(
+        "fence_id", "fx", "fy",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.col("fx") - FENCE_R, FENCE_SHIFT),
+                F.shiftright(F.col("fx") + FENCE_R, FENCE_SHIFT),
+            )
+        ).alias("ccx"),
+        F.col("fy").alias("_fy"),
+    ).select(
+        "fence_id", "fx", "fy", "ccx",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.col("_fy") - FENCE_R, FENCE_SHIFT),
+                F.shiftright(F.col("_fy") + FENCE_R, FENCE_SHIFT),
+            )
+        ).alias("ccy"),
+    )
+
+
+def events_geofence_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence dwell rollup — per (user, fence): ping count, dwell seconds,
+    first entering event. The fence dim (100 gazetteer-derived Chebyshev
+    squares) broadcasts as exploded cover cells; each ping computes its own
+    res-4 cell and equi-joins, then the exact Chebyshev test filters the
+    cell-level candidates (two-phase containment, operators/pip_join.py
+    discipline — the join is map-side, the per-(user,fence) aggregate is
+    the single shuffle). Reference parity: scope-containment rollup
+    (c_parser.py:134-140) lifted to spatial fences."""
+    from .sources.testdata import load_table
+
+    cover = _fence_cover(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    ).withColumn("ccx", F.shiftright(F.col("ex"), FENCE_SHIFT)).withColumn(
+        "ccy", F.shiftright(F.col("ey"), FENCE_SHIFT)
+    )
+    hits = ev.join(F.broadcast(cover), ["ccx", "ccy"]).filter(
+        (F.abs(F.col("ex") - F.col("fx")) <= FENCE_R)
+        & (F.abs(F.col("ey") - F.col("fy")) <= FENCE_R)
+    )
+    return hits.groupBy("user_id", "fence_id").agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        (F.max("sec") - F.min("sec")).alias("dwell_sec"),
+        F.min("event_id").alias("first_event_id"),
+    )
+
+
+def events_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence enter/exit/switch detection — the streaming-telemetry
+    alerting shape run as a batch query: resolve each ping to the MIN
+    containing fence (-1 = outside every fence; overlapping fences tie-break
+    deterministically), lag over the per-user time-ordered stream, and emit
+    one row per state CHANGE tagged enter / exit / switch. The broadcast
+    cover left-join is map-side and the candidate rows collapse with ONE
+    aggregate on the unique ping key; the lag window then repartitions by
+    user — two shuffles total, both on uniform keys, no corpus-wide window.
+    Reference parity: the def->use edge family's state-change detection
+    (SDFG_c.py last-writer tracking) over a spatial state variable."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    cover = _fence_cover(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    ).withColumn("ccx", F.shiftright(F.col("ex"), FENCE_SHIFT)).withColumn(
+        "ccy", F.shiftright(F.col("ey"), FENCE_SHIFT)
+    )
+    # left join keeps outside-every-fence pings; non-matching candidates
+    # contribute NULL to min() so one aggregate yields the per-ping state
+    matched = F.when(
+        (F.abs(F.col("ex") - F.col("fx")) <= FENCE_R)
+        & (F.abs(F.col("ey") - F.col("fy")) <= FENCE_R),
+        F.col("fence_id"),
+    )
+    pinged = (
+        ev.join(F.broadcast(cover), ["ccx", "ccy"], "left")
+        .groupBy("user_id", "ts", "event_id", "sec")
+        .agg(F.coalesce(F.min(matched), F.lit(-1)).alias("fence"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("fence").over(w)
+    return (
+        pinged.withColumn("prev", prev)
+        .filter(
+            (F.col("prev").isNull() & (F.col("fence") != -1))
+            | (F.col("prev").isNotNull() & (F.col("prev") != F.col("fence")))
+        )
+        .select(
+            "user_id", "event_id", "sec",
+            F.coalesce(F.col("prev"), F.lit(-1)).alias("from_fence"),
+            F.col("fence").alias("to_fence"),
+            F.when(F.col("fence") == -1, F.lit("exit"))
+            .when(
+                F.col("prev").isNull() | (F.col("prev") == -1), F.lit("enter")
+            )
+            .otherwise(F.lit("switch"))
+            .alias("kind"),
+        )
+    )
