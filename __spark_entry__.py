@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_traj_similarity": q.events_traj_similarity,  # per-user top-5 Jaccard co-traveler kNN (r5)
         "events_geofence_dwell": q.events_geofence_dwell,  # two-phase fence containment dwell rollup (r5)
         "events_geofence_transitions": q.events_geofence_transitions,  # enter/exit/switch state changes (r5)
+        "events_geofence_occupancy": q.events_geofence_occupancy,  # per-fence hourly distinct-user load (r5)
+        "events_traj_outliers": q.events_traj_outliers,  # cross-multiplied GPS-jump speed gate (r5)
+        "events_traj_resample": q.events_traj_resample,  # fixed-step linear track interpolation (r5)
         "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
         "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4; host-lowercase r5)
         "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4; host-lowercase r5)
@@ -381,6 +384,9 @@ def oracle_sql() -> dict[str, str]:
         "events_traj_similarity": oracle.events_traj_similarity_sql(),
         "events_geofence_dwell": oracle.events_geofence_dwell_sql(),
         "events_geofence_transitions": oracle.events_geofence_transitions_sql(),
+        "events_geofence_occupancy": oracle.events_geofence_occupancy_sql(),
+        "events_traj_outliers": oracle.events_traj_outliers_sql(),
+        "events_traj_resample": oracle.events_traj_resample_sql(),
         "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
         "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),
         "geo_geohash": oracle.geo_geohash_sql(),

@@ -5024,3 +5024,75 @@ SELECT user_id, event_id, sec,
 FROM lagged
 WHERE (prev IS NULL AND fence <> -1) OR (prev IS NOT NULL AND prev <> fence)
 """
+
+
+def events_traj_outliers_sql() -> str:
+    from .queries import TRAJ_MAX_PX_PER_DAY
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+hops AS (
+  SELECT user_id, event_id, sec,
+         abs(ex - lag(ex) OVER w) + abs(ey - lag(ey) OVER w) AS dist,
+         sec - lag(sec) OVER w AS dt
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, sec, dist, dt
+FROM hops
+WHERE dist IS NOT NULL AND dist * 86400 > {TRAJ_MAX_PX_PER_DAY} * dt
+"""
+
+
+def events_traj_resample_sql() -> str:
+    from .queries import RESAMPLE_STEP
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+hops AS (
+  SELECT user_id, sec AS s0, ex AS x0, ey AS y0,
+         lead(sec) OVER w AS s1, lead(ex) OVER w AS x1, lead(ey) OVER w AS y1
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+pts AS (
+  SELECT h.user_id, h.s0, h.x0, h.y0, h.s1, h.x1, h.y1,
+         k.k * {RESAMPLE_STEP} AS t_sec
+  FROM hops h
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(h.s0 // {RESAMPLE_STEP} + 1,
+                        h.s1 // {RESAMPLE_STEP} + 1)) AS k
+  ) k
+  WHERE h.s1 IS NOT NULL AND h.s1 > h.s0
+)
+SELECT user_id, t_sec,
+       x0 + (x1 - x0) * (t_sec - s0) // (s1 - s0) AS x,
+       y0 + (y1 - y0) * (t_sec - s0) // (s1 - s0) AS y
+FROM pts
+"""
+
+
+def events_geofence_occupancy_sql() -> str:
+    from .queries import FENCE_R
+
+    return f"""
+WITH {_fences_cte()},
+ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+)
+SELECT f.fence_id, e.hour,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_pings
+FROM ev e JOIN fences f
+  ON abs(e.ex - f.fx) <= {FENCE_R} AND abs(e.ey - f.fy) <= {FENCE_R}
+GROUP BY 1, 2
+"""

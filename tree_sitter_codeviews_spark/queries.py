@@ -3470,3 +3470,130 @@ def events_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kind"),
         )
     )
+
+
+# -- trajectory-preprocessing constants (SQL-twinned) ------------------------
+# speed gate: a hop is a GPS jump if L1 distance (grid px) per DAY exceeds
+# TRAJ_MAX_PX_PER_DAY — cross-multiplied (dist * 86400 > limit * dt) so the
+# test stays exact int64, division-free, and safe for dt = 0 ties.
+# resampling emits one synthetic point per RESAMPLE_STEP-second boundary
+# crossed between consecutive pings; the explode factor per hop is
+# ceil(dt / RESAMPLE_STEP), so STEP is chosen >= the fixture's median hop
+# (FIXTURES.md: ~0.45 day) to keep output the same order as the input —
+# the knob a 100 TB deployment tunes first.
+TRAJ_MAX_PX_PER_DAY = 2000
+RESAMPLE_STEP = 21600  # 6 h
+
+
+def events_traj_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS-jump detection — the trajectory-cleaning pass every telemetry
+    pipeline runs before map-matching: per user, lag to the previous ping
+    and flag hops whose implied speed exceeds TRAJ_MAX_PX_PER_DAY. The
+    speed test is the exact cross-multiplication dist * 86400 > limit * dt
+    (no division, no floats, dt = 0 ties flag as jumps since dist > 0).
+    One window pass on the uniform user key; first pings (no predecessor)
+    are not hops and never flag. Reference parity: the lead-next edge
+    family (CFG_c.py next-statement links) with a physical-plausibility
+    predicate on the edge."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = ev.select(
+        "user_id", "event_id", "sec",
+        (
+            F.abs(F.col("ex") - F.lag("ex").over(w))
+            + F.abs(F.col("ey") - F.lag("ey").over(w))
+        ).alias("dist"),
+        (F.col("sec") - F.lag("sec").over(w)).alias("dt"),
+    ).filter(F.col("dist").isNotNull())
+    return hops.filter(
+        F.col("dist") * 86400 > F.lit(TRAJ_MAX_PX_PER_DAY) * F.col("dt")
+    ).select("user_id", "event_id", "sec", "dist", "dt")
+
+
+def events_traj_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory resampling — linear interpolation of each user's track
+    onto fixed RESAMPLE_STEP-second boundaries (the uniform-grid input a
+    downstream sequence model or heatmap wants): for every consecutive
+    ping pair, emit one point per boundary t with sec0 < t <= sec1,
+    position x0 + (x1-x0)*(t-sec0) div (sec1-sec0). Exact int64: Spark
+    ``div`` and DuckDB ``//`` both truncate toward zero so the twin
+    agrees on negative deltas; the boundary k-range is floor-arithmetic
+    (floor(sec0/STEP)+1 .. floor(sec1/STEP)), empty when a hop crosses no
+    boundary, never a divide-by-zero. One window pass + one bounded
+    explode — per-hop factor ceil(dt/STEP), no corpus-wide state."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = ev.select(
+        "user_id",
+        F.col("sec").alias("s0"),
+        F.col("ex").alias("x0"),
+        F.col("ey").alias("y0"),
+        F.lead("sec").over(w).alias("s1"),
+        F.lead("ex").over(w).alias("x1"),
+        F.lead("ey").over(w).alias("y1"),
+    ).filter(F.col("s1").isNotNull() & (F.col("s1") > F.col("s0")))
+    # Spark sequence(a, b) DESCENDS when b < a (it is never empty), so hops
+    # that cross no boundary must be cut before the explode, not after
+    pts = hops.filter(
+        F.expr(f"s1 div {RESAMPLE_STEP} >= s0 div {RESAMPLE_STEP} + 1")
+    ).select(
+        "user_id", "s0", "x0", "y0", "s1", "x1", "y1",
+        F.explode(
+            F.sequence(
+                F.expr(f"s0 div {RESAMPLE_STEP} + 1"),
+                F.expr(f"s1 div {RESAMPLE_STEP}"),
+            )
+        ).alias("k"),
+    ).withColumn("t_sec", F.col("k") * RESAMPLE_STEP)
+    return pts.select(
+        "user_id", "t_sec",
+        F.expr("x0 + (x1 - x0) * (t_sec - s0) div (s1 - s0)").alias("x"),
+        F.expr("y0 + (y1 - y0) * (t_sec - s0) div (s1 - s0)").alias("y"),
+    )
+
+
+def events_geofence_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fence hourly occupancy — distinct users and raw pings inside
+    each fence per UTC hour, the live-ops dashboard rollup behind every
+    'how busy is this place right now' product. Reuses the broadcast
+    cover-cell containment join (events_geofence_dwell), then one
+    (fence, hour) aggregate with an exact distinct count; the key space
+    is fences x hours (bounded by the dim and the time span), so the
+    final shuffle is dimension-sized no matter how many pings flow in."""
+    from .sources.testdata import load_table
+
+    cover = _fence_cover(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts) div 3600").alias("hour"),
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    ).withColumn("ccx", F.shiftright(F.col("ex"), FENCE_SHIFT)).withColumn(
+        "ccy", F.shiftright(F.col("ey"), FENCE_SHIFT)
+    )
+    hits = ev.join(F.broadcast(cover), ["ccx", "ccy"]).filter(
+        (F.abs(F.col("ex") - F.col("fx")) <= FENCE_R)
+        & (F.abs(F.col("ey") - F.col("fy")) <= FENCE_R)
+    )
+    return hits.groupBy("fence_id", "hour").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_pings"),
+    )
