@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_geofence_occupancy": q.events_geofence_occupancy,  # per-fence hourly distinct-user load (r5)
         "events_traj_outliers": q.events_traj_outliers,  # cross-multiplied GPS-jump speed gate (r5)
         "events_traj_resample": q.events_traj_resample,  # fixed-step linear track interpolation (r5)
+        "events_mobility_profile": q.events_mobility_profile,  # radius-of-gyration + bbox + HHI ppm (r5)
+        "geo_tile_rhythms": q.geo_tile_rhythms,  # per-tile dow x hour activity signature (r5)
+        "events_trips": q.events_trips,  # stay-to-stay OD trip extraction (r5)
         "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
         "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4; host-lowercase r5)
         "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4; host-lowercase r5)
@@ -387,6 +390,9 @@ def oracle_sql() -> dict[str, str]:
         "events_geofence_occupancy": oracle.events_geofence_occupancy_sql(),
         "events_traj_outliers": oracle.events_traj_outliers_sql(),
         "events_traj_resample": oracle.events_traj_resample_sql(),
+        "events_mobility_profile": oracle.events_mobility_profile_sql(),
+        "geo_tile_rhythms": oracle.geo_tile_rhythms_sql(),
+        "events_trips": oracle.events_trips_sql(),
         "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
         "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),
         "geo_geohash": oracle.geo_geohash_sql(),

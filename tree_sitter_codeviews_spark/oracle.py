@@ -5096,3 +5096,96 @@ FROM ev e JOIN fences f
   ON abs(e.ex - f.fx) <= {FENCE_R} AND abs(e.ey - f.fy) <= {FENCE_R}
 GROUP BY 1, 2
 """
+
+
+def events_mobility_profile_sql() -> str:
+    from .queries import TRAJSIM_SHIFT
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+base AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_pings,
+         sum(ex) AS sx, sum(ey) AS sy, sum(ex*ex + ey*ey) AS sq,
+         min(ex) AS min_x, max(ex) AS max_x,
+         min(ey) AS min_y, max(ey) AS max_y
+  FROM ev GROUP BY 1
+),
+cellcnt AS (
+  SELECT user_id, ex >> {TRAJSIM_SHIFT} AS cx, ey >> {TRAJSIM_SHIFT} AS cy,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_cells, sum(c*c) AS sc2
+  FROM cellcnt GROUP BY 1
+)
+SELECT b.user_id, b.n_pings, c.n_cells,
+       b.min_x, b.max_x, b.min_y, b.max_y,
+       CAST(b.n_pings * b.sq - b.sx * b.sx - b.sy * b.sy AS BIGINT) AS rg2_num,
+       CAST(c.sc2 * 1000000 // (b.n_pings * b.n_pings) AS BIGINT) AS hhi_ppm
+FROM base b JOIN cells c USING (user_id)
+"""
+
+
+def geo_tile_rhythms_sql() -> str:
+    from .queries import HOTSPOT_SHIFT
+
+    return f"""
+WITH ev AS (
+  SELECT ({layers.EVT_GX_SQL}) >> {HOTSPOT_SHIFT} AS tx,
+         ({layers.EVT_GY_SQL}) >> {HOTSPOT_SHIFT} AS ty,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+)
+SELECT tx, ty,
+       (sec // 86400 + 4) % 7 AS dow,
+       (sec % 86400) // 3600 AS hour,
+       CAST(count(*) AS BIGINT) AS n_pings
+FROM ev GROUP BY 1, 2, 3, 4
+"""
+
+
+def events_trips_sql() -> str:
+    from .queries import STAY_MIN_PINGS, STAY_RADIUS
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN greatest(abs(ex - lag(ex) OVER w), abs(ey - lag(ey) OVER w))
+                   <= {STAY_RADIUS}
+              THEN 0 ELSE 1 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+stays AS (
+  SELECT user_id, island,
+         CAST(count(*) AS BIGINT) AS n_pings,
+         min(sec) AS arrive_sec, max(sec) AS depart_sec,
+         CAST(sum(ex) // count(*) AS BIGINT) AS cx,
+         CAST(sum(ey) // count(*) AS BIGINT) AS cy
+  FROM isl GROUP BY 1, 2
+  HAVING count(*) >= {STAY_MIN_PINGS}
+),
+hop AS (
+  SELECT user_id, cx AS from_x, cy AS from_y, depart_sec,
+         lead(cx) OVER ws AS to_x, lead(cy) OVER ws AS to_y,
+         lead(arrive_sec) OVER ws AS arrive_sec
+  FROM stays WINDOW ws AS (PARTITION BY user_id ORDER BY island)
+)
+SELECT user_id, from_x, from_y, to_x, to_y, depart_sec,
+       arrive_sec - depart_sec AS travel_sec
+FROM hop WHERE to_x IS NOT NULL
+"""

@@ -3597,3 +3597,140 @@ def events_geofence_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_pings"),
     )
+
+
+def events_mobility_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mobility profile — the Gonzalez et al. 2008 human-mobility
+    metrics in exact int64: radius of gyration reported as the integer
+    numerator n^2 * rg^2 = n * sum(x^2 + y^2) - (sum x)^2 - (sum y)^2 (no
+    float mean, bit-identical across engines), the bounding box, and the
+    visit-concentration Herfindahl index over res-5 cells in exact ppm
+    (sum of squared cell counts * 1e6 div total^2 — the integer stand-in
+    for location entropy). Two aggregates on the uniform user key, one of
+    them over the (user, cell) rollup; no window, no corpus-wide state.
+    Values stay in int64: coords < 2^10, so n * sum(x^2+y^2) < n * 2^21
+    and (sum x)^2 < (n * 2^10)^2 — safe to ~2^26 pings per user."""
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    )
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.sum("ex").alias("sx"),
+        F.sum("ey").alias("sy"),
+        F.sum(F.col("ex") * F.col("ex") + F.col("ey") * F.col("ey")).alias("sq"),
+        F.min("ex").alias("min_x"),
+        F.max("ex").alias("max_x"),
+        F.min("ey").alias("min_y"),
+        F.max("ey").alias("max_y"),
+    )
+    cells = (
+        ev.groupBy(
+            "user_id",
+            F.shiftright("ex", TRAJSIM_SHIFT).alias("cx"),
+            F.shiftright("ey", TRAJSIM_SHIFT).alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.col("c") * F.col("c")).alias("sc2"),
+        )
+    )
+    return base.join(cells, "user_id").select(
+        "user_id", "n_pings", "n_cells",
+        "min_x", "max_x", "min_y", "max_y",
+        F.expr(
+            "n_pings * sq - sx * sx - sy * sy"
+        ).alias("rg2_num"),
+        F.expr("sc2 * 1000000 div (n_pings * n_pings)").alias("hhi_ppm"),
+    )
+
+
+def geo_tile_rhythms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity rhythm per tile — ping counts by (res-3 tile, day-of-week,
+    hour-of-day), the temporal-signature table behind land-use inference
+    (residential tiles peak at night, commercial at noon). Day-of-week is
+    exact epoch arithmetic ((epoch div 86400 + 4) mod 7; 1970-01-01 was a
+    Thursday) so both engines agree without timezone/locale functions.
+    One aggregate; the key space is tiles x 7 x 24, dimension-bounded."""
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.shiftright(F.expr(layers.EVT_GX_SQL), HOTSPOT_SHIFT).alias("tx"),
+        F.shiftright(F.expr(layers.EVT_GY_SQL), HOTSPOT_SHIFT).alias("ty"),
+        F.expr("unix_timestamp(ts)").alias("sec"),
+    )
+    return (
+        ev.select(
+            "tx", "ty",
+            F.expr("(sec div 86400 + 4) % 7").alias("dow"),
+            F.expr("(sec % 86400) div 3600").alias("hour"),
+        )
+        .groupBy("tx", "ty", "dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_pings"))
+    )
+
+
+def events_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip extraction — the stay-to-stay OD segments a mobility pipeline
+    feeds to demand models: reuse the stay-point islands (gaps-and-islands
+    over the STAY_RADIUS Chebyshev gate, events_stay_points), roll each
+    island to its centroid + departure/arrival seconds, then lead() from
+    each qualifying stay to the next gives one row per trip: origin cell,
+    destination cell, departure time, travel seconds. Two windows + one
+    aggregate, all partitioned by the uniform user key."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "brk",
+        F.when(
+            F.greatest(
+                F.abs(F.col("ex") - F.lag("ex").over(w)),
+                F.abs(F.col("ey") - F.lag("ey").over(w)),
+            ) <= STAY_RADIUS,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    stays = (
+        flagged.groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.min("sec").alias("arrive_sec"),
+            F.max("sec").alias("depart_sec"),
+            F.expr("sum(ex) div count(*)").alias("cx"),
+            F.expr("sum(ey) div count(*)").alias("cy"),
+        )
+        .filter(F.col("n_pings") >= STAY_MIN_PINGS)
+    )
+    ws = Window.partitionBy("user_id").orderBy("island")
+    return (
+        stays.select(
+            "user_id",
+            F.col("cx").alias("from_x"),
+            F.col("cy").alias("from_y"),
+            F.col("depart_sec").alias("depart_sec"),
+            F.lead("cx").over(ws).alias("to_x"),
+            F.lead("cy").over(ws).alias("to_y"),
+            F.lead("arrive_sec").over(ws).alias("arrive_sec"),
+        )
+        .filter(F.col("to_x").isNotNull())
+        .select(
+            "user_id", "from_x", "from_y", "to_x", "to_y", "depart_sec",
+            (F.col("arrive_sec") - F.col("depart_sec")).alias("travel_sec"),
+        )
+    )
