@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mobility_profile": q.events_mobility_profile,  # radius-of-gyration + bbox + HHI ppm (r5)
         "geo_tile_rhythms": q.geo_tile_rhythms,  # per-tile dow x hour activity signature (r5)
         "events_trips": q.events_trips,  # stay-to-stay OD trip extraction (r5)
+        "events_stream_geofence": q.events_stream_geofence,  # stateful streaming geofence alerts (r5)
         "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
         "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4; host-lowercase r5)
         "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4; host-lowercase r5)
@@ -393,6 +394,9 @@ def oracle_sql() -> dict[str, str]:
         "events_mobility_profile": oracle.events_mobility_profile_sql(),
         "geo_tile_rhythms": oracle.geo_tile_rhythms_sql(),
         "events_trips": oracle.events_trips_sql(),
+        # the streaming geofence drain equals the batch state machine on
+        # bounded input, so it shares the batch query's DuckDB twin
+        "events_stream_geofence": oracle.events_geofence_transitions_sql(),
         "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
         "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),
         "geo_geohash": oracle.geo_geohash_sql(),

@@ -126,3 +126,23 @@ def test_fence_cover_bounded(spark):
     per = cover.groupBy("fence_id").agg(F.count(F.lit(1)).alias("n")).toPandas()
     assert len(per) == layers.N_GAZ // q.FENCE_MOD
     assert per["n"].max() <= 4
+
+
+def test_stream_geofence_equals_batch(spark):
+    """The stateful streaming detector drained over bounded input emits
+    exactly the batch transition set (same rows, same kinds)."""
+    got = (
+        q.events_stream_geofence(spark, SF)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        q.events_geofence_transitions(spark, SF)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )

@@ -200,6 +200,12 @@ EVT_GX_SQL = "(event_id * 48271 + 7) % 1024"
 EVT_GY_SQL = "(event_id * 16807 + 12345) % 1024"
 
 
+def evt_grid_xy_np(event_id: np.ndarray):
+    """numpy twin of EVT_GX_SQL/EVT_GY_SQL (exact int64)."""
+    event_id = np.asarray(event_id, dtype=np.int64)
+    return (event_id * 48271 + 7) % GRID_N, (event_id * 16807 + 12345) % GRID_N
+
+
 # ---------------------------------------------------------------------------
 # transit-line layer: long integer segments connecting gazetteer landmarks
 # (the B-side dim of the segment-crossing join — "which trajectory hops

@@ -3734,3 +3734,18 @@ def events_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("arrive_sec") - F.col("depart_sec")).alias("travel_sec"),
         )
     )
+
+
+def events_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofence alerting gate row: the applyInPandasWithState
+    enter/exit/switch detector drained with availableNow. On a bounded
+    single-batch drain the update-mode emission equals the BATCH
+    events_geofence_transitions result exactly, so this streaming operator
+    gets a full value-hash oracle (not a rows-only check) — the batch
+    query's DuckDB twin."""
+    from . import streaming
+
+    ev = streaming.stream_events(spark, sf_dir)
+    return streaming.run_available_now(
+        streaming.geofence_stream_transitions(ev), mode="update"
+    )

@@ -252,3 +252,80 @@ def stream_outlink_edges(pages: DataFrame) -> DataFrame:
     return links.select("src_host", "dst_url").dropDuplicates(
         ["src_host", "dst_url"]
     )
+
+
+def geofence_stream_transitions(events: DataFrame) -> DataFrame:
+    """Streaming geofence alerting — the live twin of the batch
+    ``queries.events_geofence_transitions``: per-user state is the ONE
+    int64 "last fence" value (``applyInPandasWithState``), each micro-batch
+    resolves its pings to the min containing fence with vectorized numpy
+    int64 (the 100-fence dim lives in the closure — it is layers-derived,
+    no side input), replays the enter/exit/switch state machine in event
+    order, and emits only the transition rows (update mode = per-batch
+    deltas, the alerting contract). On a single bounded availableNow batch
+    the emission equals the batch query exactly (gate-pinned); a
+    continuous deployment relies on per-key in-order micro-batches, the
+    same caveat as ``sessionize_stream``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from . import layers
+    from .queries import FENCE_MOD, FENCE_R
+
+    fid = np.arange(0, layers.N_GAZ, FENCE_MOD, dtype=np.int64)
+    ffx = (fid * 37 + 11) % layers.GRID_N
+    ffy = (fid * 73 + 29) % layers.GRID_N
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("sec", T.LongType()),
+        T.StructField("from_fence", T.LongType()),
+        T.StructField("to_fence", T.LongType()),
+        T.StructField("kind", T.StringType()),
+    ])
+    state_schema = T.StructType([T.StructField("last_fence", T.LongType())])
+
+    def fn(key, pdf_iter, state: GroupState):
+        # -2 = never seen (distinct from -1 = seen, outside every fence)
+        last = state.get[0] if state.exists else -2
+        out = {c: [] for c in
+               ("user_id", "event_id", "sec", "from_fence", "to_fence", "kind")}
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            eid = pdf["event_id"].to_numpy(np.int64)
+            ts = pd.to_datetime(pdf["ts"]).astype("int64").to_numpy()
+            order = np.lexsort((eid, ts))
+            eid, ts = eid[order], ts[order]
+            sec = ts // 1_000_000_000
+            ex, ey = layers.evt_grid_xy_np(eid)
+            # (n, 100) containment; fid ascends so argmax = min fence
+            inside = (np.abs(ex[:, None] - ffx[None, :]) <= FENCE_R) & (
+                np.abs(ey[:, None] - ffy[None, :]) <= FENCE_R
+            )
+            any_hit = inside.any(axis=1)
+            fence = np.where(any_hit, fid[inside.argmax(axis=1)], -1)
+            for i in range(len(eid)):
+                f = int(fence[i])
+                if (last == -2 and f != -1) or (last != -2 and last != f):
+                    kind = (
+                        "exit" if f == -1
+                        else "enter" if last in (-2, -1)
+                        else "switch"
+                    )
+                    out["user_id"].append(int(key[0]))
+                    out["event_id"].append(int(eid[i]))
+                    out["sec"].append(int(sec[i]))
+                    out["from_fence"].append(-1 if last == -2 else last)
+                    out["to_fence"].append(f)
+                    out["kind"].append(kind)
+                last = f
+        state.update((last,))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
