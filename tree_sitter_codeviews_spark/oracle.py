@@ -5189,3 +5189,65 @@ SELECT user_id, from_x, from_y, to_x, to_y, depart_sec,
        arrive_sec - depart_sec AS travel_sec
 FROM hop WHERE to_x IS NOT NULL
 """
+
+
+def _stations_cte() -> str:
+    from .queries import STATION_MOD
+
+    return f"""stations AS (
+  SELECT i AS sid, (i * 37 + 11) % 1024 AS fx, (i * 73 + 29) % 1024 AS fy,
+         (i * 97 + 13) % 1000 AS v
+  FROM range(0, {layers.N_GAZ}, {STATION_MOD}) t(i)
+)"""
+
+
+def geo_idw_surface_sql() -> str:
+    from .queries import IDW_R2, IDW_WSCALE, TRAJSIM_SHIFT
+
+    side = 1 << TRAJSIM_SHIFT
+    half = side // 2
+    return f"""
+WITH {_stations_cte()},
+cells AS (
+  SELECT DISTINCT ({layers.EVT_GX_SQL}) >> {TRAJSIM_SHIFT} AS cx,
+                  ({layers.EVT_GY_SQL}) >> {TRAJSIM_SHIFT} AS cy
+  FROM events
+),
+near AS (
+  SELECT c.cx, c.cy, s.v,
+         (c.cx * {side} + {half} - s.fx) * (c.cx * {side} + {half} - s.fx)
+       + (c.cy * {side} + {half} - s.fy) * (c.cy * {side} + {half} - s.fy) AS d2
+  FROM cells c JOIN stations s
+    ON (c.cx * {side} + {half} - s.fx) * (c.cx * {side} + {half} - s.fx)
+     + (c.cy * {side} + {half} - s.fy) * (c.cy * {side} + {half} - s.fy)
+       <= {IDW_R2}
+)
+SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_stations,
+       CAST(sum(v * ({IDW_WSCALE} // greatest(d2, 1)))
+            // sum({IDW_WSCALE} // greatest(d2, 1)) AS BIGINT) AS est
+FROM near GROUP BY 1, 2
+"""
+
+
+def geo_nearest_facility_sql() -> str:
+    from .queries import STATION_MOD
+
+    return f"""
+WITH {_stations_cte()},
+ev AS (
+  SELECT event_id, {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+packed AS (
+  SELECT e.event_id,
+         min(((e.ex - s.fx) * (e.ex - s.fx) + (e.ey - s.fy) * (e.ey - s.fy))
+             * 64 + s.sid // {STATION_MOD}) AS p
+  FROM ev e CROSS JOIN stations s
+  GROUP BY 1
+)
+SELECT (p % 64) * {STATION_MOD} AS station_id,
+       CAST(count(*) AS BIGINT) AS n_pings,
+       CAST(sum(p // 64) // count(*) AS BIGINT) AS mean_d2,
+       CAST(max(p // 64) AS BIGINT) AS max_d2
+FROM packed GROUP BY 1
+"""

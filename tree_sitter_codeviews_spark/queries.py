@@ -3749,3 +3749,109 @@ def events_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(
         streaming.geofence_stream_transitions(ev), mode="update"
     )
+
+
+# -- station constants (SQL-twinned) -----------------------------------------
+# 50 "stations": every STATION_MOD-th gazetteer entry carries a deterministic
+# measurement value (idx * 97 + 13) % 1000. IDW runs over a Euclidean-d2
+# neighborhood of IDW_R2 with inverse-square weights quantized to
+# IDW_WSCALE div d2 (exact int64 — weights < 2^40, 50 stations of v < 1000
+# keep the numerator < 2^56).
+STATION_MOD = 20
+IDW_R2 = 256 * 256
+IDW_WSCALE = 1 << 40
+
+
+def _stations_array_sql() -> str:
+    """Spark SQL literal: array<struct<fx,fy,v>> of the 50 stations. The dim
+    is layers-derived and tiny, so it rides INTO the expression — per-row
+    station math is a higher-order function over this literal, zero joins,
+    zero row blowup, whole-stage-codegen friendly."""
+    items = []
+    for i in range(0, layers.N_GAZ, STATION_MOD):
+        fx = (i * 37 + 11) % layers.GRID_N
+        fy = (i * 73 + 29) % layers.GRID_N
+        v = (i * 97 + 13) % 1000
+        items.append(f"named_struct('sid',{i}L,'fx',{fx}L,'fy',{fy}L,'v',{v}L)")
+    return "array(" + ",".join(items) + ")"
+
+
+def geo_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation — the gridded-surface
+    estimator (Shepard 1968) every GIS ships: for each res-5 cell OBSERVED
+    in the corpus, estimate the station measurement at the cell center
+    from all stations within Euclidean d2 <= IDW_R2, weight 1/d2 quantized
+    to IDW_WSCALE div max(d2,1) so the estimate is exact int64 and
+    bit-identical across engines. The station dim is a literal array in
+    the projection (transform -> filter -> aggregate, all JVM codegen);
+    the ONLY shuffle is the distinct over observed cells — the corpus
+    never joins anything. Output: (cx, cy, n_stations, est)."""
+    from .sources.testdata import load_table
+
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.shiftright(F.expr(layers.EVT_GX_SQL), TRAJSIM_SHIFT).alias("cx"),
+            F.shiftright(F.expr(layers.EVT_GY_SQL), TRAJSIM_SHIFT).alias("cy"),
+        )
+        .distinct()
+    )
+    side = 1 << TRAJSIM_SHIFT
+    half = side // 2
+    agg = f"""aggregate(
+      filter(
+        transform({_stations_array_sql()}, s -> named_struct(
+          'd2', (px - s.fx) * (px - s.fx) + (py - s.fy) * (py - s.fy),
+          'v', s.v)),
+        t -> t.d2 <= {IDW_R2}),
+      named_struct('num', 0L, 'den', 0L, 'cnt', 0L),
+      (acc, t) -> named_struct(
+        'num', acc.num + t.v * ({IDW_WSCALE}L div greatest(t.d2, 1L)),
+        'den', acc.den + ({IDW_WSCALE}L div greatest(t.d2, 1L)),
+        'cnt', acc.cnt + 1L))"""
+    return (
+        cells.withColumn("px", F.col("cx") * side + half)
+        .withColumn("py", F.col("cy") * side + half)
+        .withColumn("acc", F.expr(agg))
+        .filter(F.col("acc.cnt") > 0)
+        .select(
+            "cx", "cy",
+            F.col("acc.cnt").alias("n_stations"),
+            F.expr("acc.num div acc.den").alias("est"),
+        )
+    )
+
+
+def geo_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility assignment + catchment rollup — reverse geocoding
+    against the 50-station dim: every ping takes the station minimizing
+    Euclidean d2 (ties to the smaller station id via key packing: d2 * 64
+    + station ordinal, d2 < 2^21 so the pack fits easily), then one
+    aggregate per station: ping count, mean and max assigned distance.
+    The argmin is a single ``aggregate`` over the literal station array in
+    the projection — NO join, NO 50x candidate blowup, stays in
+    whole-stage codegen; the catchment rollup on the 50-key station column
+    is the only shuffle. Reference parity: the scope argmax family
+    (SDFG_c.py per-scope modal pick) with a spatial cost key."""
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    )
+    # pack = d2 * 64 + (sid div STATION_MOD); unpack after the min
+    agg = f"""aggregate(
+      {_stations_array_sql()},
+      9223372036854775807L,
+      (acc, s) -> least(acc,
+        ((ex - s.fx) * (ex - s.fx) + (ey - s.fy) * (ey - s.fy)) * 64L
+          + s.sid div {STATION_MOD}L))"""
+    assigned = ev.withColumn("packed", F.expr(agg)).select(
+        F.expr(f"(packed % 64) * {STATION_MOD}").alias("station_id"),
+        F.expr("packed div 64").alias("d2"),
+    )
+    return assigned.groupBy("station_id").agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.expr("sum(d2) div count(*)").alias("mean_d2"),
+        F.max("d2").alias("max_d2"),
+    )
