@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_geofence": q.events_stream_geofence,  # stateful streaming geofence alerts (r5)
         "geo_idw_surface": q.geo_idw_surface,  # inverse-distance-weighted interpolation, joinless HOF (r5)
         "geo_nearest_facility": q.geo_nearest_facility,  # packed-argmin reverse geocoding + catchments (r5)
+        "events_convex_hull": q.events_convex_hull,  # monotone-chain hull area vs cubic edge oracle (r5)
         "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
         "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4; host-lowercase r5)
         "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4; host-lowercase r5)
@@ -401,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_geofence": oracle.events_geofence_transitions_sql(),
         "geo_idw_surface": oracle.geo_idw_surface_sql(),
         "geo_nearest_facility": oracle.geo_nearest_facility_sql(),
+        "events_convex_hull": oracle.events_convex_hull_sql(),
         "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
         "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),
         "geo_geohash": oracle.geo_geohash_sql(),

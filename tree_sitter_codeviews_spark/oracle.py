@@ -5251,3 +5251,35 @@ SELECT (p % 64) * {STATION_MOD} AS station_id,
        CAST(max(p // 64) AS BIGINT) AS max_d2
 FROM packed GROUP BY 1
 """
+
+
+def events_convex_hull_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+npts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_points FROM ev GROUP BY 1),
+edges AS (
+  -- (a, b) is a CCW hull edge iff every point is left-of-or-on the
+  -- directed line a->b and none lies strictly between a and b
+  SELECT a.user_id, a.ex AS ax, a.ey AS ay, b.ex AS bx, b.ey AS by
+  FROM ev a JOIN ev b USING (user_id)
+  WHERE (a.ex <> b.ex OR a.ey <> b.ey)
+    AND NOT EXISTS (
+      SELECT 1 FROM ev c WHERE c.user_id = a.user_id
+        AND (b.ex - a.ex) * (c.ey - a.ey) - (b.ey - a.ey) * (c.ex - a.ex) < 0)
+    AND NOT EXISTS (
+      SELECT 1 FROM ev c WHERE c.user_id = a.user_id
+        AND (b.ex - a.ex) * (c.ey - a.ey) - (b.ey - a.ey) * (c.ex - a.ex) = 0
+        AND (c.ex - a.ex) * (b.ex - a.ex) + (c.ey - a.ey) * (b.ey - a.ey) > 0
+        AND (c.ex - a.ex) * (b.ex - a.ex) + (c.ey - a.ey) * (b.ey - a.ey)
+            < (b.ex - a.ex) * (b.ex - a.ex) + (b.ey - a.ey) * (b.ey - a.ey))
+)
+SELECT n.user_id, n.n_points,
+       CAST(coalesce(abs(sum(e.ax * e.by - e.bx * e.ay)), 0) AS BIGINT)
+         AS hull_area2
+FROM npts n LEFT JOIN edges e USING (user_id)
+GROUP BY 1, 2
+"""

@@ -3855,3 +3855,72 @@ def geo_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(d2) div count(*)").alias("mean_d2"),
         F.max("d2").alias("max_d2"),
     )
+
+
+def events_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user convex-hull area — the activity-envelope metric (how much
+    territory a user covers): Andrew's monotone chain over each user's
+    DISTINCT positions in an ``applyInPandas`` grouped map (pure-Python
+    ints, exact), reporting twice the hull area (integer shoelace) plus
+    the distinct point count. Degenerate inputs (1-2 points, collinear
+    tracks) report area 0. The DuckDB twin is a fully independent cubic
+    edge characterization: (a, b) is a CCW hull edge iff every other point
+    is left-of-or-on the directed line AND none lies strictly between a
+    and b — summing the shoelace terms of exactly those edges reproduces
+    the same integer area, so the O(n log n) chain is verified against an
+    O(n^3) definition, not a re-implementation. Per-user groups are tiny
+    and uniform (the only shuffle is the groupBy); the Arrow batch is one
+    user's distinct points."""
+    import pandas as pd
+
+    from .sources.testdata import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(layers.EVT_GX_SQL).alias("ex"),
+            F.expr(layers.EVT_GY_SQL).alias("ey"),
+        )
+        .distinct()
+    )
+
+    def _hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = sorted({(int(x), int(y)) for x, y in zip(pdf["ex"], pdf["ey"])})
+        n = len(pts)
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+        if n < 3:
+            area2 = 0
+        else:
+            lower: list = []
+            for p in pts:
+                while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                    lower.pop()
+                lower.append(p)
+            upper: list = []
+            for p in reversed(pts):
+                while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                    upper.pop()
+                upper.append(p)
+            hull = lower[:-1] + upper[:-1]
+            area2 = abs(
+                sum(
+                    hull[i][0] * hull[(i + 1) % len(hull)][1]
+                    - hull[(i + 1) % len(hull)][0] * hull[i][1]
+                    for i in range(len(hull))
+                )
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_points": [n],
+                "hull_area2": [area2],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        _hull, "user_id long, n_points long, hull_area2 long"
+    )
