@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_idw_surface": q.geo_idw_surface,  # inverse-distance-weighted interpolation, joinless HOF (r5)
         "geo_nearest_facility": q.geo_nearest_facility,  # packed-argmin reverse geocoding + catchments (r5)
         "events_convex_hull": q.events_convex_hull,  # monotone-chain hull area vs cubic edge oracle (r5)
+        "geo_uncovered_docs": q.geo_uncovered_docs,  # PIP anti-join coverage-gap audit per tile (r5)
+        "events_popular_routes": q.events_popular_routes,  # top-k cell-transition desire lines (r5)
         "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
         "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4; host-lowercase r5)
         "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4; host-lowercase r5)
@@ -403,6 +405,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_idw_surface": oracle.geo_idw_surface_sql(),
         "geo_nearest_facility": oracle.geo_nearest_facility_sql(),
         "events_convex_hull": oracle.events_convex_hull_sql(),
+        "geo_uncovered_docs": oracle.geo_uncovered_docs_sql(),
+        "events_popular_routes": oracle.events_popular_routes_sql(),
         "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
         "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),
         "geo_geohash": oracle.geo_geohash_sql(),

@@ -34,3 +34,23 @@ def test_extraction_deterministic(spark, sf_tiny):
         .set_index("url")["text_out"]
     )
     assert a.sort_index().equals(b.sort_index())
+
+
+def test_uncovered_plus_covered_partitions_docs(spark):
+    """Coverage-gap audit + PIP hits partition the corpus: every doc is
+    either inside >= 1 polygon or counted in exactly one uncovered tile."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tree_sitter_codeviews_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    uncovered = (
+        q.geo_uncovered_docs(spark, sf).agg(F.sum("n_docs").alias("s")).collect()[0]["s"]
+    )
+    covered = q.geo_pip_docs(spark, sf).select("doc_id").distinct().count()
+    total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchone()[0]
+    assert uncovered + covered == total
+    assert uncovered > 0 and covered > 0

@@ -5283,3 +5283,55 @@ SELECT n.user_id, n.n_points,
 FROM npts n LEFT JOIN edges e USING (user_id)
 GROUP BY 1, 2
 """
+
+
+def geo_uncovered_docs_sql() -> str:
+    from .queries import HOTSPOT_SHIFT
+
+    return f"""
+WITH {_pts_cte()}, {_edges_cte()},
+hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT p.doc_id, e.polygon_id, count(*) AS c
+    FROM pts p JOIN edges e ON ({_CROSSING})
+    GROUP BY 1, 2
+  ) WHERE c % 2 = 1
+)
+SELECT p.gx >> {HOTSPOT_SHIFT} AS tx, p.gy >> {HOTSPOT_SHIFT} AS ty,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(p.doc_id) AS min_doc_id
+FROM pts p LEFT JOIN hits h USING (doc_id)
+WHERE h.doc_id IS NULL
+GROUP BY 1, 2
+"""
+
+
+def events_popular_routes_sql() -> str:
+    from .queries import ROUTE_TOPK, TRAJSIM_SHIFT
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         ({layers.EVT_GX_SQL}) >> {TRAJSIM_SHIFT} AS cx,
+         ({layers.EVT_GY_SQL}) >> {TRAJSIM_SHIFT} AS cy
+  FROM events
+),
+steps AS (
+  SELECT lag(cx) OVER w AS fx, lag(cy) OVER w AS fy, cx AS tx, cy AS ty
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+  SELECT fx, fy, tx, ty, CAST(count(*) AS BIGINT) AS n_trips
+  FROM steps
+  WHERE fx IS NOT NULL AND (fx <> tx OR fy <> ty)
+  GROUP BY 1, 2, 3, 4
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    ORDER BY n_trips DESC, fx, fy, tx, ty
+  ) AS rank
+  FROM counts
+)
+SELECT CAST(rank AS BIGINT) AS rank, fx, fy, tx, ty, n_trips
+FROM ranked WHERE rank <= {ROUTE_TOPK}
+"""

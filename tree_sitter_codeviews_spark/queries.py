@@ -3924,3 +3924,78 @@ def events_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         _hull, "user_id long, n_points long, hull_area2 long"
     )
+
+
+def geo_uncovered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial coverage-gap audit — doc points contained by NO polygon,
+    rolled up per res-3 tile: the anti-join complement of the flagship PIP
+    join (where is the layer blind?). Reuses the two-phase containment
+    join for the hits side, then a LEFT ANTI on the unique doc key and one
+    tile aggregate; the anti join shuffles on doc_id exactly once and the
+    output key space is the 64-tile grid. Reference parity: the
+    no-enclosing-scope fallback rows (c_parser.py global-scope default)
+    as a first-class result set instead of a default value."""
+    from .operators import pip_join
+
+    pts = pages_src.doc_points_df(spark, sf_dir).withColumn(
+        "cell", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+    )
+    hits = (
+        pip_join.pip_join(pts, spark, keys=("doc_id",))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        pts.join(hits, "doc_id", "left_anti")
+        .groupBy(
+            F.shiftright("gx", HOTSPOT_SHIFT).alias("tx"),
+            F.shiftright("gy", HOTSPOT_SHIFT).alias("ty"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+ROUTE_TOPK = 20
+
+
+def events_popular_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popular-route mining — the top-ROUTE_TOPK most traveled res-5
+    cell-to-cell transitions across all users (the desire-line rollup a
+    transit planner reads): per-user lag gives the step bigrams, cells
+    that don't change are dropped, one global (from, to) count, and the
+    top slice is an orderBy/limit with a FULL deterministic tie-break —
+    never a corpus-wide rank window; the row_number only decorates the
+    ROUTE_TOPK surviving rows. The pair key space is grid-bounded, so
+    the count shuffle is dimension-sized regardless of corpus size."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.shiftright(F.expr(layers.EVT_GX_SQL), TRAJSIM_SHIFT).alias("cx"),
+        F.shiftright(F.expr(layers.EVT_GY_SQL), TRAJSIM_SHIFT).alias("cy"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("cx").over(w).alias("fx"),
+        F.lag("cy").over(w).alias("fy"),
+        F.col("cx").alias("tx"),
+        F.col("cy").alias("ty"),
+    ).filter(
+        F.col("fx").isNotNull()
+        & ((F.col("fx") != F.col("tx")) | (F.col("fy") != F.col("ty")))
+    )
+    counts = steps.groupBy("fx", "fy", "tx", "ty").agg(
+        F.count(F.lit(1)).alias("n_trips")
+    )
+    top = counts.orderBy(
+        F.col("n_trips").desc(), "fx", "fy", "tx", "ty"
+    ).limit(ROUTE_TOPK)
+    wr = Window.orderBy(F.col("n_trips").desc(), "fx", "fy", "tx", "ty")
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "rank", "fx", "fy", "tx", "ty", "n_trips"
+    )
