@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_convex_hull": q.events_convex_hull,  # monotone-chain hull area vs cubic edge oracle (r5)
         "geo_uncovered_docs": q.geo_uncovered_docs,  # PIP anti-join coverage-gap audit per tile (r5)
         "events_popular_routes": q.events_popular_routes,  # top-k cell-transition desire lines (r5)
+        "geo_tile_skyline": q.geo_tile_skyline,  # Pareto frontier on (n_pings, n_users), window sweep (r5)
+        "geo_choropleth_bins": q.geo_choropleth_bins,  # equal-frequency ntile class breaks (r5)
+        "text_fuzzy_link": q.text_fuzzy_link,  # deletion-neighborhood fuzzy entity linking (r5)
         "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
         "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4; host-lowercase r5)
         "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4; host-lowercase r5)
@@ -407,6 +410,9 @@ def oracle_sql() -> dict[str, str]:
         "events_convex_hull": oracle.events_convex_hull_sql(),
         "geo_uncovered_docs": oracle.geo_uncovered_docs_sql(),
         "events_popular_routes": oracle.events_popular_routes_sql(),
+        "geo_tile_skyline": oracle.geo_tile_skyline_sql(),
+        "geo_choropleth_bins": oracle.geo_choropleth_bins_sql(),
+        "text_fuzzy_link": oracle.text_fuzzy_link_sql(),
         "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
         "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),
         "geo_geohash": oracle.geo_geohash_sql(),

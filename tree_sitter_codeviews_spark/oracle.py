@@ -5335,3 +5335,77 @@ ranked AS (
 SELECT CAST(rank AS BIGINT) AS rank, fx, fy, tx, ty, n_trips
 FROM ranked WHERE rank <= {ROUTE_TOPK}
 """
+
+
+def geo_tile_skyline_sql() -> str:
+    from .queries import FENCE_SHIFT
+
+    return f"""
+WITH tiles AS (
+  SELECT ({layers.EVT_GX_SQL}) >> {FENCE_SHIFT} AS tx,
+         ({layers.EVT_GY_SQL}) >> {FENCE_SHIFT} AS ty,
+         CAST(count(*) AS BIGINT) AS n_pings,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1, 2
+)
+SELECT a.tx, a.ty, a.n_pings, a.n_users
+FROM tiles a
+WHERE NOT EXISTS (
+  SELECT 1 FROM tiles b
+  WHERE b.n_pings >= a.n_pings AND b.n_users >= a.n_users
+    AND (b.n_pings > a.n_pings OR b.n_users > a.n_users)
+)
+"""
+
+
+def geo_choropleth_bins_sql() -> str:
+    from .queries import CHORO_BINS, HOTSPOT_SHIFT
+
+    return f"""
+WITH tiles AS (
+  SELECT ({layers.EVT_GX_SQL}) >> {HOTSPOT_SHIFT} AS tx,
+         ({layers.EVT_GY_SQL}) >> {HOTSPOT_SHIFT} AS ty,
+         CAST(count(*) AS BIGINT) AS n_pings
+  FROM events GROUP BY 1, 2
+)
+SELECT tx, ty, n_pings,
+       CAST(ntile({CHORO_BINS}) OVER (ORDER BY n_pings, tx, ty) AS BIGINT)
+         AS quintile
+FROM tiles
+"""
+
+
+def text_fuzzy_link_sql() -> str:
+    gi = layers.MENTION_IDX_SQL.format(j="j")
+    return f"""
+WITH ment0 AS (
+  SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS j
+  FROM documents
+),
+ment AS (
+  SELECT doc_id,
+         printf('GEO_%05d', {gi}) AS surface,
+         (doc_id + j) % 9 AS p
+  FROM ment0
+),
+typos AS (
+  SELECT doc_id,
+         substr(surface, 1, CAST(p AS INT)) || substr(surface, CAST(p + 2 AS INT))
+           AS typo
+  FROM ment
+),
+variants AS (
+  SELECT DISTINCT g.i AS gaz_idx, printf('GEO_%05d', g.i) AS surface,
+         substr(printf('GEO_%05d', g.i), 1, CAST(d.p AS INT))
+           || substr(printf('GEO_%05d', g.i), CAST(d.p + 2 AS INT)) AS typo
+  FROM range({layers.N_GAZ}) g(i)
+  CROSS JOIN range(0, 9) d(p)
+),
+cand AS (
+  SELECT DISTINCT t.doc_id, v.gaz_idx
+  FROM typos t JOIN variants v USING (typo)
+  WHERE levenshtein(t.typo, v.surface) = 1
+)
+SELECT gaz_idx, CAST(count(*) AS BIGINT) AS n_docs
+FROM cand GROUP BY 1
+"""

@@ -3999,3 +3999,126 @@ def events_popular_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(wr)).select(
         "rank", "fx", "fy", "tx", "ty", "n_trips"
     )
+
+
+def geo_tile_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over per-tile activity — res-4 tiles
+    not dominated on (n_pings, n_users), the classic maximal-vector query
+    (Borzsony et al. 2001) asked of a map: which places are jointly
+    busiest and most diverse. The sweep is two windows over the TILE-dim
+    table (never the corpus): a tile survives iff its user count beats the
+    best among tiles with STRICTLY more pings (value-range frame) and it
+    is maximal within its own ping-count group — together exactly the
+    not-exists dominance definition, which the DuckDB twin states
+    quadratically as an independent check. The corpus contributes one
+    uniform tile aggregate; everything after is dimension-sized."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    tiles = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.shiftright(F.expr(layers.EVT_GX_SQL), FENCE_SHIFT).alias("tx"),
+            F.shiftright(F.expr(layers.EVT_GY_SQL), FENCE_SHIFT).alias("ty"),
+            "user_id",
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+    w_gt = Window.orderBy("n_pings").rangeBetween(1, Window.unboundedFollowing)
+    w_eq = Window.partitionBy("n_pings")
+    return (
+        tiles.withColumn("best_gt", F.max("n_users").over(w_gt))
+        .withColumn("best_eq", F.max("n_users").over(w_eq))
+        .filter(
+            (F.col("best_gt").isNull() | (F.col("n_users") > F.col("best_gt")))
+            & (F.col("n_users") == F.col("best_eq"))
+        )
+        .select("tx", "ty", "n_pings", "n_users")
+    )
+
+
+CHORO_BINS = 5
+
+
+def geo_choropleth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choropleth class breaks — equal-frequency (quantile) binning of the
+    res-3 tile ping counts into CHORO_BINS classes via ntile over a FULLY
+    deterministic order (count, then tile coords), the map-legend
+    classifier every thematic map needs. The corpus collapses to <= 64
+    tile rows in one aggregate before the single tiny rank window."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    tiles = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.shiftright(F.expr(layers.EVT_GX_SQL), HOTSPOT_SHIFT).alias("tx"),
+            F.shiftright(F.expr(layers.EVT_GY_SQL), HOTSPOT_SHIFT).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n_pings"))
+    )
+    w = Window.orderBy("n_pings", "tx", "ty")
+    return tiles.withColumn(
+        "quintile", F.ntile(CHORO_BINS).over(w).cast("long")
+    ).select("tx", "ty", "n_pings", "quintile")
+
+
+def text_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity linking — the fuzzy string-similarity join the
+    exact/prefix resolvers (geo_alias_resolve family) can't express:
+    mention surfaces corrupted by ONE deterministic character deletion
+    (position (doc_id + j) % 9 of the 9-char gazetteer surface) link back
+    to the dictionary through a deletion-neighborhood equi-join — every
+    surface explodes to its 9 single-deletion variants (9,000-row
+    broadcast dim), candidates then verify levenshtein == 1 and roll up
+    per entry. This is the standard blocking scheme that turns an
+    edit-distance join into an equi-join: candidates per mention are
+    bounded by the variant fan-out, never dictionary-sized."""
+    from .sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ment = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("j"),
+    ).select(
+        "doc_id",
+        F.format_string(
+            "GEO_%05d", F.expr(layers.MENTION_IDX_SQL.format(j="j"))
+        ).alias("surface"),
+        ((F.col("doc_id") + F.col("j")) % 9).alias("p"),
+    ).select(
+        "doc_id",
+        F.concat(
+            F.expr("substring(surface, 1, p)"),
+            F.expr("substring(surface, p + 2)"),
+        ).alias("typo"),
+    )
+    gaz = spark.range(layers.N_GAZ).select(
+        F.col("id").alias("gaz_idx"),
+        F.format_string("GEO_%05d", F.col("id")).alias("surface"),
+    )
+    variants = gaz.select(
+        "gaz_idx", "surface",
+        F.explode(F.sequence(F.lit(0), F.lit(8))).alias("p"),
+    ).select(
+        "gaz_idx", "surface",
+        F.concat(
+            F.expr("substring(surface, 1, p)"),
+            F.expr("substring(surface, p + 2)"),
+        ).alias("typo"),
+    ).distinct()
+    cand = ment.join(F.broadcast(variants), "typo").filter(
+        F.expr("levenshtein(typo, surface)") == 1
+    )
+    return (
+        cand.select("doc_id", "gaz_idx").distinct()
+        .groupBy("gaz_idx")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
