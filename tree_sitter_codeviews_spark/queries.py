@@ -3612,41 +3612,49 @@ def events_mobility_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and (sum x)^2 < (n * 2^10)^2 — safe to ~2^26 pings per user."""
     from .sources.testdata import load_table
 
+    # one pass, two chained aggregates, ZERO joins: the (user, cell) rollup
+    # carries partial sums/extrema alongside the cell count, and the user
+    # rollup combines them — 2 exchanges total vs the naive
+    # base-JOIN-cells shape (4 exchanges + a join on the user key)
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.expr(layers.EVT_GX_SQL).alias("ex"),
         F.expr(layers.EVT_GY_SQL).alias("ey"),
     )
-    base = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_pings"),
-        F.sum("ex").alias("sx"),
-        F.sum("ey").alias("sy"),
-        F.sum(F.col("ex") * F.col("ex") + F.col("ey") * F.col("ey")).alias("sq"),
-        F.min("ex").alias("min_x"),
-        F.max("ex").alias("max_x"),
-        F.min("ey").alias("min_y"),
-        F.max("ey").alias("max_y"),
+    per_cell = ev.groupBy(
+        "user_id",
+        F.shiftright("ex", TRAJSIM_SHIFT).alias("cx"),
+        F.shiftright("ey", TRAJSIM_SHIFT).alias("cy"),
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("ex").alias("psx"),
+        F.sum("ey").alias("psy"),
+        F.sum(F.col("ex") * F.col("ex") + F.col("ey") * F.col("ey")).alias("psq"),
+        F.min("ex").alias("pminx"),
+        F.max("ex").alias("pmaxx"),
+        F.min("ey").alias("pminy"),
+        F.max("ey").alias("pmaxy"),
     )
-    cells = (
-        ev.groupBy(
-            "user_id",
-            F.shiftright("ex", TRAJSIM_SHIFT).alias("cx"),
-            F.shiftright("ey", TRAJSIM_SHIFT).alias("cy"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("user_id")
+    return (
+        per_cell.groupBy("user_id")
         .agg(
+            F.sum("c").alias("n_pings"),
             F.count(F.lit(1)).alias("n_cells"),
+            F.sum("psx").alias("sx"),
+            F.sum("psy").alias("sy"),
+            F.sum("psq").alias("sq"),
             F.sum(F.col("c") * F.col("c")).alias("sc2"),
+            F.min("pminx").alias("min_x"),
+            F.max("pmaxx").alias("max_x"),
+            F.min("pminy").alias("min_y"),
+            F.max("pmaxy").alias("max_y"),
         )
-    )
-    return base.join(cells, "user_id").select(
-        "user_id", "n_pings", "n_cells",
-        "min_x", "max_x", "min_y", "max_y",
-        F.expr(
-            "n_pings * sq - sx * sx - sy * sy"
-        ).alias("rg2_num"),
-        F.expr("sc2 * 1000000 div (n_pings * n_pings)").alias("hhi_ppm"),
+        .select(
+            "user_id", "n_pings", "n_cells",
+            "min_x", "max_x", "min_y", "max_y",
+            F.expr("n_pings * sq - sx * sx - sy * sy").alias("rg2_num"),
+            F.expr("sc2 * 1000000 div (n_pings * n_pings)").alias("hhi_ppm"),
+        )
     )
 
 
