@@ -190,6 +190,25 @@ HEADLINE = [
     "events_stay_points",     # gaps-and-islands stay-point detection
     "geo_emerging_hotspots",  # space-time cube + Mann-Kendall trend per tile
     "events_traj_similarity", # per-user top-5 Jaccard co-traveler kNN
+    # round-5 late wave: geofence / trajectory-preprocessing / mobility /
+    # facility analytics (all events-table, exact-integer, oracle-green)
+    "events_geofence_dwell",  # two-phase fence containment dwell rollup
+    "events_geofence_transitions",  # enter/exit/switch lag state machine
+    "events_geofence_occupancy",    # per-fence hourly distinct-user load
+    "events_stream_geofence", # stateful streaming geofence alert drain
+    "events_traj_outliers",   # cross-multiplied GPS-jump speed gate
+    "events_traj_resample",   # fixed-step linear track interpolation
+    "events_mobility_profile",  # radius-of-gyration + bbox + HHI (2 exchanges)
+    "geo_tile_rhythms",       # per-tile dow x hour activity signature
+    "events_trips",           # stay-to-stay OD trip extraction
+    "geo_idw_surface",        # joinless HOF inverse-distance interpolation
+    "geo_nearest_facility",   # packed-argmin reverse geocoding + catchments
+    "events_convex_hull",     # monotone-chain hull area (applyInPandas)
+    "geo_uncovered_docs",     # PIP anti-join coverage-gap audit
+    "events_popular_routes",  # top-k cell-transition desire lines
+    "geo_tile_skyline",       # Pareto frontier window sweep
+    "geo_choropleth_bins",    # equal-frequency ntile class breaks
+    "text_fuzzy_link",        # deletion-neighborhood fuzzy entity linking
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -406,6 +425,24 @@ SCALE2 = [
     # traj-similarity: one corpus distinct, cell-bounded pair space.
     "geo_emerging_hotspots",
     "events_traj_similarity",
+    # r5 late wave: geofence joins are linear (broadcast cover dim, one
+    # keyed aggregate; replica event_ids redraw positions uniformly);
+    # transitions/outliers/resample/trips are user-partitioned window
+    # passes (the traj_simplify class); mobility_profile is two chained
+    # aggregates; rhythms/choropleth are grid-bounded rollups;
+    # idw_surface/nearest_facility are scan-bound literal-array HOFs;
+    # convex_hull's per-user distinct point set is grid-capped (<= 2^20)
+    # so the grouped-map cost is user-bounded; uncovered_docs is the PIP
+    # shape + an anti join on the unique doc key; popular_routes /
+    # tile_skyline aggregate to dimension-sized tables before their tiny
+    # windows; fuzzy_link is a broadcast variant-dim equi-join (linear).
+    "events_geofence_dwell", "events_geofence_transitions",
+    "events_geofence_occupancy", "events_stream_geofence",
+    "events_traj_outliers", "events_traj_resample",
+    "events_mobility_profile", "geo_tile_rhythms", "events_trips",
+    "geo_idw_surface", "geo_nearest_facility", "events_convex_hull",
+    "geo_uncovered_docs", "events_popular_routes", "geo_tile_skyline",
+    "geo_choropleth_bins", "text_fuzzy_link",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two

@@ -202,3 +202,34 @@ def test_traj_similarity_topk_bound(spark):
         r = sorted(g["rank"])
         assert len(r) <= q.TRAJSIM_TOPK
         assert r == list(range(1, len(r) + 1)), ua
+
+
+def test_stay_overlaps_symmetric_and_grounded(spark):
+    """Co-presence pairs are ordered (a < b), grounded in real stays, and
+    every overlap count is positive; heading histogram partitions all
+    moving hops."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    ov = q.events_stay_overlaps(spark, sf).toPandas()
+    assert len(ov) > 0
+    assert (ov["user_a"] < ov["user_b"]).all()
+    assert (ov["n_overlaps"] >= 1).all()
+
+    hh = q.events_heading_hist(spark, "/root/testdata/sf0.001").toPandas()
+    assert set(hh["octant"]) <= set(range(8))
+    moving = duckdb.sql(f"""
+        WITH ev AS (
+          SELECT user_id, ts, event_id,
+                 (event_id * 48271 + 7) % 1024 AS ex,
+                 (event_id * 16807 + 12345) % 1024 AS ey
+          FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+        ),
+        hops AS (
+          SELECT ex - lag(ex) OVER w AS dx, ey - lag(ey) OVER w AS dy
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT count(*) FROM hops WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)
+    """).fetchone()[0]
+    assert hh["n_hops"].sum() == moving

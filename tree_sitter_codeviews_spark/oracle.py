@@ -5409,3 +5409,75 @@ cand AS (
 SELECT gaz_idx, CAST(count(*) AS BIGINT) AS n_docs
 FROM cand GROUP BY 1
 """
+
+
+def events_stay_overlaps_sql() -> str:
+    from .queries import HOTSPOT_SHIFT, STAY_MIN_PINGS, STAY_RADIUS
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN greatest(abs(ex - lag(ex) OVER w), abs(ey - lag(ey) OVER w))
+                   <= {STAY_RADIUS}
+              THEN 0 ELSE 1 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+stays AS (
+  SELECT user_id, island, min(sec) AS t0, max(sec) AS t1,
+         CAST((sum(ex) // count(*)) >> {HOTSPOT_SHIFT} AS BIGINT) AS cx,
+         CAST((sum(ey) // count(*)) >> {HOTSPOT_SHIFT} AS BIGINT) AS cy
+  FROM isl GROUP BY 1, 2
+  HAVING count(*) >= {STAY_MIN_PINGS}
+),
+pairs AS (
+  SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b,
+         a.cx, a.cy, a.island AS ia, b.island AS ib
+  FROM stays a JOIN stays b
+    ON a.cx = b.cx AND a.cy = b.cy
+   AND a.user_id < b.user_id
+   AND a.t0 <= b.t1 AND b.t0 <= a.t1
+)
+SELECT user_a, user_b, cx, cy, CAST(count(*) AS BIGINT) AS n_overlaps
+FROM pairs GROUP BY 1, 2, 3, 4
+"""
+
+
+def events_heading_hist_sql() -> str:
+    from .queries import HOTSPOT_SHIFT
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+hops AS (
+  SELECT lag(ex) OVER w AS x0, lag(ey) OVER w AS y0,
+         ex - lag(ex) OVER w AS dx, ey - lag(ey) OVER w AS dy
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT x0 >> {HOTSPOT_SHIFT} AS tx, y0 >> {HOTSPOT_SHIFT} AS ty,
+       CAST(CASE
+         WHEN abs(dx) > 2 * abs(dy) THEN CASE WHEN dx > 0 THEN 0 ELSE 4 END
+         WHEN abs(dy) > 2 * abs(dx) THEN CASE WHEN dy > 0 THEN 2 ELSE 6 END
+         WHEN dx > 0 AND dy > 0 THEN 1
+         WHEN dx < 0 AND dy > 0 THEN 3
+         WHEN dx < 0 AND dy < 0 THEN 5
+         ELSE 7
+       END AS BIGINT) AS octant,
+       CAST(count(*) AS BIGINT) AS n_hops
+FROM hops
+WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)
+GROUP BY 1, 2, 3
+"""

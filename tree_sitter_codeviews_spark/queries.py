@@ -4130,3 +4130,126 @@ def text_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gaz_idx")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def events_stay_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True co-presence — pairs of users whose STAY INTERVALS overlap in
+    time at the same res-3 tile (stricter than events_colocation's
+    same-day test: both trajectories must actually dwell simultaneously).
+    Tiles are 128-px (HOTSPOT_SHIFT) to match STAY_RADIUS, so two stays
+    whose centroids share a tile are within each other's dwell range.
+    Stays come from the gaps-and-islands pass (events_stay_points); the
+    interval join buckets each stay to the days it spans (bounded explode)
+    and equi-joins on (cell, day) before the exact overlap test, so the
+    pair space is occupancy-bounded per (cell, day) — never user x user —
+    and the multi-day double-count collapses with one distinct. Output:
+    (user_a, user_b, cx, cy, n_overlaps) per ordered pair and cell.
+    Reference parity: the interval-overlap family (as-of/range joins,
+    operators/relational.py) lifted to derived intervals."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "brk",
+        F.when(
+            F.greatest(
+                F.abs(F.col("ex") - F.lag("ex").over(w)),
+                F.abs(F.col("ey") - F.lag("ey").over(w)),
+            ) <= STAY_RADIUS,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    stays = (
+        flagged.groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.min("sec").alias("t0"),
+            F.max("sec").alias("t1"),
+            F.expr(f"(sum(ex) div count(*)) >> {HOTSPOT_SHIFT}").alias("cx"),
+            F.expr(f"(sum(ey) div count(*)) >> {HOTSPOT_SHIFT}").alias("cy"),
+        )
+        .filter(F.col("n_pings") >= STAY_MIN_PINGS)
+        .select("user_id", "island", "t0", "t1", "cx", "cy")
+    )
+    daily = stays.withColumn(
+        "day", F.explode(F.sequence(F.expr("t0 div 86400"), F.expr("t1 div 86400")))
+    )
+    a = daily.select(
+        F.col("user_id").alias("user_a"), F.col("island").alias("ia"),
+        F.col("t0").alias("a0"), F.col("t1").alias("a1"), "cx", "cy", "day",
+    )
+    b = daily.select(
+        F.col("user_id").alias("user_b"), F.col("island").alias("ib"),
+        F.col("t0").alias("b0"), F.col("t1").alias("b1"), "cx", "cy", "day",
+    )
+    pairs = (
+        a.join(b, ["cx", "cy", "day"])
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("a0") <= F.col("b1"))
+            & (F.col("b0") <= F.col("a1"))
+        )
+        .select("user_a", "user_b", "cx", "cy", "ia", "ib")
+        .distinct()  # collapse multi-day bucket double-counts
+    )
+    return pairs.groupBy("user_a", "user_b", "cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )
+
+
+def events_heading_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional statistics — the per-tile heading histogram (which way
+    does traffic flow here): every hop classifies its (dx, dy) into one of
+    8 octants by exact integer sign/dominance tests (E, NE, N, NW, W, SW,
+    S, SE as 0..7; zero-displacement hops are excluded by the transition
+    filter), binned at the hop's ORIGIN res-3 tile. One window pass + one
+    (tile, octant) aggregate — the key space is 64 tiles x 8."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = ev.select(
+        F.lag("ex").over(w).alias("x0"),
+        F.lag("ey").over(w).alias("y0"),
+        (F.col("ex") - F.lag("ex").over(w)).alias("dx"),
+        (F.col("ey") - F.lag("ey").over(w)).alias("dy"),
+    ).filter(
+        F.col("dx").isNotNull() & ((F.col("dx") != 0) | (F.col("dy") != 0))
+    )
+    # octant: dominant axis by |dx| vs |dy| (ties to the diagonal), then
+    # sign pattern — pure integer comparisons, no atan2
+    octant = F.expr("""
+      CASE
+        WHEN abs(dx) > 2 * abs(dy) THEN IF(dx > 0, 0, 4)
+        WHEN abs(dy) > 2 * abs(dx) THEN IF(dy > 0, 2, 6)
+        WHEN dx > 0 AND dy > 0 THEN 1
+        WHEN dx < 0 AND dy > 0 THEN 3
+        WHEN dx < 0 AND dy < 0 THEN 5
+        ELSE 7
+      END
+    """)
+    return (
+        hops.select(
+            F.shiftright("x0", HOTSPOT_SHIFT).alias("tx"),
+            F.shiftright("y0", HOTSPOT_SHIFT).alias("ty"),
+            octant.cast("long").alias("octant"),
+        )
+        .groupBy("tx", "ty", "octant")
+        .agg(F.count(F.lit(1)).alias("n_hops"))
+    )
