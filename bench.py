@@ -209,6 +209,8 @@ HEADLINE = [
     "geo_tile_skyline",       # Pareto frontier window sweep
     "geo_choropleth_bins",    # equal-frequency ntile class breaks
     "text_fuzzy_link",        # deletion-neighborhood fuzzy entity linking
+    "events_stay_overlaps",   # stay-interval co-presence pairs
+    "events_heading_hist",    # per-tile 8-octant heading histogram
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -443,6 +445,11 @@ SCALE2 = [
     "geo_idw_surface", "geo_nearest_facility", "events_convex_hull",
     "geo_uncovered_docs", "events_popular_routes", "geo_tile_skyline",
     "geo_choropleth_bins", "text_fuzzy_link",
+    # heading_hist is one user-partitioned window + a grid-bounded rollup
+    # (linear). events_stay_overlaps stays EXCLUDED from sf2: replication
+    # multiplies concurrent stays per (tile, day), so its pair space is
+    # occupancy-distribution-bound — the events_colocation exclusion class.
+    "events_heading_hist",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two
