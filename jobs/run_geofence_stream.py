@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Geofence alerting as a PRODUCTION streaming job — the file-sink +
+checkpoint shape the gate's memory-sink drain deliberately is not
+(streaming.run_available_now docstring):
+
+    spark-submit --py-files tscv_spark.zip jobs/run_geofence_stream.py \\
+        --sf-dir /root/testdata/sf0.01 \\
+        --out /tmp/tscv_geofence/alerts \\
+        --checkpoint /tmp/tscv_geofence/ckpt
+
+Contract:
+  - source: the events parquet drop directory (file stream source);
+  - operator: ``streaming.geofence_stream_transitions`` in APPEND mode
+    (the emitted rows are per-batch enter/exit/switch deltas, so append
+    to a parquet table is exactly-once given the checkpoint);
+  - sink: parquet + checkpointLocation, availableNow trigger — the
+    batch-drain deployment. A continuous deployment replaces the trigger
+    and nothing else.
+  - RESUME: rerunning with the same --checkpoint processes only files not
+    yet committed to the source log — a second run over an unchanged
+    input directory appends ZERO rows (pinned by
+    tests/test_geofence_job.py), which is the no-recompute evidence the
+    batch jobs (run_pipeline.py) provide via stage checkpoints.
+
+At 100 TB the only knobs are the source's maxFilesPerTrigger (micro-batch
+sizing) and shuffle partitions for the user-key state exchange; state per
+user is one int64, so the state store is user-dim-sized.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def run(spark, sf_dir: str, out: str, checkpoint: str) -> int:
+    """Drain the available input into the alert table; return rows written
+    this run (0 on a pure resume)."""
+    from pyspark.sql import functions as F
+
+    from tree_sitter_codeviews_spark import streaming
+
+    ev = streaming.stream_events(spark, sf_dir)
+    alerts = streaming.geofence_stream_transitions(ev, output_mode="append")
+    before = _count_or_zero(spark, out)
+    q = (
+        alerts.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    after = spark.read.parquet(out).count()
+    return after - before
+
+
+def _count_or_zero(spark, path: str) -> int:
+    try:
+        return spark.read.parquet(path).count()
+    except Exception:
+        return 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    args = ap.parse_args()
+
+    from tree_sitter_codeviews_spark.session import get_spark
+
+    spark = get_spark("geofence-stream")
+    spark.sparkContext.setLogLevel("WARN")
+    written = run(spark, args.sf_dir, args.out, args.checkpoint)
+    print(f"alerts written this run: {written}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -254,7 +254,9 @@ def stream_outlink_edges(pages: DataFrame) -> DataFrame:
     )
 
 
-def geofence_stream_transitions(events: DataFrame) -> DataFrame:
+def geofence_stream_transitions(
+    events: DataFrame, output_mode: str = "update"
+) -> DataFrame:
     """Streaming geofence alerting — the live twin of the batch
     ``queries.events_geofence_transitions``: per-user state is the ONE
     int64 "last fence" value (``applyInPandasWithState``), each micro-batch
@@ -327,5 +329,5 @@ def geofence_stream_transitions(events: DataFrame) -> DataFrame:
         yield pd.DataFrame(out)
 
     return events.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, output_mode, GroupStateTimeout.NoTimeout
     )
