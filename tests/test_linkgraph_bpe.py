@@ -247,3 +247,20 @@ def test_cocitation_multiedges_count_once(spark):
     rows = linkgraph.cocitation(edges, min_common=2).collect()
     assert len(rows) == 1 and rows[0].common == 2
     assert rows[0].cocite_ppm == 1_000_000  # identical target sets
+
+
+def test_crawl_cost_bounded_by_depth(spark):
+    """The weighted cost surface is consistent with BFS: every reached
+    host is BFS-reachable, seeds cost 0, and cost <= depth * max edge
+    cost (each hop costs at most 1e6 div 2)."""
+    from pyspark.sql import functions as F
+
+    from tree_sitter_codeviews_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    cost = q.webtext_crawl_cost(spark, sf).toPandas().set_index("host")["cost"]
+    depth = q.webtext_crawl_depth(spark, sf).toPandas().set_index("host")["depth"]
+    assert set(cost.index) == set(depth.index)
+    for h, d in depth.items():
+        assert (d == 0) == (cost[h] == 0)  # seeds and only seeds are free
+        assert cost[h] <= d * 500_000

@@ -529,3 +529,47 @@ def label_propagation(
             "host", F.coalesce("new_lbl", "lbl").alias("lbl")
         )
     return lbl.select("host", F.col("lbl").alias("community"))
+
+
+def cheapest_paths(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
+    """Multi-source CHEAPEST path cost within ``rounds`` edges — the
+    weighted complement of ``bfs_depth``: edge cost is derived from link
+    multiplicity, cost(src, dst) = 1_000_000 div (1 + n_links), so
+    heavily-linked routes are cheap to traverse (the crawl-effort model:
+    a strongly-endorsed hop needs less budget per discovered page). Each
+    synchronous Bellman-Ford round relaxes
+    cost(dst) = min(cost(dst), cost(src) + edge_cost).
+
+    The returned value is exactly "the cheapest path using at most
+    ``rounds`` edges" — a well-defined quantity independent of
+    convergence (unlike BFS, a cheaper longer route may still exist
+    beyond the horizon; at corpus scale iterate to a fixpoint instead).
+    All-integer min-relaxation: order-free, bit-reproducible, oracle
+    unrolls identical rounds. Scale shape: identical to bfs_depth — the
+    weighted edge view is host-dim-bounded and localCheckpointed once;
+    each round is one join + one min-aggregate."""
+    w = (
+        edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .select(
+            "src", "dst",
+            F.expr("1000000 div (1 + n_links)").alias("edge_cost"),
+        )
+        .localCheckpoint()
+    )
+    reached = seeds.select(F.col("host"), F.lit(0).cast("long").alias("cost"))
+    for _ in range(rounds):
+        step = (
+            w.join(reached, w["src"] == reached["host"])
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("cost") + F.col("edge_cost")).alias("cost"),
+            )
+        )
+        reached = (
+            reached.unionAll(step)
+            .groupBy("host")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    return reached

@@ -5481,3 +5481,40 @@ FROM hops
 WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)
 GROUP BY 1, 2, 3
 """
+
+
+def webtext_crawl_cost_sql(rounds: int = 4) -> str:
+    """Mirror of linkgraph.cheapest_paths over the shared host-edge
+    fixture: multiplicity-derived edge costs, same seeds, same unrolled
+    Bellman-Ford min-relax rounds."""
+    head = """
+WITH e AS (
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 7 + 1) % 100) AS dst
+  FROM documents
+  UNION ALL
+  SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+         printf('host%04d.example', (doc_id * 13 + 2) % 100) AS dst
+  FROM documents
+),
+w AS (
+  SELECT src, dst, 1000000 // (1 + count(*)) AS edge_cost
+  FROM e GROUP BY 1, 2
+),
+c0 AS (
+  SELECT printf('host%04d.example', i) AS host, 0 AS cost
+  FROM range(100) t(i) WHERE i % 10 = 0
+)"""
+    layers_sql = []
+    for r in range(1, rounds + 1):
+        layers_sql.append(f"""
+c{r} AS (
+  SELECT host, min(cost) AS cost FROM (
+    SELECT host, cost FROM c{r - 1}
+    UNION ALL
+    SELECT w.dst AS host, p.cost + w.edge_cost AS cost
+    FROM c{r - 1} p JOIN w ON p.host = w.src
+  ) GROUP BY 1
+)""")
+    final = f"SELECT host, CAST(cost AS BIGINT) AS cost FROM c{rounds}"
+    return head + "," + ",".join(layers_sql) + "\n" + final

@@ -4259,3 +4259,22 @@ def events_heading_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tx", "ty", "octant")
         .agg(F.count(F.lit(1)).alias("n_hops"))
     )
+
+
+def webtext_crawl_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-budget cost surface: the cheapest <= 4-edge path cost from
+    the seed hosts over the shared host link graph, with edge cost
+    inversely proportional to link multiplicity (1e6 div (1 + n_links) —
+    strongly-endorsed hops are cheap). The weighted complement of
+    webtext_crawl_depth's BFS: a host two well-linked hops away can be
+    cheaper to reach than a weakly-linked neighbor, which is exactly the
+    prioritization signal an OPIC-style crawler budgets by. Exact
+    integer Bellman-Ford rounds, oracle-unrolled."""
+    from .operators import linkgraph
+
+    seeds = _host_nodes(spark).filter(
+        F.expr("CAST(substr(host, 5, 4) AS INT) % 10 = 0")
+    )
+    return linkgraph.cheapest_paths(
+        _host_edges(_docs(spark, sf_dir)), seeds, rounds=4
+    )
