@@ -211,6 +211,7 @@ HEADLINE = [
     "text_fuzzy_link",        # deletion-neighborhood fuzzy entity linking
     "events_stay_overlaps",   # stay-interval co-presence pairs
     "events_heading_hist",    # per-tile 8-octant heading histogram
+    "webtext_crawl_cost",     # weighted Bellman-Ford crawl-budget cost
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -449,7 +450,10 @@ SCALE2 = [
     # (linear). events_stay_overlaps stays EXCLUDED from sf2: replication
     # multiplies concurrent stays per (tile, day), so its pair space is
     # occupancy-distribution-bound — the events_colocation exclusion class.
-    "events_heading_hist",
+    # crawl_cost iterates on the host-bounded weighted edge view (the
+    # crawl_depth class; replication multiplies multiplicities uniformly,
+    # shifting costs deterministically — cost-faithful).
+    "events_heading_hist", "webtext_crawl_cost",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two
