@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stay_overlaps": q.events_stay_overlaps,  # stay-interval co-presence pairs (r5)
         "events_heading_hist": q.events_heading_hist,  # per-tile 8-octant heading histogram (r5)
         "webtext_crawl_cost": q.webtext_crawl_cost,  # weighted Bellman-Ford crawl-budget cost (r5)
+        "geo_tile_closest_pair": q.geo_tile_closest_pair,  # per-tile exact min pair distance (r5)
+        "events_gap_stats": q.events_gap_stats,  # per-user gap count/max/exact-median (r5)
         "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
         "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4; host-lowercase r5)
         "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4; host-lowercase r5)
@@ -419,6 +421,8 @@ def oracle_sql() -> dict[str, str]:
         "events_stay_overlaps": oracle.events_stay_overlaps_sql(),
         "events_heading_hist": oracle.events_heading_hist_sql(),
         "webtext_crawl_cost": oracle.webtext_crawl_cost_sql(),
+        "geo_tile_closest_pair": oracle.geo_tile_closest_pair_sql(),
+        "events_gap_stats": oracle.events_gap_stats_sql(),
         "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
         "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),
         "geo_geohash": oracle.geo_geohash_sql(),

@@ -349,3 +349,22 @@ def test_traj_simplify_keeps_endpoints_and_corners(spark):
     )
     missing = ends.join(kept, ["user_id", "event_id"], "left_anti").count()
     assert missing == 0
+
+
+def test_closest_pair_consistent_with_diameter(spark):
+    """min_d2 <= diam_sq per tile, same tile set (for tiles with >= 2
+    distinct points), and min_d2 >= 1 (distinct integer locations)."""
+    from tree_sitter_codeviews_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    cp = q.geo_tile_closest_pair(spark, sf).toPandas().set_index(["tx", "ty"])
+    di = q.geo_tile_diameter(spark, sf).toPandas().set_index(["tx", "ty"])
+    assert len(cp) > 0
+    for key, row in cp.iterrows():
+        assert row["min_d2"] >= 1
+        assert key in di.index
+        assert row["min_d2"] <= di.loc[key]["diam_sq"]
+        assert row["n_pts"] == di.loc[key]["n_pts"]
+    # diameter rows missing from closest-pair are exactly the 1-point tiles
+    only = di.index.difference(cp.index)
+    assert (di.loc[only]["n_pts"] == 1).all()

@@ -5518,3 +5518,53 @@ c{r} AS (
 )""")
     final = f"SELECT host, CAST(cost AS BIGINT) AS cost FROM c{rounds}"
     return head + "," + ",".join(layers_sql) + "\n" + final
+
+
+def geo_tile_closest_pair_sql(shift: int = 5) -> str:
+    return f"""
+WITH {_pts0_only()},
+d AS (
+  SELECT DISTINCT gx >> {shift} AS tx, gy >> {shift} AS ty, gx, gy
+  FROM pts0
+),
+pairs AS (
+  SELECT a.tx, a.ty,
+         (a.gx - b.gx) * (a.gx - b.gx) + (a.gy - b.gy) * (a.gy - b.gy) AS d2
+  FROM d a JOIN d b
+    ON a.tx = b.tx AND a.ty = b.ty
+   AND (a.gx <> b.gx OR a.gy <> b.gy)
+)
+SELECT p.tx, p.ty,
+       CAST(count(DISTINCT (d.gx, d.gy)) AS BIGINT) AS n_pts,
+       min(p.d2) AS min_d2
+FROM pairs p JOIN d ON d.tx = p.tx AND d.ty = p.ty
+GROUP BY 1, 2
+"""
+
+
+def events_gap_stats_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+gaps AS (
+  SELECT user_id, event_id, sec - lag(sec) OVER w AS gap
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (SELECT * FROM gaps WHERE gap IS NOT NULL),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, max(gap) AS max_gap
+  FROM g GROUP BY 1
+),
+med AS (
+  SELECT user_id, gap AS median_gap FROM (
+    SELECT user_id, gap, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY gap, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS cnt
+    FROM g
+  ) WHERE rn = (cnt + 1) // 2
+)
+SELECT a.user_id, a.n_gaps, a.max_gap, m.median_gap
+FROM agg a JOIN med m USING (user_id)
+"""

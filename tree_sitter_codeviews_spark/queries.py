@@ -4278,3 +4278,51 @@ def webtext_crawl_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.cheapest_paths(
         _host_edges(_docs(spark, sf_dir)), seeds, rounds=4
     )
+
+
+def geo_tile_closest_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-res-5-tile closest pair of distinct doc locations (exact min
+    squared distance, int64) — the crowding stat complementing
+    geo_tile_diameter's extent; tiles with one distinct location emit no
+    row. Grouped Arrow batches over grid-capped distinct point sets vs
+    the oracle's quadratic self-join."""
+    from .operators import segments
+
+    return segments.tile_closest_pair(
+        pages_src.doc_points_df(spark, sf_dir).select("gx", "gy"), shift=5
+    )
+
+
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user liveness profile — the inter-ping gap distribution a
+    telemetry pipeline monitors for dropout (how long does this device go
+    dark): gap count, max gap, and the EXACT lower-median gap via
+    rank-selection (row_number over the per-user gap sort == (n+1) div 2
+    — the textstats.length_quantiles discipline, no approx-percentile
+    sketch). Two windows + one aggregate, all partitioned by the uniform
+    user key."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", "event_id",
+        (F.col("sec") - F.lag("sec").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap").alias("max_gap"),
+    )
+    wg = Window.partitionBy("user_id").orderBy("gap", "event_id")
+    med = (
+        gaps.withColumn("rn", F.row_number().over(wg))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("user_id", F.col("gap").alias("median_gap"))
+    )
+    return agg.join(med, "user_id")
