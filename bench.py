@@ -212,6 +212,8 @@ HEADLINE = [
     "events_stay_overlaps",   # stay-interval co-presence pairs
     "events_heading_hist",    # per-tile 8-octant heading histogram
     "webtext_crawl_cost",     # weighted Bellman-Ford crawl-budget cost
+    "geo_tile_closest_pair",  # per-tile exact min pair distance
+    "events_gap_stats",       # per-user gap count/max/exact-median
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -453,7 +455,11 @@ SCALE2 = [
     # crawl_cost iterates on the host-bounded weighted edge view (the
     # crawl_depth class; replication multiplies multiplicities uniformly,
     # shifting costs deterministically — cost-faithful).
+    # closest_pair's groups are grid-capped like tile_diameter (replication
+    # fills tiles toward the pixel cap); gap_stats is two user-partitioned
+    # windows + one aggregate (the traj_simplify class).
     "events_heading_hist", "webtext_crawl_cost",
+    "geo_tile_closest_pair", "events_gap_stats",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two
