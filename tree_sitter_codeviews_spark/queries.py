@@ -4314,15 +4314,20 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id",
         (F.col("sec") - F.lag("sec").over(w)).alias("gap"),
     ).filter(F.col("gap").isNotNull())
-    agg = gaps.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_gaps"),
-        F.max("gap").alias("max_gap"),
-    )
+    # one window pipeline, zero joins: rank, count and max all share the
+    # user partitioning, so the median row carries the aggregates with it
+    # (the oracle keeps the independent agg-join formulation)
     wg = Window.partitionBy("user_id").orderBy("gap", "event_id")
-    med = (
+    wa = Window.partitionBy("user_id")
+    return (
         gaps.withColumn("rn", F.row_number().over(wg))
-        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("cnt", F.count(F.lit(1)).over(wa))
+        .withColumn("mx", F.max("gap").over(wa))
         .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
-        .select("user_id", F.col("gap").alias("median_gap"))
+        .select(
+            "user_id",
+            F.col("cnt").alias("n_gaps"),
+            F.col("mx").alias("max_gap"),
+            F.col("gap").alias("median_gap"),
+        )
     )
-    return agg.join(med, "user_id")
