@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_crawl_cost": q.webtext_crawl_cost,  # weighted Bellman-Ford crawl-budget cost (r5)
         "geo_tile_closest_pair": q.geo_tile_closest_pair,  # per-tile exact min pair distance (r5)
         "events_gap_stats": q.events_gap_stats,  # per-user gap count/max/exact-median (r5)
+        "events_state_history": q.events_state_history,  # SCD-2 geofence state dimension (r5)
+        "geo_tile_day_bitmask": q.geo_tile_day_bitmask,  # day-presence bitmask pair Jaccard (r5)
         "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
         "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4; host-lowercase r5)
         "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4; host-lowercase r5)
@@ -423,6 +425,8 @@ def oracle_sql() -> dict[str, str]:
         "webtext_crawl_cost": oracle.webtext_crawl_cost_sql(),
         "geo_tile_closest_pair": oracle.geo_tile_closest_pair_sql(),
         "events_gap_stats": oracle.events_gap_stats_sql(),
+        "events_state_history": oracle.events_state_history_sql(),
+        "geo_tile_day_bitmask": oracle.geo_tile_day_bitmask_sql(),
         "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
         "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),
         "geo_geohash": oracle.geo_geohash_sql(),

@@ -146,3 +146,43 @@ def test_stream_geofence_equals_batch(spark):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
+
+
+def test_state_history_scd2_invariants(spark):
+    """SCD-2 contract: per user, versions are contiguous from 1, intervals
+    chain exactly (valid_to == next valid_from), exactly one open row
+    (valid_to NULL), consecutive states differ, and the history replays
+    the transition stream."""
+    hist = (
+        q.events_state_history(spark, SF)
+        .toPandas()
+        .sort_values(["user_id", "version"])
+    )
+    trans = q.events_geofence_transitions(spark, SF).toPandas()
+    assert len(hist) > 0
+    for uid, grp in hist.groupby("user_id"):
+        assert list(grp["version"]) == list(range(1, len(grp) + 1))
+        assert grp["valid_to"].isna().sum() == 1
+        assert pd.isna(grp["valid_to"].iloc[-1])
+        chained = grp["valid_to"].iloc[:-1].to_numpy()
+        nxt = grp["valid_from"].iloc[1:].to_numpy()
+        assert (chained == nxt).all()
+        states = grp["state"].to_numpy()
+        assert (states[1:] != states[:-1]).all()
+    # a user's transition count equals runs-1 plus an initial enter when
+    # the first state is inside a fence (prev NULL & state != -1)
+    for uid, grp in hist.groupby("user_id"):
+        n_trans = len(trans[trans["user_id"] == uid])
+        expected = len(grp) - 1 + (1 if grp["state"].iloc[0] != -1 else 0)
+        assert n_trans == expected
+
+
+def test_day_bitmask_pairs_antisymmetric_and_bounded(spark):
+    pdf = q.geo_tile_day_bitmask(spark, SF).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["n_both"] >= 1).all()
+    assert (pdf["n_both"] <= pdf["n_either"]).all()
+    assert (pdf["jaccard_ppm"] <= 1_000_000).all()
+    # strict ordering => no pair appears twice
+    key = pdf["ta_x"] * 2**30 + pdf["ta_y"] * 2**20 + pdf["tb_x"] * 2**10 + pdf["tb_y"]
+    assert key.is_unique

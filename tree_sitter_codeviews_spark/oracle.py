@@ -5568,3 +5568,72 @@ med AS (
 SELECT a.user_id, a.n_gaps, a.max_gap, m.median_gap
 FROM agg a JOIN med m USING (user_id)
 """
+
+
+def events_state_history_sql() -> str:
+    from .queries import FENCE_R
+
+    return f"""
+WITH {_fences_cte()},
+ev AS (
+  SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+pinged AS (
+  SELECT e.user_id, e.ts, e.event_id, e.sec,
+         coalesce(min(CASE WHEN abs(e.ex - f.fx) <= {FENCE_R}
+                            AND abs(e.ey - f.fy) <= {FENCE_R}
+                           THEN f.fence_id END), -1) AS state
+  FROM ev e LEFT JOIN fences f
+    ON abs(e.ex - f.fx) <= {FENCE_R} AND abs(e.ey - f.fy) <= {FENCE_R}
+  GROUP BY 1, 2, 3, 4
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(state) OVER w IS NULL
+                   OR lag(state) OVER w <> state THEN 1 ELSE 0 END AS chg
+  FROM pinged WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM flagged
+),
+hist AS (
+  SELECT user_id, run, min(state) AS state, min(sec) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_pings
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id, CAST(run AS BIGINT) AS version, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+       n_pings
+FROM hist
+"""
+
+
+def geo_tile_day_bitmask_sql() -> str:
+    from .queries import HOTSPOT_SHIFT
+
+    return f"""
+WITH days AS (
+  SELECT ({layers.EVT_GX_SQL}) >> {HOTSPOT_SHIFT} AS tx,
+         ({layers.EVT_GY_SQL}) >> {HOTSPOT_SHIFT} AS ty,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+d0 AS (SELECT min(day) AS d0 FROM days),
+masks AS (
+  SELECT tx, ty, bit_or(CAST(1 AS BIGINT) << CAST(day - d0.d0 AS INT)) AS mask
+  FROM days CROSS JOIN d0
+  WHERE day - d0.d0 < 63
+  GROUP BY 1, 2
+)
+SELECT a.tx AS ta_x, a.ty AS ta_y, b.tx AS tb_x, b.ty AS tb_y,
+       CAST(bit_count(a.mask & b.mask) AS BIGINT) AS n_both,
+       CAST(bit_count(a.mask | b.mask) AS BIGINT) AS n_either,
+       CAST(bit_count(a.mask & b.mask) AS BIGINT) * 1000000
+         // CAST(bit_count(a.mask | b.mask) AS BIGINT) AS jaccard_ppm
+FROM masks a JOIN masks b
+  ON a.tx * 1024 + a.ty < b.tx * 1024 + b.ty
+WHERE bit_count(a.mask & b.mask) > 0
+"""

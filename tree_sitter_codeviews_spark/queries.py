@@ -4331,3 +4331,119 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gap").alias("median_gap"),
         )
     )
+
+
+def events_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 state-history build — the slowly-changing-dimension table a
+    warehouse derives from a change stream: each user's per-ping geofence
+    state (min containing fence, -1 outside) collapses into consecutive
+    runs (lag-compare + running sum = run id, the gaps-and-islands
+    discipline), one row per run with half-open validity
+    [valid_from, valid_to) where valid_to is the NEXT run's start and
+    NULL for the current state. Composes the broadcast containment join
+    with three same-key windows — everything partitions by the uniform
+    user key. Reference parity: the def-use last-writer intervals
+    (SDFG_c.py) materialized as a versioned dimension."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    cover = _fence_cover(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    ).withColumn("ccx", F.shiftright(F.col("ex"), FENCE_SHIFT)).withColumn(
+        "ccy", F.shiftright(F.col("ey"), FENCE_SHIFT)
+    )
+    matched = F.when(
+        (F.abs(F.col("ex") - F.col("fx")) <= FENCE_R)
+        & (F.abs(F.col("ey") - F.col("fy")) <= FENCE_R),
+        F.col("fence_id"),
+    )
+    pinged = (
+        ev.join(F.broadcast(cover), ["ccx", "ccy"], "left")
+        .groupBy("user_id", "ts", "event_id", "sec")
+        .agg(F.coalesce(F.min(matched), F.lit(-1)).alias("state"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = pinged.withColumn(
+        "chg",
+        F.when(
+            F.lag("state").over(w).isNull()
+            | (F.lag("state").over(w) != F.col("state")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    # state is constant within a run by construction; min() is just the
+    # deterministic way to carry it through the aggregate
+    hist = runs.groupBy("user_id", "run").agg(
+        F.min("state").alias("state"),
+        F.min("sec").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_pings"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run")
+    return hist.select(
+        "user_id",
+        F.col("run").cast("long").alias("version"),
+        "state", "valid_from",
+        F.lead("valid_from").over(wr).alias("valid_to"),
+        "n_pings",
+    )
+
+
+def geo_tile_day_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index co-activity — per res-3 tile, the 64-bit day-presence
+    bitmask (bit d set iff the tile saw a ping on corpus day d), then the
+    tile-pair Jaccard over the bitmasks via pure bitwise ops
+    (bit_count(a & b) / bit_count(a | b) in exact ppm) — the roaring-
+    bitmap co-occurrence pattern compressed into one int64 because the
+    fixture's day span fits a word. One corpus aggregate builds the
+    64-row mask table; the pair join is dimension-bounded. Day offsets
+    are anchored at the corpus min day (broadcast scalar); spans beyond
+    63 days would need a mask ARRAY — the overflow guard filters and the
+    docstring contract documents it."""
+    from .sources.testdata import load_table
+
+    days = load_table(spark, sf_dir, "events").select(
+        F.shiftright(F.expr(layers.EVT_GX_SQL), HOTSPOT_SHIFT).alias("tx"),
+        F.shiftright(F.expr(layers.EVT_GY_SQL), HOTSPOT_SHIFT).alias("ty"),
+        F.expr("CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT)").alias("day"),
+    )
+    d0 = days.agg(F.min("day").alias("d0"))
+    masks = (
+        days.crossJoin(F.broadcast(d0))
+        .filter(F.col("day") - F.col("d0") < 63)
+        .groupBy("tx", "ty")
+        .agg(
+            # shiftleft's python API wants a literal shift; the SQL form
+            # takes a column
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(day - d0 AS INT))")
+            ).alias("mask")
+        )
+    )
+    a = masks.select(
+        F.col("tx").alias("ta_x"), F.col("ty").alias("ta_y"),
+        F.col("mask").alias("ma"),
+    )
+    b = masks.select(
+        F.col("tx").alias("tb_x"), F.col("ty").alias("tb_y"),
+        F.col("mask").alias("mb"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("ta_x") * 1024 + F.col("ta_y")) < (F.col("tb_x") * 1024 + F.col("tb_y")),
+    )
+    return pairs.select(
+        "ta_x", "ta_y", "tb_x", "tb_y",
+        F.bit_count(F.expr("ma & mb")).cast("long").alias("n_both"),
+        F.bit_count(F.expr("ma | mb")).cast("long").alias("n_either"),
+        F.expr(
+            "CAST(bit_count(ma & mb) AS BIGINT) * 1000000"
+            " div CAST(bit_count(ma | mb) AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    ).filter(F.col("n_both") > 0)
