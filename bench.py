@@ -214,6 +214,8 @@ HEADLINE = [
     "webtext_crawl_cost",     # weighted Bellman-Ford crawl-budget cost
     "geo_tile_closest_pair",  # per-tile exact min pair distance
     "events_gap_stats",       # per-user gap count/max/exact-median
+    "events_state_history",   # SCD-2 geofence state dimension
+    "geo_tile_day_bitmask",   # day-presence bitmask pair Jaccard
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -460,6 +462,10 @@ SCALE2 = [
     # windows + one aggregate (the traj_simplify class).
     "events_heading_hist", "webtext_crawl_cost",
     "geo_tile_closest_pair", "events_gap_stats",
+    # state_history is the geofence-transitions plan + one more same-key
+    # window (linear); day_bitmask aggregates to the 64-tile mask table
+    # before its dimension-bounded pair join.
+    "events_state_history", "geo_tile_day_bitmask",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two
