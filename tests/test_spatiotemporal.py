@@ -233,3 +233,60 @@ def test_stay_overlaps_symmetric_and_grounded(spark):
         SELECT count(*) FROM hops WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)
     """).fetchone()[0]
     assert hh["n_hops"].sum() == moving
+
+
+def test_hopping_windows_match_native_spark_window(spark):
+    """The exact-epoch hopping explode reproduces Spark's own
+    window(ts, '2 hours', '1 hour') semantics bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from tree_sitter_codeviews_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q.events_hopping_windows(spark, sf)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    native = (
+        load_table(spark, sf, "events")
+        .groupBy(
+            F.window(F.col("ts").cast("timestamp"), "2 hours", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.expr("unix_timestamp(w.start)").alias("window_start"),
+            "event_type", "n_events",
+        )
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, native, check_dtype=False)
+
+
+def test_graph_diff_consistent_with_full_graph(spark):
+    """gained+persisted edges == snapshot B's edge count per host;
+    lost+persisted == snapshot A's."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    d = q.webtext_graph_diff(spark, sf).toPandas().set_index("src")
+    from tree_sitter_codeviews_spark.queries import _docs, _host_edges
+
+    docs = _docs(spark, sf)
+    na = (
+        _host_edges(docs.filter(F.col("doc_id") % 10 != 7)).distinct()
+        .groupBy("src").count().toPandas().set_index("src")["count"]
+    )
+    nb = (
+        _host_edges(docs.filter(F.col("doc_id") % 10 != 3)).distinct()
+        .groupBy("src").count().toPandas().set_index("src")["count"]
+    )
+    for host, row in d.iterrows():
+        assert row["n_lost"] + row["n_persisted"] == na.get(host, 0)
+        assert row["n_gained"] + row["n_persisted"] == nb.get(host, 0)

@@ -5637,3 +5637,62 @@ FROM masks a JOIN masks b
   ON a.tx * 1024 + a.ty < b.tx * 1024 + b.ty
 WHERE bit_count(a.mask & b.mask) > 0
 """
+
+
+def webtext_graph_diff_sql() -> str:
+    return """
+WITH ea AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+           printf('host%04d.example', (doc_id * 7 + 1) % 100) AS dst
+    FROM documents WHERE doc_id % 10 <> 7
+    UNION ALL
+    SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+           printf('host%04d.example', (doc_id * 13 + 2) % 100) AS dst
+    FROM documents WHERE doc_id % 10 <> 7
+  )
+),
+eb AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+           printf('host%04d.example', (doc_id * 7 + 1) % 100) AS dst
+    FROM documents WHERE doc_id % 10 <> 3
+    UNION ALL
+    SELECT printf('host%04d.example', (doc_id // 3) % 100) AS src,
+           printf('host%04d.example', (doc_id * 13 + 2) % 100) AS dst
+    FROM documents WHERE doc_id % 10 <> 3
+  )
+),
+j AS (
+  SELECT coalesce(ea.src, eb.src) AS src,
+         CASE WHEN ea.src IS NULL THEN 'gained'
+              WHEN eb.src IS NULL THEN 'lost'
+              ELSE 'persisted' END AS cls
+  FROM ea FULL OUTER JOIN eb ON ea.src = eb.src AND ea.dst = eb.dst
+)
+SELECT src,
+       CAST(sum(CASE WHEN cls = 'gained' THEN 1 ELSE 0 END) AS BIGINT) AS n_gained,
+       CAST(sum(CASE WHEN cls = 'lost' THEN 1 ELSE 0 END) AS BIGINT) AS n_lost,
+       CAST(sum(CASE WHEN cls = 'persisted' THEN 1 ELSE 0 END) AS BIGINT) AS n_persisted
+FROM j GROUP BY 1
+"""
+
+
+def events_hopping_windows_sql() -> str:
+    from .queries import HOP_SLIDE_S, HOP_WINDOW_S
+
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+),
+hops AS (
+  SELECT event_type, k.k * {HOP_SLIDE_S} AS window_start
+  FROM ev
+  CROSS JOIN LATERAL (
+    SELECT unnest(range((sec - {HOP_WINDOW_S}) // {HOP_SLIDE_S} + 1,
+                        sec // {HOP_SLIDE_S} + 1)) AS k
+  ) k
+)
+SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM hops GROUP BY 1, 2
+"""

@@ -4447,3 +4447,72 @@ def geo_tile_day_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div CAST(bit_count(ma | mb) AS BIGINT)"
         ).alias("jaccard_ppm"),
     ).filter(F.col("n_both") > 0)
+
+
+def webtext_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph evolution — the edge-level complement of
+    webtext_snapshot_diff's page-level classes: split the shared host
+    link graph into two crawl snapshots (snapshot A = docs with
+    doc_id % 10 != 7, B = doc_id % 10 != 3 — the same membership rule the
+    page diff uses), dedupe each snapshot's edge set, full-outer join on
+    the edge key and classify gained / lost / persisted, rolled up per
+    source host with the class counts a re-crawl scheduler reads (hosts
+    gaining edges are growing; hosts losing them are decaying or
+    de-indexed). Two dedup shuffles + one full-outer on the host-bounded
+    edge key."""
+    docs = _docs(spark, sf_dir)
+    ea = _host_edges(docs.filter(F.col("doc_id") % 10 != 7)).distinct()
+    eb = _host_edges(docs.filter(F.col("doc_id") % 10 != 3)).distinct()
+    j = ea.withColumn("in_a", F.lit(1)).join(
+        eb.withColumn("in_b", F.lit(1)), ["src", "dst"], "full_outer"
+    )
+    cls = (
+        F.when(F.col("in_a").isNull(), F.lit("gained"))
+        .when(F.col("in_b").isNull(), F.lit("lost"))
+        .otherwise(F.lit("persisted"))
+    )
+    return (
+        j.select("src", cls.alias("cls"))
+        .groupBy("src")
+        .agg(
+            F.sum(F.when(F.col("cls") == "gained", 1).otherwise(0)).cast("long").alias("n_gained"),
+            F.sum(F.when(F.col("cls") == "lost", 1).otherwise(0)).cast("long").alias("n_lost"),
+            F.sum(F.when(F.col("cls") == "persisted", 1).otherwise(0)).cast("long").alias("n_persisted"),
+        )
+    )
+
+
+HOP_WINDOW_S = 7200
+HOP_SLIDE_S = 3600
+
+
+def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch HOPPING-window aggregates — the overlapping-window twin of
+    the streaming tumbling drain (events_stream_windows): every event
+    contributes to window_size div slide = 2 overlapping 2-hour windows
+    on a 1-hour hop, materialized by exploding each event to the window
+    starts that cover it (bounded fan-out = the overlap factor, a
+    constant) and aggregating per (window_start, event_type). This is
+    exactly Spark's window(ts, '2 hours', '1 hour') semantics expressed
+    in exact epoch integers so DuckDB mirrors it without interval types."""
+    from .sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+    )
+    # windows covering sec: starts at slide-aligned k*S with
+    # sec - W < k*S <= sec  =>  k in ((sec - W) div S, sec div S]
+    k0 = F.expr(f"(sec - {HOP_WINDOW_S}) div {HOP_SLIDE_S} + 1")
+    k1 = F.expr(f"sec div {HOP_SLIDE_S}")
+    return (
+        ev.select(
+            "event_type",
+            F.explode(F.sequence(k0, k1)).alias("k"),
+        )
+        .select(
+            "event_type", (F.col("k") * HOP_SLIDE_S).alias("window_start"),
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
