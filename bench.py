@@ -216,6 +216,8 @@ HEADLINE = [
     "events_gap_stats",       # per-user gap count/max/exact-median
     "events_state_history",   # SCD-2 geofence state dimension
     "geo_tile_day_bitmask",   # day-presence bitmask pair Jaccard
+    "webtext_graph_diff",     # edge-level snapshot gained/lost/persisted
+    "events_hopping_windows", # overlapping 2h/1h hop windows (exact epoch)
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -466,6 +468,10 @@ SCALE2 = [
     # window (linear); day_bitmask aggregates to the 64-tile mask table
     # before its dimension-bounded pair join.
     "events_state_history", "geo_tile_day_bitmask",
+    # graph_diff is two host-bounded deduped edge sets + one full-outer on
+    # the edge key (the snapshot_diff class); hopping_windows is a
+    # constant-factor explode + a window-dim-bounded aggregate.
+    "webtext_graph_diff", "events_hopping_windows",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two
