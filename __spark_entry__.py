@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_day_bitmask": q.geo_tile_day_bitmask,  # day-presence bitmask pair Jaccard (r5)
         "webtext_graph_diff": q.webtext_graph_diff,  # edge-level snapshot gained/lost/persisted (r5)
         "events_hopping_windows": q.events_hopping_windows,  # overlapping 2h/1h hop windows, exact epoch (r5)
+        "geo_fence_affinity": q.geo_fence_affinity,  # market-basket co-visit lift over fences (r5)
+        "geo_tile_changepoint": q.geo_tile_changepoint,  # CUSUM level-shift day per tile (r5)
         "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
         "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4; host-lowercase r5)
         "webtext_host_graph": q.webtext_host_graph,  # weighted host->host domain graph (r4; host-lowercase r5)
@@ -431,6 +433,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_tile_day_bitmask": oracle.geo_tile_day_bitmask_sql(),
         "webtext_graph_diff": oracle.webtext_graph_diff_sql(),
         "events_hopping_windows": oracle.events_hopping_windows_sql(),
+        "geo_fence_affinity": oracle.geo_fence_affinity_sql(),
+        "geo_tile_changepoint": oracle.geo_tile_changepoint_sql(),
         "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
         "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),
         "geo_geohash": oracle.geo_geohash_sql(),

@@ -186,3 +186,42 @@ def test_day_bitmask_pairs_antisymmetric_and_bounded(spark):
     # strict ordering => no pair appears twice
     key = pdf["ta_x"] * 2**30 + pdf["ta_y"] * 2**20 + pdf["tb_x"] * 2**10 + pdf["tb_y"]
     assert key.is_unique
+
+
+def test_fence_affinity_lift_semantics(spark):
+    """Lift > 1e6 iff the pair beats independence; every pair is grounded
+    in the per-fence visitor counts; symmetric pairs never appear."""
+    pdf = q.geo_fence_affinity(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(pdf) > 0
+    assert (pdf["fa"] < pdf["fb"]).all()
+    assert (pdf["n_both"] <= pdf[["n_a", "n_b"]].min(axis=1)).all()
+    # recompute one pair's lift by hand
+    r = pdf.iloc[0]
+    n_users = q.events_geofence_dwell(spark, "/root/testdata/sf0.01") \
+        .select("user_id").distinct().count()
+    assert r["lift_ppm"] == r["n_both"] * n_users * 1_000_000 // (r["n_a"] * r["n_b"])
+
+
+def test_changepoint_is_argmax_of_cusum(spark):
+    """The reported day maximizes |n*S_k - k*S_n| — replayed scalar-side
+    for a few tiles."""
+    import duckdb
+
+    pdf = q.geo_tile_changepoint(spark, SF).toPandas()
+    daily = duckdb.sql(f"""
+        SELECT ((event_id * 48271 + 7) % 1024) >> 7 AS tx,
+               ((event_id * 16807 + 12345) % 1024) >> 7 AS ty,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS cnt
+        FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2, 3
+    """).df()
+    for _, row in pdf.head(5).iterrows():
+        g = daily[(daily["tx"] == row["tx"]) & (daily["ty"] == row["ty"])].sort_values("day")
+        n, sn = len(g), g["cnt"].sum()
+        best, best_day = -1, None
+        sk = 0
+        for k, (_, rr) in enumerate(g.iterrows(), start=1):
+            sk += rr["cnt"]
+            dk = abs(n * sk - k * sn)
+            if dk > best:
+                best, best_day = dk, rr["day"]
+        assert row["cusum_peak"] == best and row["change_day"] == best_day

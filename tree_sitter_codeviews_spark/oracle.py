@@ -5696,3 +5696,75 @@ hops AS (
 SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
 FROM hops GROUP BY 1, 2
 """
+
+
+def geo_fence_affinity_sql() -> str:
+    from .queries import AFFINITY_MIN_BOTH, FENCE_R
+
+    return f"""
+WITH {_fences_cte()},
+ev AS (
+  SELECT user_id, {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+visits AS (
+  SELECT DISTINCT e.user_id, f.fence_id
+  FROM ev e JOIN fences f
+    ON abs(e.ex - f.fx) <= {FENCE_R} AND abs(e.ey - f.fy) <= {FENCE_R}
+),
+u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM visits),
+pf AS (
+  SELECT fence_id, CAST(count(*) AS BIGINT) AS n_visitors
+  FROM visits GROUP BY 1
+),
+pairs AS (
+  SELECT a.fence_id AS fa, b.fence_id AS fb,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM visits a JOIN visits b USING (user_id)
+  WHERE a.fence_id < b.fence_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {AFFINITY_MIN_BOTH}
+)
+SELECT pairs.fa, pairs.fb, pairs.n_both,
+       na.n_visitors AS n_a, nb.n_visitors AS n_b,
+       pairs.n_both * u.n_users * 1000000 // (na.n_visitors * nb.n_visitors)
+         AS lift_ppm
+FROM pairs
+JOIN pf na ON na.fence_id = pairs.fa
+JOIN pf nb ON nb.fence_id = pairs.fb
+CROSS JOIN u
+"""
+
+
+def geo_tile_changepoint_sql() -> str:
+    from .queries import HOTSPOT_SHIFT
+
+    return f"""
+WITH daily AS (
+  SELECT ({layers.EVT_GX_SQL}) >> {HOTSPOT_SHIFT} AS tx,
+         ({layers.EVT_GY_SQL}) >> {HOTSPOT_SHIFT} AS ty,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT tx, ty, day,
+         row_number() OVER wo AS k,
+         sum(cnt) OVER (PARTITION BY tx, ty ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS sk,
+         count(*) OVER wa AS n,
+         sum(cnt) OVER wa AS sn
+  FROM daily
+  WINDOW wo AS (PARTITION BY tx, ty ORDER BY day),
+         wa AS (PARTITION BY tx, ty)
+),
+dk AS (
+  SELECT tx, ty, day, n, abs(n * sk - k * sn) AS dk,
+         row_number() OVER (PARTITION BY tx, ty
+                            ORDER BY abs(n * sk - k * sn) DESC, day) AS rn
+  FROM scored
+)
+SELECT tx, ty, day AS change_day, CAST(dk AS BIGINT) AS cusum_peak,
+       CAST(n AS BIGINT) AS n_days
+FROM dk WHERE rn = 1
+"""

@@ -4516,3 +4516,116 @@ def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+AFFINITY_MIN_BOTH = 2
+
+
+def geo_fence_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over places — which fence PAIRS share
+    visitors beyond chance (association-rule lift, the cross-sell query
+    asked of locations): distinct (user, fence) visits from the
+    broadcast containment join form the basket table; pairs form per
+    USER (inverted-index discipline — never fence x fence against the
+    corpus), and lift_ppm = n_both * n_users * 1e6 div (n_a * n_b) in
+    exact int64 (> 1e6 means the pair co-occurs beyond independence).
+    The per-user basket is fence-dim-bounded (<= 100), so the pair
+    explode is constant-bounded per user; the final key space is fence
+    pairs. Pairs with fewer than AFFINITY_MIN_BOTH co-visitors are
+    noise-cut, mirrored in the oracle."""
+    from .sources.testdata import load_table
+
+    cover = _fence_cover(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    ).withColumn("ccx", F.shiftright(F.col("ex"), FENCE_SHIFT)).withColumn(
+        "ccy", F.shiftright(F.col("ey"), FENCE_SHIFT)
+    )
+    visits = (
+        ev.join(F.broadcast(cover), ["ccx", "ccy"])
+        .filter(
+            (F.abs(F.col("ex") - F.col("fx")) <= FENCE_R)
+            & (F.abs(F.col("ey") - F.col("fy")) <= FENCE_R)
+        )
+        .select("user_id", "fence_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # universe size rides as a broadcast 1-row frame (the emerging-hotspot
+    # span pattern) — no driver-side scalar collect, the plan stays lazy
+    n_users = visits.agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    per_fence = visits.groupBy("fence_id").agg(
+        F.count(F.lit(1)).alias("n_visitors")
+    )
+    a = visits.select("user_id", F.col("fence_id").alias("fa"))
+    b = visits.select("user_id", F.col("fence_id").alias("fb"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("fa") < F.col("fb"))
+        .groupBy("fa", "fb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= AFFINITY_MIN_BOTH)
+    )
+    na = per_fence.select(F.col("fence_id").alias("fa"), F.col("n_visitors").alias("n_a"))
+    nb = per_fence.select(F.col("fence_id").alias("fb"), F.col("n_visitors").alias("n_b"))
+    return (
+        both.join(F.broadcast(na), "fa")
+        .join(F.broadcast(nb), "fb")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "fa", "fb", "n_both", "n_a", "n_b",
+            F.expr("n_both * n_users * 1000000 div (n_a * n_b)").alias("lift_ppm"),
+        )
+    )
+
+
+def geo_tile_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile change-point detection — the CUSUM statistic over each
+    res-3 tile's daily ping series in exact int64: with k days observed
+    and partial sums S_k, the scaled deviation D_k = n*S_k - k*S_n is n
+    times the centered cumulative sum (no division, no floats); the
+    change day maximizes |D_k| (ties to the earliest day). One corpus
+    (tile, day) aggregate, then windows over the grid-bounded panel —
+    the burst/shift detector complementing the Mann-Kendall trend
+    (geo_emerging_hotspots flags monotone drift; this finds WHEN the
+    level jumped)."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.shiftright(F.expr(layers.EVT_GX_SQL), HOTSPOT_SHIFT).alias("tx"),
+            F.shiftright(F.expr(layers.EVT_GY_SQL), HOTSPOT_SHIFT).alias("ty"),
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT)").alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wo = Window.partitionBy("tx", "ty").orderBy("day")
+    wa = Window.partitionBy("tx", "ty")
+    scored = (
+        daily.withColumn("k", F.row_number().over(wo))
+        .withColumn(
+            "sk", F.sum("cnt").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wa))
+        .withColumn("sn", F.sum("cnt").over(wa))
+        .withColumn("dk", F.abs(F.col("n") * F.col("sk") - F.col("k") * F.col("sn")))
+    )
+    wr = Window.partitionBy("tx", "ty").orderBy(F.col("dk").desc(), "day")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "tx", "ty",
+            F.col("day").alias("change_day"),
+            F.col("dk").alias("cusum_peak"),
+            F.col("n").alias("n_days"),
+        )
+    )
