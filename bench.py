@@ -218,6 +218,8 @@ HEADLINE = [
     "geo_tile_day_bitmask",   # day-presence bitmask pair Jaccard
     "webtext_graph_diff",     # edge-level snapshot gained/lost/persisted
     "events_hopping_windows", # overlapping 2h/1h hop windows (exact epoch)
+    "geo_fence_affinity",     # market-basket co-visit lift over fences
+    "geo_tile_changepoint",   # CUSUM level-shift day per tile
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -472,6 +474,10 @@ SCALE2 = [
     # the edge key (the snapshot_diff class); hopping_windows is a
     # constant-factor explode + a window-dim-bounded aggregate.
     "webtext_graph_diff", "events_hopping_windows",
+    # affinity pairs form per user over the <= 100-fence basket dim
+    # (constant per-user fan-out; replication adds users linearly);
+    # changepoint windows ride the grid-bounded (tile, day) panel.
+    "geo_fence_affinity", "geo_tile_changepoint",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two
