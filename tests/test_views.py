@@ -76,3 +76,43 @@ def test_minimize_bypasses_removed_node(spark):
     assert sorted(r["node_id"] for r in keep_nodes.collect()) == [1, 3]
     rows = [(r["src"], r["dst"]) for r in new_edges.collect()]
     assert rows == [(1, 3)]
+
+
+def test_unpivot_round_trips_pivot(spark):
+    """melt(pivot(x)) == the tall per-(user, type) counts, and re-pivoting
+    the melt reproduces the wide table."""
+    from pyspark.sql import functions as F
+
+    from tree_sitter_codeviews_spark import queries as q
+    from tree_sitter_codeviews_spark.operators.relational import events_pivot
+    from tree_sitter_codeviews_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    tall = q.events_unpivot(spark, sf).toPandas()
+    direct = (
+        load_table(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    key = ["user_id", "event_type"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        tall.sort_values(key).reset_index(drop=True),
+        direct.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_percent_rank_ppm_bounds(spark):
+    from tree_sitter_codeviews_spark import queries as q
+
+    pdf = q.events_percent_rank_ppm(spark, "/root/testdata/sf0.001").toPandas()
+    assert pdf["prank_ppm"].between(0, 1_000_000).all()
+    # each type's min is 0 and max is 1e6 (n > 1 per type in the fixture)
+    g = pdf.groupby("event_type")["prank_ppm"]
+    assert (g.min() == 0).all() and (g.max() == 1_000_000).all()
+    # equal values share a ppm (rank ties)
+    for _, grp in pdf.groupby("event_type"):
+        assert grp.groupby("v_micro")["prank_ppm"].nunique().max() == 1

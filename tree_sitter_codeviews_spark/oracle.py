@@ -5768,3 +5768,37 @@ SELECT tx, ty, day AS change_day, CAST(dk AS BIGINT) AS cusum_peak,
        CAST(n AS BIGINT) AS n_days
 FROM dk WHERE rn = 1
 """
+
+
+def events_unpivot_sql() -> str:
+    from .operators.relational import EVENT_TYPES
+
+    branches = " UNION ALL ".join(
+        f"SELECT user_id, '{t}' AS event_type, n_{t} AS n FROM wide"
+        for t in EVENT_TYPES
+    )
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+WITH wide AS (
+  SELECT user_id, {cols} FROM events GROUP BY 1
+)
+SELECT user_id, event_type, n FROM ({branches}) WHERE n > 0
+"""
+
+
+def events_percent_rank_ppm_sql() -> str:
+    return """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, v_micro,
+       (rank() OVER (PARTITION BY event_type ORDER BY v_micro) - 1) * 1000000
+         // greatest(count(*) OVER (PARTITION BY event_type) - 1, 1)
+         AS prank_ppm
+FROM per_user
+"""

@@ -4629,3 +4629,57 @@ def geo_tile_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_days"),
         )
     )
+
+
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of events_pivot's wide per-user count
+    table back to tall (user_id, event_type, n) form via ``stack``, the
+    wide-to-long reshape every feature store needs both directions of.
+    Zero-count cells are dropped on BOTH sides (the tall form's natural
+    sparsity); stack is a per-row generator, so the reshape adds no
+    shuffle beyond the pivot's own aggregate."""
+    from .operators.relational import EVENT_TYPES, events_pivot
+
+    wide = events_pivot(spark, sf_dir)
+    n = len(EVENT_TYPES)
+    args = ", ".join(f"'{t}', n_{t}" for t in EVENT_TYPES)
+    return (
+        wide.select(
+            "user_id",
+            F.expr(f"stack({n}, {args}) AS (event_type, n)"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+def events_percent_rank_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank normalization — percent_rank in integer ppm per event
+    type: (rank - 1) * 1e6 div (n - 1) with SQL rank() semantics (ties
+    share a rank), the float-free twin of the PERCENT_RANK window
+    function a feature pipeline uses to scale heavy-tailed metrics into
+    [0, 1e6]. Values quantize to micros first (the ANN-family discipline)
+    so tie groups are identical in both engines. One window per type on
+    the bounded type key + the user aggregate beneath it."""
+    from pyspark.sql import Window
+
+    from .sources.testdata import load_table
+
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.expr("CAST(round(value * 1e6) AS BIGINT)")).alias("v_micro")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("v_micro")
+    wa = Window.partitionBy("event_type")
+    return (
+        per_user.withColumn("rk", F.rank().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wa))
+        .select(
+            "event_type", "user_id", "v_micro",
+            F.expr("(rk - 1) * 1000000 div greatest(n - 1, 1)").alias(
+                "prank_ppm"
+            ),
+        )
+    )
