@@ -220,6 +220,8 @@ HEADLINE = [
     "events_hopping_windows", # overlapping 2h/1h hop windows (exact epoch)
     "geo_fence_affinity",     # market-basket co-visit lift over fences
     "geo_tile_changepoint",   # CUSUM level-shift day per tile
+    "events_unpivot",         # stack/melt inverse of the pivot table
+    "events_percent_rank_ppm",  # exact integer rank normalization
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -478,6 +480,10 @@ SCALE2 = [
     # (constant per-user fan-out; replication adds users linearly);
     # changepoint windows ride the grid-bounded (tile, day) panel.
     "geo_fence_affinity", "geo_tile_changepoint",
+    # unpivot is the pivot aggregate + a per-row generator (linear);
+    # percent_rank windows partition by the bounded type key over the
+    # user-dim aggregate.
+    "events_unpivot", "events_percent_rank_ppm",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two
