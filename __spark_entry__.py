@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_fence_affinity": q.geo_fence_affinity,  # market-basket co-visit lift over fences (r5)
         "geo_tile_changepoint": q.geo_tile_changepoint,  # CUSUM level-shift day per tile (r5)
         "events_unpivot": q.events_unpivot,  # stack/melt inverse of the pivot table (r5)
+        "events_purchase_attribution": q.events_purchase_attribution,  # revenue per fence, exact micros (r5)
         "events_percent_rank_ppm": q.events_percent_rank_ppm,  # exact integer rank normalization (r5)
         "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
         "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4; host-lowercase r5)
@@ -438,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_fence_affinity": oracle.geo_fence_affinity_sql(),
         "geo_tile_changepoint": oracle.geo_tile_changepoint_sql(),
         "events_unpivot": oracle.events_unpivot_sql(),
+        "events_purchase_attribution": oracle.events_purchase_attribution_sql(),
         "events_percent_rank_ppm": oracle.events_percent_rank_ppm_sql(),
         "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
         "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),

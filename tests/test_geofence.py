@@ -225,3 +225,25 @@ def test_changepoint_is_argmax_of_cusum(spark):
             if dk > best:
                 best, best_day = dk, rr["day"]
         assert row["cusum_peak"] == best and row["change_day"] == best_day
+
+
+def test_purchase_attribution_partitions_purchases(spark):
+    """Every purchase lands in exactly one row's count (fence or -1), and
+    revenue-per-fence is bounded by the occupancy footprint."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    att = q.events_purchase_attribution(spark, sf).toPandas()
+    total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/events.parquet') "
+        "WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert att["n_purchases"].sum() == total
+    assert (att["n_buyers"] <= att["n_purchases"]).all()
+    # fences with purchases are a subset of fences with occupancy
+    occ = set(
+        q.events_geofence_occupancy(spark, sf)
+        .select("fence_id").distinct().toPandas()["fence_id"]
+    )
+    assert set(att[att["fence_id"] >= 0]["fence_id"]) <= occ

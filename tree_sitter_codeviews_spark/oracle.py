@@ -5802,3 +5802,31 @@ SELECT event_type, user_id, v_micro,
          AS prank_ppm
 FROM per_user
 """
+
+
+def events_purchase_attribution_sql() -> str:
+    from .queries import FENCE_R
+
+    return f"""
+WITH {_fences_cte()},
+ev AS (
+  SELECT user_id, event_id, event_type, value,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+pinged AS (
+  SELECT e.user_id, e.event_id, e.event_type, e.value,
+         coalesce(min(CASE WHEN abs(e.ex - f.fx) <= {FENCE_R}
+                            AND abs(e.ey - f.fy) <= {FENCE_R}
+                           THEN f.fence_id END), -1) AS state
+  FROM ev e LEFT JOIN fences f
+    ON abs(e.ex - f.fx) <= {FENCE_R} AND abs(e.ey - f.fy) <= {FENCE_R}
+  GROUP BY 1, 2, 3, 4
+)
+SELECT state AS fence_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS revenue_micro
+FROM pinged WHERE event_type = 'purchase'
+GROUP BY 1
+"""

@@ -4683,3 +4683,53 @@ def events_percent_rank_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attribution by place — every purchase event rolls up to
+    the fence containing it (its own position resolves through the
+    broadcast containment join; -1 = bought outside every fence), the
+    per-location conversion table a geomarketing pipeline reads next to
+    events_geofence_occupancy's footfall (revenue per visit = this tables
+    revenue over that one's pings). Values aggregate in exact micros (the
+    ANN-family quantization discipline) so the sum is order-free. One
+    map-side containment + one fence-keyed aggregate. Purchases that
+    need the user's LAST KNOWN state instead of their own position are
+    the as-of family (operators/relational.events_asof) composed with the
+    SCD-2 history (events_state_history)."""
+    from .sources.testdata import load_table
+
+    cover = _fence_cover(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+        F.expr(layers.EVT_GX_SQL).alias("ex"),
+        F.expr(layers.EVT_GY_SQL).alias("ey"),
+    ).withColumn("ccx", F.shiftright(F.col("ex"), FENCE_SHIFT)).withColumn(
+        "ccy", F.shiftright(F.col("ey"), FENCE_SHIFT)
+    )
+    matched = F.when(
+        (F.abs(F.col("ex") - F.col("fx")) <= FENCE_R)
+        & (F.abs(F.col("ey") - F.col("fy")) <= FENCE_R),
+        F.col("fence_id"),
+    )
+    # every ping resolves its state; purchases are ALSO pings here (the
+    # events table is one stream), so the running state at a purchase row
+    # includes the purchase's own position — "where was the user when
+    # they bought", not "where were they last seen before"
+    pinged = (
+        ev.join(F.broadcast(cover), ["ccx", "ccy"], "left")
+        .groupBy("user_id", "ts", "event_id", "sec", "event_type", "value")
+        .agg(F.coalesce(F.min(matched), F.lit(-1)).alias("state"))
+    )
+    return (
+        pinged.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("state").alias("fence_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count_distinct("user_id").alias("n_buyers"),
+            F.sum(F.expr("CAST(round(value * 1e6) AS BIGINT)")).alias(
+                "revenue_micro"
+            ),
+        )
+    )
