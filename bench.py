@@ -222,6 +222,7 @@ HEADLINE = [
     "geo_tile_changepoint",   # CUSUM level-shift day per tile
     "events_unpivot",         # stack/melt inverse of the pivot table
     "events_percent_rank_ppm",  # exact integer rank normalization
+    "events_purchase_attribution",  # revenue per fence, exact micros
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -484,6 +485,9 @@ SCALE2 = [
     # percent_rank windows partition by the bounded type key over the
     # user-dim aggregate.
     "events_unpivot", "events_percent_rank_ppm",
+    # attribution is the containment join + one fence-keyed aggregate
+    # (linear, the geofence_dwell class).
+    "events_purchase_attribution",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two
