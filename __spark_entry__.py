@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_changepoint": q.geo_tile_changepoint,  # CUSUM level-shift day per tile (r5)
         "events_unpivot": q.events_unpivot,  # stack/melt inverse of the pivot table (r5)
         "events_purchase_attribution": q.events_purchase_attribution,  # revenue per fence, exact micros (r5)
+        "geo_voronoi_edges": q.geo_voronoi_edges,  # discrete Voronoi boundary raster, dimension-only (r5)
+        "geo_route_friction": q.geo_route_friction,  # density-weighted cost along DDA routes (r5)
         "events_percent_rank_ppm": q.events_percent_rank_ppm,  # exact integer rank normalization (r5)
         "geo_range_count": q.geo_range_count,  # rect counts from the pyramid via quadtree decomposition (r5)
         "webtext_outlinks": q.webtext_outlinks,  # outlink + anchor-text extraction (r4; host-lowercase r5)
@@ -440,6 +442,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_tile_changepoint": oracle.geo_tile_changepoint_sql(),
         "events_unpivot": oracle.events_unpivot_sql(),
         "events_purchase_attribution": oracle.events_purchase_attribution_sql(),
+        "geo_voronoi_edges": oracle.geo_voronoi_edges_sql(),
+        "geo_route_friction": oracle.geo_route_friction_sql(),
         "events_percent_rank_ppm": oracle.events_percent_rank_ppm_sql(),
         "geo_tile_diameter": oracle.geo_tile_diameter_sql(),
         "geo_tile_pyramid": oracle.geo_tile_pyramid_sql(),

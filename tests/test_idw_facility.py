@@ -81,3 +81,28 @@ def test_idw_and_facility_plans_are_joinless(spark):
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_voronoi_edges_separate_different_owners(spark):
+    """Boundary rows genuinely separate different owners; interior cells
+    (all listed neighbors same owner) never appear; the boundary is
+    non-empty and smaller than the grid."""
+    pdf = q.geo_voronoi_edges(spark, SF).toPandas()
+    assert 0 < len(pdf) < 1024
+    diff_e = (pdf["east_station"] != -1) & (pdf["east_station"] != pdf["station_id"])
+    diff_s = (pdf["south_station"] != -1) & (pdf["south_station"] != pdf["station_id"])
+    assert (diff_e | diff_s).all()
+    # owners come from the real station id space
+    import numpy as np
+
+    sids = {s[0] for s in _stations()}
+    assert set(pdf["station_id"]) <= sids
+
+
+def test_route_friction_grounded(spark):
+    """friction >= n_cells (every visited cell has density >= 1 — the
+    user's own pings are part of the corpus density)."""
+    pdf = q.geo_route_friction(spark, SF).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["friction"] >= pdf["n_cells"]).all()
+    assert (pdf["max_cell_density"] >= 1).all()

@@ -5830,3 +5830,77 @@ SELECT state AS fence_id,
 FROM pinged WHERE event_type = 'purchase'
 GROUP BY 1
 """
+
+
+def geo_voronoi_edges_sql() -> str:
+    from .queries import STATION_MOD, TRAJSIM_SHIFT
+
+    side = 1 << TRAJSIM_SHIFT
+    half = side // 2
+    return f"""
+WITH {_stations_cte()},
+grid AS (
+  SELECT i % 32 AS cx, i // 32 AS cy,
+         (i % 32) * {side} + {half} AS px, (i // 32) * {side} + {half} AS py
+  FROM range(1024) t(i)
+),
+owner AS (
+  SELECT g.cx, g.cy,
+         (min(((g.px - s.fx) * (g.px - s.fx) + (g.py - s.fy) * (g.py - s.fy))
+              * 64 + s.sid // {STATION_MOD}) % 64) * {STATION_MOD} AS station_id
+  FROM grid g CROSS JOIN stations s
+  GROUP BY 1, 2
+)
+SELECT o.cx, o.cy, o.station_id,
+       coalesce(e.station_id, -1) AS east_station,
+       coalesce(s.station_id, -1) AS south_station
+FROM owner o
+LEFT JOIN owner e ON e.cx = o.cx + 1 AND e.cy = o.cy
+LEFT JOIN owner s ON s.cx = o.cx AND s.cy = o.cy + 1
+WHERE (e.station_id IS NOT NULL AND e.station_id <> o.station_id)
+   OR (s.station_id IS NOT NULL AND s.station_id <> o.station_id)
+"""
+
+
+def geo_route_friction_sql() -> str:
+    from .queries import TRAJSIM_SHIFT
+
+    cell = cells.morton_sql("(xt >> 5)", "(yt >> 5)", 5)
+    dcell = cells.morton_sql(
+        f"(({layers.EVT_GX_SQL}) >> {TRAJSIM_SHIFT})",
+        f"(({layers.EVT_GY_SQL}) >> {TRAJSIM_SHIFT})",
+        5,
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         {layers.EVT_GX_SQL} AS ex, {layers.EVT_GY_SQL} AS ey
+  FROM events
+),
+seg AS (
+  SELECT user_id,
+         lag(ex) OVER w AS x0, lag(ey) OVER w AS y0,
+         ex AS x1, ey AS y1
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT *, greatest(abs(x1 - x0), abs(y1 - y0), 1) AS L
+  FROM seg WHERE x0 IS NOT NULL
+),
+pts AS (
+  SELECT user_id,
+         x0 + ((x1 - x0) * t) // L AS xt,
+         y0 + ((y1 - y0) * t) // L AS yt
+  FROM s2, unnest(generate_series(0, L)) AS g(t)
+),
+route AS (SELECT DISTINCT user_id, CAST({cell} AS BIGINT) AS cell_id FROM pts),
+density AS (
+  SELECT CAST({dcell} AS BIGINT) AS cell_id, CAST(count(*) AS BIGINT) AS density
+  FROM events GROUP BY 1
+)
+SELECT r.user_id, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(d.density) AS BIGINT) AS friction,
+       CAST(max(d.density) AS BIGINT) AS max_cell_density
+FROM route r JOIN density d USING (cell_id)
+GROUP BY 1
+"""

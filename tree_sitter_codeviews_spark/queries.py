@@ -4733,3 +4733,94 @@ def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def geo_voronoi_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Voronoi tessellation boundary — rasterize the
+    nearest-station assignment over the FULL res-5 grid (32x32 cell
+    centers, the dimension, not the corpus) with the packed-argmin HOF
+    (geo_nearest_facility's kernel), then flag every cell whose east or
+    south 4-neighbor belongs to a different station: the boundary set IS
+    the Voronoi diagram's edge raster, the catchment-map product a
+    dispatch/coverage planner draws. Pure dimension work end-to-end —
+    1024 cells x 50 stations — so the corpus is never scanned; the
+    neighbor test is one self equi-join on the shifted key (the
+    tile_autocorr discipline). Output: (cx, cy, station_id,
+    east_station, south_station) for boundary cells only."""
+    side = 1 << TRAJSIM_SHIFT
+    half = side // 2
+    grid = spark.range(32 * 32).select(
+        (F.col("id") % 32).alias("cx"),
+        F.expr("id div 32").alias("cy"),
+    )
+    agg = f"""aggregate(
+      {_stations_array_sql()},
+      9223372036854775807L,
+      (acc, s) -> least(acc,
+        ((px - s.fx) * (px - s.fx) + (py - s.fy) * (py - s.fy)) * 64L
+          + s.sid div {STATION_MOD}L))"""
+    owner = (
+        grid.withColumn("px", F.col("cx") * side + half)
+        .withColumn("py", F.col("cy") * side + half)
+        .withColumn("packed", F.expr(agg))
+        .select(
+            "cx", "cy",
+            F.expr(f"(packed % 64) * {STATION_MOD}").alias("station_id"),
+        )
+    )
+    east = owner.select(
+        (F.col("cx") - 1).alias("cx"), "cy",
+        F.col("station_id").alias("east_station"),
+    )
+    south = owner.select(
+        "cx", (F.col("cy") - 1).alias("cy"),
+        F.col("station_id").alias("south_station"),
+    )
+    return (
+        owner.join(east, ["cx", "cy"], "left")
+        .join(south, ["cx", "cy"], "left")
+        .filter(
+            (F.col("east_station").isNotNull() & (F.col("east_station") != F.col("station_id")))
+            | (F.col("south_station").isNotNull() & (F.col("south_station") != F.col("station_id")))
+        )
+        .select("cx", "cy", "station_id",
+                F.coalesce("east_station", F.lit(-1)).alias("east_station"),
+                F.coalesce("south_station", F.lit(-1)).alias("south_station"))
+    )
+
+
+def geo_route_friction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-along-path — each user's route cells (the DDA raster,
+    geo_route_cells) weighted by the corpus density of those cells: total
+    friction = sum over visited res-5 cells of the global ping count in
+    that cell — the congestion-exposure / terrain-cost profile a routing
+    engine accumulates along a path. Composes two existing passes (route
+    raster, density grid) with one grid-keyed join; the density side is
+    grid-bounded and broadcast. Output per user: n_cells, friction (exact
+    int64), max_cell_density."""
+    from . import cells as cells_mod
+
+    from .sources.testdata import load_table
+
+    route = geo_route_cells(spark, sf_dir)
+    density = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            cells_mod.morton_col(
+                F.shiftright(F.expr(layers.EVT_GX_SQL), TRAJSIM_SHIFT),
+                F.shiftright(F.expr(layers.EVT_GY_SQL), TRAJSIM_SHIFT),
+                5,
+            ).alias("cell_id")
+        )
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("density"))
+    )
+    return (
+        route.join(F.broadcast(density), "cell_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("density").alias("friction"),
+            F.max("density").alias("max_cell_density"),
+        )
+    )
