@@ -223,6 +223,8 @@ HEADLINE = [
     "events_unpivot",         # stack/melt inverse of the pivot table
     "events_percent_rank_ppm",  # exact integer rank normalization
     "events_purchase_attribution",  # revenue per fence, exact micros
+    "geo_voronoi_edges",      # discrete Voronoi boundary raster (dim-only)
+    "geo_route_friction",     # density-weighted cost along DDA routes
 ]
 
 # second scale point: the sf0.1 documents/embeddings/events tables replicated
@@ -488,6 +490,10 @@ SCALE2 = [
     # attribution is the containment join + one fence-keyed aggregate
     # (linear, the geofence_dwell class).
     "events_purchase_attribution",
+    # voronoi_edges is pure dimension work (1024-cell grid x 50 stations,
+    # corpus never scanned); route_friction = the route_cells DDA pass +
+    # one broadcast grid-keyed join (its cost IS route_cells' cost).
+    "geo_voronoi_edges", "geo_route_friction",
 ]
 
 # ten headline queries for the compact stdout line: the flagship, the two
