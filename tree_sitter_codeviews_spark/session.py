@@ -6,9 +6,63 @@ builder is used via ``spark-submit --py-files``; only master/memory change.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
+import subprocess
 
 from pyspark.sql import SparkSession
+
+_SHIM_CACHE = "/tmp/tscv_fs_shim_classes"
+
+
+def _fs_shim_classpath() -> str | None:
+    """Compile (once, cached on disk) the NIO-chmod local filesystem shim.
+
+    Without the native hadoop library (absent in this sandbox), Hadoop's
+    RawLocalFileSystem implements ``setPermission`` by FORKING a ``chmod``
+    subprocess per created file/directory. Structured Streaming state
+    checkpointing creates O(state partitions x stores) small files per
+    micro-batch, partially under the global state-store provider lock —
+    profiled at ~25 ms per fork, this serialized to multi-second
+    micro-batch floors (thread dumps: every executor thread blocked on
+    ``StateStore$.getStateStoreProvider`` while the holder sat in
+    ``Shell.runCommand``). The shim overrides ``setPermission`` with
+    ``java.nio.file.Files.setPosixFilePermissions`` — the same semantics,
+    no fork. On clusters with libhadoop the stock implementation already
+    uses native chmod and the shim is unnecessary (set
+    ``SPARK_GRAFT_NO_FS_SHIM=1`` to disable it).
+    """
+    if os.environ.get("SPARK_GRAFT_NO_FS_SHIM") == "1":
+        return None
+    cls = os.path.join(_SHIM_CACHE, "sparkgraft", "fs", "NioChmodLocalFs.class")
+    if os.path.exists(cls):
+        return _SHIM_CACHE
+    src_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "javashim")
+    srcs = sorted(glob.glob(os.path.join(src_dir, "sparkgraft", "fs", "*.java")))
+    javac = shutil.which("javac")
+    if not srcs or javac is None:
+        return None
+    try:
+        import pyspark
+
+        hadoop_jars = glob.glob(os.path.join(
+            os.path.dirname(pyspark.__file__), "jars", "hadoop-client-api-*.jar"))
+        if not hadoop_jars:
+            return None
+        tmp_out = f"{_SHIM_CACHE}.build.{os.getpid()}"
+        os.makedirs(tmp_out, exist_ok=True)
+        subprocess.run(
+            [javac, "-cp", hadoop_jars[0], "-d", tmp_out, *srcs],
+            check=True, capture_output=True, timeout=120,
+        )
+        try:
+            os.rename(tmp_out, _SHIM_CACHE)  # atomic publish; loser keeps
+        except OSError:
+            shutil.rmtree(tmp_out, ignore_errors=True)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return _SHIM_CACHE if os.path.exists(cls) else None
 
 
 def get_spark(
@@ -59,6 +113,23 @@ def get_spark(
         # deterministic float formatting / parquet behavior
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
     )
+    shim_cp = _fs_shim_classpath()
+    if shim_cp is not None:
+        builder = (
+            builder.config("spark.driver.extraClassPath", shim_cp)
+            .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+                    "sparkgraft.fs.NioChmodLocalFs")
+        )
+    # Spark 4.1's per-checkpoint-file checksum doubles the small-file count
+    # and makes every state-delta close await an async checksum write —
+    # profiled at 115/241 executor-thread samples during the stream-stream
+    # join drain. At streaming's micro-batch floor (KB-sized deltas) that
+    # is ~35-45% of the batch wall; the integrity it adds targets
+    # object-store corruption, which local-disk state does not see. A
+    # durability-sensitive deployment re-enables it via this env knob.
+    if os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM") != "1":
+        builder = builder.config(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
