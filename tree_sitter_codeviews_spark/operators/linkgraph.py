@@ -22,9 +22,86 @@ from pyspark.sql import functions as F
 RANK_SCALE = 1_000_000
 TELEPORT_MICRO = 150_000
 
+# Size-adaptive driver arm (the ``connected_components`` discipline, which
+# the r5 review verified path-equal): every iterative operator here runs
+# its fixpoint over the HOST-PAIR dim — orders smaller than the page/link
+# tables it is derived from. The corpus-scale work (aggregating page-level
+# links into weighted host->host edges) stays distributed; when the
+# aggregated edge dim is small enough to collect (~500k rows = tens of MB
+# of Arrow columns, the CC bound), the k fixpoint rounds run driver-side
+# in exact Python integers instead of paying k * (join + aggregate +
+# localCheckpoint) job rounds — measured ~50-100 ms of per-round fixed
+# cost on a 100-host graph, i.e. the whole wall for dim-sized graphs.
+# Python ``//`` on the nonnegative values used here equals BIGINT ``div``
+# truncation, and Python ints cannot wrap, so both arms are bit-exact
+# (pinned by tests/test_linkgraph_driver_arm.py). Pass
+# ``small_threshold=0`` to force the distributed loop.
+SMALL_GRAPH_THRESHOLD = 500_000
+
+
+def _weighted_edges(edges: DataFrame) -> DataFrame:
+    """(src, dst, n) multi-edge multiplicities — the host-pair dim every
+    iterative operator consumes (multiplicity-preserving, so both arms see
+    identical semantics)."""
+    return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _collect_small(w: DataFrame, small_threshold: int):
+    """Materialize the weighted edge dim once; return the Arrow-collected
+    (src, dst, n) triples if it is driver-small, else None (caller runs
+    the distributed arm on the same materialized frame)."""
+    if not small_threshold:
+        return None, w
+    w = w.localCheckpoint()
+    if w.count() > small_threshold:
+        return None, w
+    pdf = w.toPandas()
+    return list(zip(pdf["src"], pdf["dst"], (int(x) for x in pdf["n"]))), w
+
+
+def _pagerank_rounds(
+    triples, node_hosts, seed_set, iterations: int
+) -> list[tuple]:
+    """Driver-side PageRank/TrustRank fixpoint over collected host-pair
+    triples — exact mirror of the distributed loop's integer semantics:
+    out_deg counts EVERY out-edge of src (any dst); only src in the node
+    dim contribute (their rank is defined); inbound mass to dst outside
+    the node dim is discarded by the node-dim join. ``seed_set=None``
+    means plain PageRank (every node teleports); else the TrustRank
+    variant (teleport only at seeds, rank_0 = 1e6 at seeds, 0 elsewhere)."""
+    out_deg: dict = {}
+    for s, _d, n in triples:
+        out_deg[s] = out_deg.get(s, 0) + n
+    nodes_l = list(node_hosts)
+    node_set = set(nodes_l)
+    if seed_set is None:
+        rank = {v: RANK_SCALE for v in nodes_l}
+    else:
+        rank = {v: (RANK_SCALE if v in seed_set else 0) for v in nodes_l}
+    for _ in range(iterations):
+        inbound: dict = {}
+        for s, d, n in triples:
+            r = rank.get(s)
+            if r is None or d not in node_set:
+                continue
+            inbound[d] = inbound.get(d, 0) + n * (r // out_deg[s])
+        if seed_set is None:
+            rank = {
+                v: TELEPORT_MICRO + 85 * inbound.get(v, 0) // 100
+                for v in nodes_l
+            }
+        else:
+            rank = {
+                v: (TELEPORT_MICRO if v in seed_set else 0)
+                + 85 * inbound.get(v, 0) // 100
+                for v in nodes_l
+            }
+    return [(v, rank[v]) for v in nodes_l]
+
 
 def pagerank_integer(
-    edges: DataFrame, nodes: DataFrame, iterations: int = 10
+    edges: DataFrame, nodes: DataFrame, iterations: int = 10,
+    small_threshold: int = SMALL_GRAPH_THRESHOLD,
 ) -> DataFrame:
     """Deterministic integer PageRank over (src, dst) edges.
 
@@ -46,8 +123,14 @@ def pagerank_integer(
     Catalyst plans whole at k=10 — for much larger k, checkpoint every
     few rounds, the discipline ``graph_iter`` already applies.
     """
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    ed = edges.join(out_deg, "src").select("src", "dst", "out_deg")
+    triples, w = _collect_small(_weighted_edges(edges), small_threshold)
+    if triples is not None:
+        rows = _pagerank_rounds(
+            triples, (r["host"] for r in nodes.collect()), None, iterations)
+        return nodes.sparkSession.createDataFrame(
+            rows, "host string, rank_micro long")
+    out_deg = w.groupBy("src").agg(F.sum("n").alias("out_deg"))
+    ed = w.join(out_deg, "src").select("src", "dst", "n", "out_deg")
     ed = ed.localCheckpoint()  # reused k times; cut the rebuild lineage
     ranks = nodes.select(
         F.col("host").alias("node"), F.lit(RANK_SCALE).alias("rank_micro")
@@ -57,7 +140,7 @@ def pagerank_integer(
             ed.join(ranks, ed["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
-                F.expr("rank_micro div out_deg").alias("c"),
+                F.expr("n * (rank_micro div out_deg)").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("inbound"))
@@ -76,8 +159,35 @@ def pagerank_integer(
     return ranks.select(F.col("node").alias("host"), "rank_micro")
 
 
+def _hits_rounds(triples, node_hosts, iterations: int) -> list[tuple]:
+    """Driver-side HITS fixpoint — exact mirror of the distributed loop,
+    including the subtlety that the L-infinity max is taken over the RAW
+    contribution table BEFORE the node-dim join (an edge endpoint outside
+    the node dim still participates in the max)."""
+    nodes_l = list(node_hosts)
+    hubs = {v: RANK_SCALE for v in nodes_l}
+    auths: dict = {}
+    for _ in range(iterations):
+        araw: dict = {}
+        for s, d, n in triples:
+            h = hubs.get(s)
+            if h is not None:
+                araw[d] = araw.get(d, 0) + n * h
+        amax = max(max(araw.values(), default=1), 1)
+        auths = {v: araw.get(v, 0) * RANK_SCALE // amax for v in nodes_l}
+        hraw: dict = {}
+        for s, d, n in triples:
+            a = auths.get(d)
+            if a is not None:
+                hraw[s] = hraw.get(s, 0) + n * a
+        hmax = max(max(hraw.values(), default=1), 1)
+        hubs = {v: hraw.get(v, 0) * RANK_SCALE // hmax for v in nodes_l}
+    return [(v, hubs[v], auths[v]) for v in nodes_l]
+
+
 def hits_integer(
-    edges: DataFrame, nodes: DataFrame, iterations: int = 5
+    edges: DataFrame, nodes: DataFrame, iterations: int = 5,
+    small_threshold: int = SMALL_GRAPH_THRESHOLD,
 ) -> DataFrame:
     """Deterministic integer HITS (Kleinberg 1999) over (src, dst) edges:
     hub/authority power iterations with L-infinity normalization in exact
@@ -108,7 +218,13 @@ def hits_integer(
     than the edge table, and keeps every plan iteration-local."""
     if iterations < 1:
         raise ValueError("hits_integer: iterations must be >= 1")
-    ed = edges.select("src", "dst").localCheckpoint()
+    triples, w = _collect_small(_weighted_edges(edges), small_threshold)
+    if triples is not None:
+        rows = _hits_rounds(
+            triples, (r["host"] for r in nodes.collect()), iterations)
+        return nodes.sparkSession.createDataFrame(
+            rows, "host string, hub_micro long, auth_micro long")
+    ed = w.select("src", "dst", "n").localCheckpoint()
     hubs = nodes.select(
         F.col("host").alias("node"), F.lit(RANK_SCALE).alias("hub_micro")
     )
@@ -117,7 +233,7 @@ def hits_integer(
         araw = (
             ed.join(hubs, ed["src"] == hubs["node"])
             .groupBy(ed["dst"].alias("node"))
-            .agg(F.sum("hub_micro").alias("raw"))
+            .agg(F.sum(F.col("n") * F.col("hub_micro")).alias("raw"))
         ).localCheckpoint()
         amax = araw.agg(
             F.greatest(F.coalesce(F.max("raw"), F.lit(1)), F.lit(1)).alias("mx")
@@ -136,7 +252,7 @@ def hits_integer(
         hraw = (
             ed.join(auths, ed["dst"] == auths["node"])
             .groupBy(ed["src"].alias("node"))
-            .agg(F.sum("auth_micro").alias("raw"))
+            .agg(F.sum(F.col("n") * F.col("auth_micro")).alias("raw"))
         ).localCheckpoint()
         hmax = hraw.agg(
             F.greatest(F.coalesce(F.max("raw"), F.lit(1)), F.lit(1)).alias("mx")
@@ -189,7 +305,10 @@ def host_graph(
     )
 
 
-def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
+def kcore(
+    edges: DataFrame, k: int = 3, rounds: int = 4,
+    small_threshold: int = SMALL_GRAPH_THRESHOLD,
+) -> DataFrame:
     """Deterministic synchronous k-core peeling over the SIMPLE undirected
     view of (src, dst) edges (multi-edges deduped, self-loops dropped) —
     the link-farm / spam-cluster density signal a crawl pipeline computes
@@ -231,6 +350,23 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    if small_threshold and und.count() <= small_threshold:
+        pdf = und.toPandas()
+        pairs = list(zip(pdf["src"], pdf["dst"]))
+        alive_s = {s for s, _ in pairs}
+        deg: dict = {}
+        for _ in range(rounds):
+            deg = {}
+            for s, d in pairs:
+                if s in alive_s and d in alive_s:
+                    deg[s] = deg.get(s, 0) + 1
+            alive_s = {v for v, dg in deg.items() if dg >= k}
+        deg = {}
+        for s, d in pairs:
+            if s in alive_s and d in alive_s:
+                deg[s] = deg.get(s, 0) + 1
+        return edges.sparkSession.createDataFrame(
+            sorted(deg.items()), "host string, degree long")
     alive = und.select(F.col("src").alias("host")).distinct()
 
     def _induced_deg(alive_hosts: DataFrame) -> DataFrame:
@@ -254,6 +390,7 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
 def trustrank_integer(
     edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
     iterations: int = 10,
+    small_threshold: int = SMALL_GRAPH_THRESHOLD,
 ) -> DataFrame:
     """Deterministic integer TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
     VLDB 2004) over (src, dst) edges: PageRank with the teleport restricted
@@ -276,8 +413,16 @@ def trustrank_integer(
     host-dim-sized, each iteration one shuffle join + one aggregate, the
     edge+degree frame localCheckpointed once and consumed k times.
     """
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    ed = edges.join(out_deg, "src").select("src", "dst", "out_deg")
+    triples, w = _collect_small(_weighted_edges(edges), small_threshold)
+    if triples is not None:
+        seed_set = {r["host"] for r in seeds.select("host").collect()}
+        rows = _pagerank_rounds(
+            triples, (r["host"] for r in nodes.collect()), seed_set,
+            iterations)
+        return nodes.sparkSession.createDataFrame(
+            rows, "host string, rank_micro long")
+    out_deg = w.groupBy("src").agg(F.sum("n").alias("out_deg"))
+    ed = w.join(out_deg, "src").select("src", "dst", "n", "out_deg")
     ed = ed.localCheckpoint()  # reused k times; cut the rebuild lineage
     seed_flag = (
         nodes.select(F.col("host").alias("node"))
@@ -294,7 +439,7 @@ def trustrank_integer(
             ed.join(ranks, ed["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
-                F.expr("rank_micro div out_deg").alias("c"),
+                F.expr("n * (rank_micro div out_deg)").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("inbound"))
@@ -312,7 +457,28 @@ def trustrank_integer(
     return ranks.select(F.col("node").alias("host"), "rank_micro")
 
 
-def bfs_depth(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
+def _bfs_rounds(pairs, seed_hosts, rounds: int, costs=None) -> dict:
+    """Driver-side synchronous min-relaxation over collected (src, dst)
+    pairs: BFS hop depth when ``costs`` is None, else Bellman-Ford with
+    ``costs[(src, dst)]`` edge weights — exact mirrors of the distributed
+    loops (each round relaxes from the PREVIOUS round's snapshot)."""
+    reached = {v: 0 for v in seed_hosts}
+    for _ in range(rounds):
+        snap = dict(reached)
+        for s, d in pairs:
+            c = snap.get(s)
+            if c is None:
+                continue
+            step = c + (1 if costs is None else costs[(s, d)])
+            if d not in reached or step < reached[d]:
+                reached[d] = step
+    return reached
+
+
+def bfs_depth(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 4,
+    small_threshold: int = SMALL_GRAPH_THRESHOLD,
+) -> DataFrame:
     """Multi-source BFS hop distance from ``seeds`` over DIRECTED
     (src, dst) edges — crawl depth. A crawler's frontier expands hop by
     hop from its seed list, and "how many hops from a seed" is a standard
@@ -348,6 +514,13 @@ def bfs_depth(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
     small.
     """
     ed = edges.select("src", "dst").distinct().localCheckpoint()
+    if small_threshold and ed.count() <= small_threshold:
+        pdf = ed.toPandas()
+        reached_d = _bfs_rounds(
+            list(zip(pdf["src"], pdf["dst"])),
+            (r["host"] for r in seeds.select("host").collect()), rounds)
+        return edges.sparkSession.createDataFrame(
+            sorted(reached_d.items()), "host string, depth long")
     reached = seeds.select(
         F.col("host"), F.lit(0).cast("long").alias("depth")
     )
@@ -366,7 +539,8 @@ def bfs_depth(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
 
 
 def bowtie(
-    edges: DataFrame, nodes: DataFrame, pivot: str, rounds: int = 6
+    edges: DataFrame, nodes: DataFrame, pivot: str, rounds: int = 6,
+    small_threshold: int = SMALL_GRAPH_THRESHOLD,
 ) -> DataFrame:
     """Bowtie decomposition of a directed host graph (Broder et al.,
     WWW 2000 — the canonical macro-structure measurement of the web):
@@ -393,13 +567,32 @@ def bowtie(
     min-aggregate per round over a host-dim-sized reached table) plus
     two broadcast-able host-dim left joins for the classification —
     nothing here ever touches page-level row counts."""
+    ed = edges.select("src", "dst").distinct().localCheckpoint()
+    if small_threshold and ed.count() <= small_threshold:
+        pdf = ed.toPandas()
+        pairs = list(zip(pdf["src"], pdf["dst"]))
+        node_l = [r["host"] for r in nodes.collect()]
+        seed = [pivot] if pivot in set(node_l) else []
+        fwd_d = _bfs_rounds(pairs, seed, rounds)
+        bwd_d = _bfs_rounds([(d, s) for s, d in pairs], seed, rounds)
+        rows = [
+            (
+                v,
+                "core" if v in fwd_d and v in bwd_d
+                else "in" if v in bwd_d
+                else "out" if v in fwd_d
+                else "other",
+            )
+            for v in node_l
+        ]
+        return nodes.sparkSession.createDataFrame(rows, "host string, cls string")
     pv = nodes.filter(F.col("host") == pivot)
-    fwd = bfs_depth(edges, pv, rounds).select(
+    fwd = bfs_depth(edges, pv, rounds, small_threshold=0).select(
         "host", F.lit(1).alias("_f")
     )
     bwd = bfs_depth(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-        pv, rounds,
+        pv, rounds, small_threshold=0,
     ).select("host", F.lit(1).alias("_b"))
     return (
         nodes.join(fwd, "host", "left")
@@ -474,7 +667,8 @@ def cocitation(edges: DataFrame, min_common: int = 2) -> DataFrame:
 
 
 def label_propagation(
-    edges: DataFrame, nodes: DataFrame, iterations: int = 3
+    edges: DataFrame, nodes: DataFrame, iterations: int = 3,
+    small_threshold: int = SMALL_GRAPH_THRESHOLD,
 ) -> DataFrame:
     """Deterministic synchronous label propagation (Raghavan et al. 2007)
     over an undirected view of (src, dst) edges — the community-detection
@@ -505,8 +699,36 @@ def label_propagation(
     pre-aggregate multiplicities with a cap before calling if an input
     could violate it.
     """
-    und = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    triples, w = _collect_small(_weighted_edges(edges), small_threshold)
+    if triples is not None:
+        import hashlib
+
+        node_l = [r["host"] for r in nodes.collect()]
+        lbl_d = {
+            v: int(hashlib.md5(v.encode()).hexdigest()[:7], 16)
+            for v in node_l
+        }
+        # undirected multiplicity view of the collected triples
+        und_t = triples + [(d, s, n) for s, d, n in triples]
+        for _ in range(iterations):
+            cnt: dict = {}
+            for s, d, n in und_t:
+                lb = lbl_d.get(s)
+                if lb is None:
+                    continue
+                key = (d, lb)
+                cnt[key] = cnt.get(key, 0) + n
+            packed: dict = {}
+            for (d, lb), c in cnt.items():
+                v = c * 536870912 + (268435455 - lb)
+                if d not in packed or v > packed[d]:
+                    packed[d] = v
+            new_lbl = {d: 268435455 - packed[d] % 536870912 for d in packed}
+            lbl_d = {v: new_lbl.get(v, lbl_d[v]) for v in node_l}
+        return nodes.sparkSession.createDataFrame(
+            [(v, lbl_d[v]) for v in node_l], "host string, community long")
+    und = w.select("src", "dst", "n").unionAll(
+        w.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "n")
     ).localCheckpoint()
     lbl = nodes.select(
         "host",
@@ -516,7 +738,7 @@ def label_propagation(
     for _ in range(iterations):
         cnt = (
             und.join(lbl.withColumnRenamed("host", "src"), "src")
-            .groupBy("dst", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("dst", "lbl").agg(F.sum("n").alias("cnt"))
         )
         modal = cnt.groupBy("dst").agg(
             (
@@ -531,7 +753,10 @@ def label_propagation(
     return lbl.select("host", F.col("lbl").alias("community"))
 
 
-def cheapest_paths(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataFrame:
+def cheapest_paths(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 4,
+    small_threshold: int = SMALL_GRAPH_THRESHOLD,
+) -> DataFrame:
     """Multi-source CHEAPEST path cost within ``rounds`` edges — the
     weighted complement of ``bfs_depth``: edge cost is derived from link
     multiplicity, cost(src, dst) = 1_000_000 div (1 + n_links), so
@@ -557,6 +782,18 @@ def cheapest_paths(edges: DataFrame, seeds: DataFrame, rounds: int = 4) -> DataF
         )
         .localCheckpoint()
     )
+    if small_threshold and w.count() <= small_threshold:
+        pdf = w.toPandas()
+        pairs = list(zip(pdf["src"], pdf["dst"]))
+        costs = {
+            (s, d): int(c)
+            for s, d, c in zip(pdf["src"], pdf["dst"], pdf["edge_cost"])
+        }
+        reached_d = _bfs_rounds(
+            pairs, (r["host"] for r in seeds.select("host").collect()),
+            rounds, costs=costs)
+        return edges.sparkSession.createDataFrame(
+            sorted(reached_d.items()), "host string, cost long")
     reached = seeds.select(F.col("host"), F.lit(0).cast("long").alias("cost"))
     for _ in range(rounds):
         step = (
