@@ -84,3 +84,15 @@ def test_label_propagation_arms_equal(spark, edges, nodes):
     slow = linkgraph.label_propagation(
         edges, nodes, iterations=3, small_threshold=0)
     assert _sorted(fast) == _sorted(slow)
+
+
+def test_bpe_train_arms_equal(spark):
+    from tree_sitter_codeviews_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * (1 + i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    fast = bpe.bpe_train(docs, merges=6)
+    slow = bpe.bpe_train(docs, merges=6, small_threshold=0)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))

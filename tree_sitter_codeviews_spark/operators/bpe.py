@@ -71,38 +71,83 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(docs: DataFrame, merges: int = 8) -> DataFrame:
+def _merge_rounds_local(seqs: list, ns: list, merges: int) -> list:
+    """Driver-side merge rounds over the collected vocab — exact mirror of
+    the distributed loop: pair counts weighted by word frequency, argmax
+    with (count desc, sym_a asc, sym_b asc) tie-break, then the same
+    left-to-right non-overlapping replace (Python str.replace == Spark
+    ``replace`` on the collision-free bracket encoding)."""
+    rules = []
+    sep = SEP_B + SEP_A
+    for rank in range(1, merges + 1):
+        cnt: dict = {}
+        for seq, n in zip(seqs, ns):
+            syms = seq[1:-1].split(sep)
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                cnt[key] = cnt.get(key, 0) + n
+        if not cnt:
+            break
+        (sym_a, sym_b), pair_count = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((rank, sym_a, sym_b, pair_count))
+        pat = f"{SEP_A}{sym_a}{SEP_B}{SEP_A}{sym_b}{SEP_B}"
+        rep = f"{SEP_A}{sym_a}{sym_b}{SEP_B}"
+        seqs = [s.replace(pat, rep) for s in seqs]
+    return rules
+
+
+def bpe_train(
+    docs: DataFrame, merges: int = 8, small_threshold: int = 500_000
+) -> DataFrame:
     """Learn the top-``merges`` BPE merge rules; returns (merge_rank,
     sym_a, sym_b, pair_count).
 
     Ties break deterministically (count desc, sym_a asc, sym_b asc), so
     the whole merge sequence is reproducible — the DuckDB oracle unrolls
     the same rounds and must produce the identical table.
+
+    The corpus-wide word-count pass stays distributed; the merge rounds
+    run over the vocabulary dim, which is orders smaller than the corpus
+    — when it fits the driver collect bound (the linkgraph /
+    connected_components size-adaptive discipline) the ``merges`` rounds
+    run driver-side in pure Python (bit-equal: integer counts, identical
+    tie-break, and Python ``str.replace`` is the same left-to-right
+    non-overlapping merge as Spark ``replace`` on the bracket encoding —
+    pinned by tests), saving 2 vocabulary-dim jobs + a localCheckpoint
+    per round. ``small_threshold=0`` forces the distributed rounds.
     """
     spark = docs.sparkSession
-    counts = tokens_df(docs).groupBy("tok").agg(F.count("*").alias("n"))
+    counts = tokens_df(docs, by_doc=False).groupBy("tok").agg(
+        F.count("*").alias("n"))
     vocab = counts.select(_encode(F.col("tok")).alias("seq"), "n")
     # the corpus pass is done; everything below runs on the vocab dim
     vocab = vocab.localCheckpoint()
-    rules = []
-    for rank in range(1, merges + 1):
-        best = (
-            _pair_counts(vocab)
-            .orderBy(
-                F.col("pair_count").desc(),
-                F.col("sym_a").asc(),
-                F.col("sym_b").asc(),
+    if small_threshold and vocab.count() <= small_threshold:
+        pdf = vocab.toPandas()
+        rules = _merge_rounds_local(
+            list(pdf["seq"]), [int(x) for x in pdf["n"]], merges)
+    else:
+        rules = []
+        for rank in range(1, merges + 1):
+            best = (
+                _pair_counts(vocab)
+                .orderBy(
+                    F.col("pair_count").desc(),
+                    F.col("sym_a").asc(),
+                    F.col("sym_b").asc(),
+                )
+                .first()
             )
-            .first()
-        )
-        if best is None:
-            break
-        rules.append((rank, best.sym_a, best.sym_b, best.pair_count))
-        pat = f"{SEP_A}{best.sym_a}{SEP_B}{SEP_A}{best.sym_b}{SEP_B}"
-        rep = f"{SEP_A}{best.sym_a}{best.sym_b}{SEP_B}"
-        vocab = vocab.select(
-            F.replace(F.col("seq"), F.lit(pat), F.lit(rep)).alias("seq"), "n"
-        ).localCheckpoint()
+            if best is None:
+                break
+            rules.append((rank, best.sym_a, best.sym_b, best.pair_count))
+            pat = f"{SEP_A}{best.sym_a}{SEP_B}{SEP_A}{best.sym_b}{SEP_B}"
+            rep = f"{SEP_A}{best.sym_a}{best.sym_b}{SEP_B}"
+            vocab = vocab.select(
+                F.replace(F.col("seq"), F.lit(pat), F.lit(rep)).alias("seq"), "n"
+            ).localCheckpoint()
     return spark.createDataFrame(
         rules, "merge_rank INT, sym_a STRING, sym_b STRING, pair_count BIGINT"
     )

@@ -31,8 +31,21 @@ LSH_BANDS = 16
 LSH_ROWS = 4  # bands * rows == perms
 
 
-def tokens_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, tok) — native split + posexplode."""
+def tokens_df(docs: DataFrame, by_doc: bool = True) -> DataFrame:
+    """(doc_id, pos, tok) — native split + posexplode.
+
+    With ``by_doc`` (the default — every doc-keyed consumer) the
+    documents are hash-repartitioned on doc_id BEFORE the explode: the
+    consumer's window/aggregate needs that exchange anyway, so placing it
+    first means the one shuffle carries each doc's text bytes once
+    instead of its exploded (doc_id, pos, tok) rows (guide: explode after
+    the shuffle, shuffle fewer bytes), and the split/posexplode work
+    parallelizes even when the scan is a single row group (one map task
+    otherwise). Token-keyed consumers (BPE's word-count pass) pass
+    ``by_doc=False`` — a doc exchange would be pure overhead there."""
+    if by_doc:
+        n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        docs = docs.repartition(n_part, "doc_id")
     return docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     )

@@ -87,8 +87,9 @@ def graph_metrics(edges: DataFrame, graph_col: str = "graph_id") -> DataFrame:
     tree diameter via double-BFS sweep (the graphs this engine feeds it are
     forests of chain segments); on cyclic graphs it is the standard
     double-sweep lower bound."""
-    return (
-        edges.select(graph_col, "src", "dst")
-        .groupBy(graph_col)
-        .applyInPandas(_one_graph, METRICS_SCHEMA)
-    )
+    e = edges.select(graph_col, "src", "dst")
+    # pin grouped-map parallelism (the tile_diameter discipline): AQE
+    # coalesces the small edge shuffle to 1-2 partitions, serializing the
+    # per-graph pandas work through one Python worker
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism, graph_col)
+    return e.groupBy(graph_col).applyInPandas(_one_graph, METRICS_SCHEMA)

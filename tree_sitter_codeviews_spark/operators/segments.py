@@ -154,6 +154,12 @@ def tile_diameter(pts: DataFrame, shift: int = 5) -> DataFrame:
             "diam_sq": [geometry.diameter_sq_np(xs, ys)],
         })
 
+    # pin the grouped-map parallelism: the distinct tile-point table is
+    # KB-sized, so AQE coalesces it to one partition and every tile's hull
+    # runs serially through a single Python worker (profiled: 1 task,
+    # ~1s run, 31ms JVM cpu). An explicit core-count repartition on the
+    # group key keeps the pandas stage parallel; groupBy reuses it.
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "tx", "ty")
     return d.groupBy("tx", "ty").applyInPandas(
         _diam, "tx long, ty long, n_pts long, diam_sq long"
     )
@@ -236,7 +242,14 @@ def snap_to_lines(
             ).alias("cy"),
         )
     )
-    cand = probes.withColumns(
+    # Repartition the probes on the argmin key BEFORE the broadcast join:
+    # the final groupBy needs hash(id_cols) anyway, so moving the exchange
+    # ahead of the join shuffles one compact row per probe (same bytes as
+    # the partial-aggregated argmin rows) while the join + candidate
+    # filter + aggregate parallelize even off a single-row-group scan
+    # (profiled: the whole leg fused into the 1-task scan stage, ~1s CPU).
+    n_part = int(probes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = probes.repartition(n_part, *id_cols).withColumns(
         {"cx": F.shiftright("ex", shift), "cy": F.shiftright("ey", shift)}
     ).join(F.broadcast(ring), ["cx", "cy"])
     d2 = (F.col("ex") - F.col("px")) * (F.col("ex") - F.col("px")) + (
@@ -293,6 +306,9 @@ def tile_closest_pair(pts: DataFrame, shift: int = 5) -> DataFrame:
             "min_d2": [int(d2.min())],
         })
 
+    # same grouped-map parallelism pin as tile_diameter (AQE would
+    # coalesce the KB-sized tile-point shuffle to one Python worker)
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "tx", "ty")
     return d.groupBy("tx", "ty").applyInPandas(
         _closest, "tx long, ty long, n_pts long, min_d2 long"
     )

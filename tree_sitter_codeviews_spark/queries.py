@@ -3935,6 +3935,11 @@ def events_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # pin grouped-map parallelism (the segments.tile_diameter discipline):
+    # AQE coalesces the ~1 MB distinct shuffle to one partition, funneling
+    # every user's hull through a single Python worker
+    ev = ev.repartition(
+        spark.sparkContext.defaultParallelism, "user_id")
     return ev.groupBy("user_id").applyInPandas(
         _hull, "user_id long, n_points long, hull_area2 long"
     )

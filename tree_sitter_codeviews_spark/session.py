@@ -95,6 +95,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing sizes partitions by SHUFFLE BYTES, which is a bad
+        # proxy for work in compute-dense stages (explodes, grouped-map /
+        # pandas evaluation): profiling showed 1-3 MB shuffles coalesced to
+        # 1-2 partitions feeding seconds of per-row compute (DDA raster
+        # explode, pair-verify joins, convex-hull grouped maps) on a
+        # 32-core box. Lowering the coalesce floor keeps such stages
+        # parallel; at production scale stages carry >> cores x 1 MB, so
+        # the knob is inert there (coalescing only merges small
+        # partitions). Env-parameterised for deployments that prefer the
+        # stock 1 MB floor.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # -Xms pins the initial heap: incremental heap growth under load
         # causes full-GC storms with multi-x wall-clock variance in local
