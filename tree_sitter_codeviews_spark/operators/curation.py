@@ -203,17 +203,26 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     uniform (no corpus-wide hot key; a single pathological giant doc is
     bounded upstream by ingest length caps). Docs with <2 words have no
     2-gram and drop out, matching the oracle's empty generate_series."""
-    words = F.split(F.col(text_col), " ")
-    grams = docs.filter(F.size(words) >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(words, i), F.element_at(words, i + 1)
-                ),
-            )
-        ).alias("gram"),
+    # 2-gram formation via posexplode + lead window — the shingles_df
+    # idiom: HOF transform/element_at lambdas are interpreted expression-
+    # eval (and ran inside the single-row-group scan task), while the
+    # token window stays in whole-stage codegen behind the doc_id
+    # exchange the per-doc aggregate needs anyway. Same gram multiset:
+    # docs with <2 words produce no row with a non-null lead.
+    from pyspark.sql import Window
+
+    from .dedup import tokens_df
+
+    toks = tokens_df(docs.select("doc_id", F.col(text_col).alias("text")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("gram"),
+            F.lead("tok", 1).over(w).alias("_t"),
+        )
+        .filter(F.col("_t").isNotNull())
+        .drop("_t")
     )
     per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
     return per_gram.groupBy("doc_id").agg(

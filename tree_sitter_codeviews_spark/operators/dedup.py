@@ -251,19 +251,27 @@ def simhash_df(docs: DataFrame, hasher: str = "xxhash64") -> DataFrame:
     else:
         raise ValueError(f"unknown hasher: {hasher}")
     toks = tokens_df(docs).select("doc_id", h.alias("h"))
+    # The 64 per-bit sign sums and the 64-term OR fold are built as SQL
+    # text (one F.expr per aggregate / one for the fold) instead of
+    # thousands of Column-builder calls: every F.<op> is a py4j round
+    # trip, and constructing this query's expression tree through the
+    # Column API measured ~0.9 s of DRIVER time per run (plan build, not
+    # execution). Identical expressions, so identical results.
     sums = toks.groupBy("doc_id").agg(*[
-        F.sum(
-            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"s_{i}")
+        F.expr(f"sum((shiftright(h, {i}) & 1) * 2 - 1)").alias(f"s_{i}")
         for i in range(64)
     ])
-    sim = F.lit(0).cast("long")
-    for i in range(64):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"s_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << i).cast("long")
-            if i < 63
-            else F.when(F.col(f"s_{i}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+    terms = ["cast(0 as bigint)"]
+    for i in range(63):
+        terms.append(
+            f"(case when s_{i} > 0 then cast({1 << i} as bigint) "
+            "else cast(0 as bigint) end)"
         )
+    terms.append(
+        "(case when s_63 > 0 then shiftleft(cast(1 as bigint), 63) "
+        "else cast(0 as bigint) end)"
+    )
+    sim = F.expr(" | ".join(terms))
     return sums.select("doc_id", sim.alias("simhash"))
 
 
@@ -277,7 +285,10 @@ def simhash_near_dups(
     unlike MinHash-LSH. Verify = native bit_count(xor). With hasher='md5'
     the whole pipeline (hash -> 64 sign sums -> band blocking -> hamming
     verify) is mirrored bit-for-bit by the DuckDB oracle."""
-    sims = simhash_df(docs, hasher=hasher)
+    # sims feeds BOTH sides of the band-blocking self-join; materialize it
+    # once (no common-subplan reuse: the 64-aggregate pass would execute
+    # twice otherwise, and the duplicated subtree doubles analysis time)
+    sims = simhash_df(docs, hasher=hasher).localCheckpoint()
     bands = F.array(*[
         F.struct(
             F.lit(bi).alias("band_idx"),
@@ -398,8 +409,13 @@ def embedding_lsh_dups(
                     lambda acc, v: acc + v),
     ).withColumn("bucket", embedding_bucket_udf(dim, n_planes)(F.col("q")))
     # the bucketed table feeds the probe sides AND two array-fetch joins;
-    # materialize once (at cluster scale: a checkpoint stage table)
-    qn = qn.localCheckpoint()
+    # materialize once (at cluster scale: a checkpoint stage table). The
+    # repartition fixes the materialized frame's parallelism: off a
+    # single-row-group scan it would checkpoint as 1-2 partitions and the
+    # 79-mask probe explode + candidate join would run near-serial
+    # (profiled: 2 tasks, 1.35 s).
+    n_part = int(embs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    qn = qn.repartition(n_part, "vec_id").localCheckpoint()
     masks = [m for m in range(1 << n_planes) if bin(m).count("1") <= max_hamming]
     probe = F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask")
     # the probe explode is NARROW (ids + buckets only): replicating the

@@ -63,9 +63,22 @@ def connected_components(
     with a node table before calling). Pass ``small_threshold=0`` to force
     the distributed path.
     """
+    # Mirror each edge with ONE pass over ``edges`` (explode of the two
+    # orientations) instead of a self-union: Spark has no common-subplan
+    # reuse, so union(edges, edges.reversed) executes the caller's edge
+    # pipeline twice — for CC consumers whose edge table IS an expensive
+    # pair generator (exact-Jaccard in train_set/dedup_groups, the LSH
+    # verify in dedup_groups_embedding) that doubled the dominant stage.
     und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .localCheckpoint()
     )
