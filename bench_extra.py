@@ -35,39 +35,18 @@ EVDIR = "/tmp/spark-events-profile"
 
 
 def _get_spark_with_eventlog(app: str):
+    """session.get_spark (the REAL engine config) + the event log. Keeping
+    the configs in one place matters: an early profiler copy drifted from
+    session.py and over-reported stages the engine config had fixed."""
     os.makedirs(EVDIR, exist_ok=True)
-    from pyspark.sql import SparkSession
+    from tree_sitter_codeviews_spark import session as tscv_session
 
-    # mirror session.get_spark but with the event log on
-    from tree_sitter_codeviews_spark.session import get_spark  # noqa: F401
-
-    env = os.environ.get("SPARK_GRAFT_CPUS")
-    master = f"local[{env}]" if env else "local[*]"
-    n = int(env) if env else (os.cpu_count() or 8)
-    builder = (
-        SparkSession.builder.master(master)
-        .appName(app)
-        .config("spark.sql.shuffle.partitions", str(max(n, 32)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.driver.extraJavaOptions",
-                f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g')} "
-                "-XX:-DontCompileHugeMethods")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", EVDIR)
-        .config("spark.eventLog.compress", "false")
-        .config("spark.eventLog.rolling.enabled", "false")
-    )
-    spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    return spark
+    return tscv_session.get_spark(app, extra_conf={
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": EVDIR,
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.rolling.enabled": "false",
+    })
 
 
 def child_profile(name: str, sf_dir: str, reps: int, out_path: str) -> None:

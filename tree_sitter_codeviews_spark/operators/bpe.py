@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..localdf import arrow_local_df
 
 from .dedup import tokens_df
 
@@ -148,8 +149,9 @@ def bpe_train(
             vocab = vocab.select(
                 F.replace(F.col("seq"), F.lit(pat), F.lit(rep)).alias("seq"), "n"
             ).localCheckpoint()
-    return spark.createDataFrame(
-        rules, "merge_rank INT, sym_a STRING, sym_b STRING, pair_count BIGINT"
+    return arrow_local_df(
+        spark, rules,
+        "merge_rank INT, sym_a STRING, sym_b STRING, pair_count BIGINT",
     )
 
 

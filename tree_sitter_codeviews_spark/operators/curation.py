@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..localdf import arrow_local_df
 
 from .dedup import shingles_df
 
@@ -96,8 +97,9 @@ def pack_sequences(docs: DataFrame, budget: int = 512) -> DataFrame:
     for r in totals:
         offsets[r["_pid"]] = acc
         acc += r["_tot"]
-    off_df = ranged.sparkSession.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    off_df = arrow_local_df(
+        ranged.sparkSession,
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long",
     )
     cum_before = (F.col("_off") + local_cum).cast("long")
     return (
@@ -507,8 +509,9 @@ def apportion_budget(
     for r in counts:
         offsets[r["_pid"]] = acc
         acc += r["_n"]
-    off_df = ranged.sparkSession.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    off_df = arrow_local_df(
+        ranged.sparkSession,
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long",
     )
     rank = (F.col("_off") + F.row_number().over(w)).cast("long")
     return (
@@ -551,22 +554,39 @@ def dsir_weights(
     (uniform by hashing), and scoring is one broadcast join + one per-doc
     rollup. Nothing collects.
     """
-    w = F.split(F.col(text_col), " ")
+    # Bigram features via posexplode + lead window (the shingles_df /
+    # repetition_stats idiom — codegen, parallel behind the doc_id
+    # exchange) instead of an interpreted transform HOF fused into the
+    # single-task scan; identical bigram multiset (docs with <2 words
+    # yield no non-null lead). ``bg`` feeds THREE consumers (raw dist,
+    # target dist, scoring join) — materialize it once; recomputing the
+    # explode+md5 pass per consumer profiled as 3 single-task ~600 ms
+    # stages (at cluster scale this is a checkpoint stage table, the
+    # minhash ``sh`` discipline).
+    from pyspark.sql import Window
+
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        docs.select("doc_id", "lang", F.col(text_col).alias("text"))
+        .repartition(n_part, "doc_id")
+        .select("doc_id", "lang",
+                F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"))
+    )
+    wn = Window.partitionBy("doc_id").orderBy("pos")
     bg = (
-        docs.select("doc_id", "lang", w.alias("w"))
-        .filter(F.size("w") >= 2)
-        .select(
+        toks.select(
             "doc_id", "lang",
-            F.explode(F.expr(
-                "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"
-            )).alias("g"),
+            F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(wn)).alias("g"),
+            F.lead("tok", 1).over(wn).alias("_t"),
         )
+        .filter(F.col("_t").isNotNull())
         .withColumn(
             "b",
             F.conv(F.substring(F.md5(F.col("g")), 1, 7), 16, 10).cast("long")
             % buckets,
         )
         .select("doc_id", "lang", "b")
+        .localCheckpoint()
     )
     raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
     tgt = (

@@ -154,13 +154,10 @@ def _components_driver(und: DataFrame) -> DataFrame:
                 ra, rb = rb, ra
             parent[rb] = ra
     rows = [(n, find(n)) for n in parent]
-    node_type = und.schema["a"].dataType
-    from pyspark.sql import types as T
+    from ..localdf import arrow_local_df
 
-    schema = T.StructType([
-        T.StructField("node", node_type), T.StructField("component", node_type)
-    ])
-    return und.sparkSession.createDataFrame(rows, schema)
+    t = und.schema["a"].dataType.simpleString()
+    return arrow_local_df(und.sparkSession, rows, f"node {t}, component {t}")
 
 
 def reach(
@@ -314,13 +311,10 @@ def _closure_driver(paths: DataFrame, pair_cap: int) -> DataFrame | None:
         if total > pair_cap:
             return None
         rows.extend((start, v) for v in seen)
-    node_type = paths.schema["a"].dataType
-    from pyspark.sql import types as T
+    from ..localdf import arrow_local_df
 
-    schema = T.StructType([
-        T.StructField("a", node_type), T.StructField("b", node_type)
-    ])
-    return paths.sparkSession.createDataFrame(rows, schema)
+    t = paths.schema["a"].dataType.simpleString()
+    return arrow_local_df(paths.sparkSession, rows, f"a {t}, b {t}")
 
 
 def resolve_chains(

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..localdf import arrow_local_df
 
 from .. import cells, layers
 
@@ -42,7 +43,7 @@ def _offsets_df(spark: SparkSession, lo: int, hi: int) -> DataFrame:
         for dy in range(-hi, hi + 1)
         if max(abs(dx), abs(dy)) > lo and max(abs(dx), abs(dy)) <= hi
     ]
-    return spark.createDataFrame(rows, "dx int, dy int")
+    return arrow_local_df(spark, rows, "dx int, dy int")
 
 
 def knn_ring(

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..localdf import arrow_local_df
+
 # PageRank in micro-units: damping 0.85 as the exact rational 85/100,
 # teleport mass 0.15 * 1e6 = 150000. All divisions are integer `div` with
 # identical truncation in Spark and DuckDB, so k iterations are bit-exact.
@@ -127,7 +129,7 @@ def pagerank_integer(
     if triples is not None:
         rows = _pagerank_rounds(
             triples, (r["host"] for r in nodes.collect()), None, iterations)
-        return nodes.sparkSession.createDataFrame(
+        return arrow_local_df(nodes.sparkSession, 
             rows, "host string, rank_micro long")
     out_deg = w.groupBy("src").agg(F.sum("n").alias("out_deg"))
     ed = w.join(out_deg, "src").select("src", "dst", "n", "out_deg")
@@ -222,7 +224,7 @@ def hits_integer(
     if triples is not None:
         rows = _hits_rounds(
             triples, (r["host"] for r in nodes.collect()), iterations)
-        return nodes.sparkSession.createDataFrame(
+        return arrow_local_df(nodes.sparkSession, 
             rows, "host string, hub_micro long, auth_micro long")
     ed = w.select("src", "dst", "n").localCheckpoint()
     hubs = nodes.select(
@@ -365,7 +367,7 @@ def kcore(
         for s, d in pairs:
             if s in alive_s and d in alive_s:
                 deg[s] = deg.get(s, 0) + 1
-        return edges.sparkSession.createDataFrame(
+        return arrow_local_df(edges.sparkSession, 
             sorted(deg.items()), "host string, degree long")
     alive = und.select(F.col("src").alias("host")).distinct()
 
@@ -419,7 +421,7 @@ def trustrank_integer(
         rows = _pagerank_rounds(
             triples, (r["host"] for r in nodes.collect()), seed_set,
             iterations)
-        return nodes.sparkSession.createDataFrame(
+        return arrow_local_df(nodes.sparkSession, 
             rows, "host string, rank_micro long")
     out_deg = w.groupBy("src").agg(F.sum("n").alias("out_deg"))
     ed = w.join(out_deg, "src").select("src", "dst", "n", "out_deg")
@@ -519,7 +521,7 @@ def bfs_depth(
         reached_d = _bfs_rounds(
             list(zip(pdf["src"], pdf["dst"])),
             (r["host"] for r in seeds.select("host").collect()), rounds)
-        return edges.sparkSession.createDataFrame(
+        return arrow_local_df(edges.sparkSession, 
             sorted(reached_d.items()), "host string, depth long")
     reached = seeds.select(
         F.col("host"), F.lit(0).cast("long").alias("depth")
@@ -585,7 +587,7 @@ def bowtie(
             )
             for v in node_l
         ]
-        return nodes.sparkSession.createDataFrame(rows, "host string, cls string")
+        return arrow_local_df(nodes.sparkSession, rows, "host string, cls string")
     pv = nodes.filter(F.col("host") == pivot)
     fwd = bfs_depth(edges, pv, rounds, small_threshold=0).select(
         "host", F.lit(1).alias("_f")
@@ -725,7 +727,7 @@ def label_propagation(
                     packed[d] = v
             new_lbl = {d: 268435455 - packed[d] % 536870912 for d in packed}
             lbl_d = {v: new_lbl.get(v, lbl_d[v]) for v in node_l}
-        return nodes.sparkSession.createDataFrame(
+        return arrow_local_df(nodes.sparkSession, 
             [(v, lbl_d[v]) for v in node_l], "host string, community long")
     und = w.select("src", "dst", "n").unionAll(
         w.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "n")
@@ -792,7 +794,7 @@ def cheapest_paths(
         reached_d = _bfs_rounds(
             pairs, (r["host"] for r in seeds.select("host").collect()),
             rounds, costs=costs)
-        return edges.sparkSession.createDataFrame(
+        return arrow_local_df(edges.sparkSession, 
             sorted(reached_d.items()), "host string, cost long")
     reached = seeds.select(F.col("host"), F.lit(0).cast("long").alias("cost"))
     for _ in range(rounds):

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+from ..localdf import arrow_local_df
 
 from .. import cells, geometry, layers
 
@@ -73,13 +74,10 @@ def cover_df(spark: SparkSession, res: int = COVER_RES) -> DataFrame:
         cs, full = geometry.cover_cells_classified(p["ring"], res)
         for c, f in zip(cs, full):
             rows.append((int(c), p["polygon_id"], p["admin_level"], bool(f)))
-    schema = T.StructType([
-        T.StructField("cover_cell", T.LongType()),
-        T.StructField("polygon_id", T.LongType()),
-        T.StructField("admin_level", T.IntegerType()),
-        T.StructField("full", T.BooleanType()),
-    ])
-    return spark.createDataFrame(rows, schema)
+    return arrow_local_df(
+        spark, rows,
+        "cover_cell long, polygon_id long, admin_level int, full boolean",
+    )
 
 
 @pandas_udf(T.BooleanType())

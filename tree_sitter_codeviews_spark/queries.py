@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .localdf import arrow_local_df
 
 from . import cells, layers
 from .operators import extract, knn, pip_join, tiles
@@ -675,7 +676,8 @@ def geo_template_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") + 150000).alias("template_id"),
         )
     )
-    kinds = spark.createDataFrame(
+    kinds = arrow_local_df(
+        spark,
         [("city", 200000), ("poi", 200001), ("region", 200002), ("*", 999999)],
         "kind string, template_id long",
     )
@@ -2275,8 +2277,9 @@ def geo_rect_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("gx") + F.expr(layers.PARCEL_W_SQL), F.lit(layers.GRID_N)).alias("ax1"),
         F.least(F.col("gy") + F.expr(layers.PARCEL_H_SQL), F.lit(layers.GRID_N)).alias("ay1"),
     )
-    zones = spark.createDataFrame(
-        layers.zone_rects(), "b_id long, bx0 long, by0 long, bx1 long, by1 long"
+    zones = arrow_local_df(
+        spark, layers.zone_rects(),
+        "b_id long, bx0 long, by0 long, bx1 long, by1 long",
     )
     return (
         overlay.rect_overlay(parcels, zones, shift=6)
@@ -2599,7 +2602,8 @@ def geo_tile_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("gx", 5).alias("tx"), F.shiftright("gy", 5).alias("ty")
     )
     c = pts.groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("n"))
-    offsets = spark.createDataFrame(
+    offsets = arrow_local_df(
+        spark,
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)],
         "dx long, dy long",
     )
@@ -2674,7 +2678,8 @@ def geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cell_id", cells_mod.morton_col(F.col("tx"), F.col("ty"), 5))
         .localCheckpoint()  # consumed three times (two join sides + final union)
     )
-    offsets = spark.createDataFrame(
+    offsets = arrow_local_df(
+        spark,
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)],
         "dx long, dy long",
     )

@@ -70,6 +70,7 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     ui: bool = False,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -142,6 +143,8 @@ def get_spark(
     if os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM") != "1":
         builder = builder.config(
             "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
