@@ -143,17 +143,25 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     ])
 
     def fn(key, pdf_iter, state: GroupState):
+        import numpy as np
+
         last_ts, n_sessions, n_events = (
             state.get if state.exists else (None, 0, 0)
         )
         for pdf in pdf_iter:
             ts = pd.to_datetime(pdf["ts"]).astype("int64").to_numpy() / 1e9
-            order = ts.argsort(kind="stable")
-            for t in ts[order]:
-                if last_ts is None or t - last_ts > gap_s:
-                    n_sessions += 1
-                last_ts = float(t)
-                n_events += 1
+            ts = np.sort(ts, kind="stable")
+            if len(ts) == 0:
+                continue
+            # vectorized replay of the per-event loop: a session opens at
+            # the first event (when no prior state / gap from last_ts) and
+            # at every in-batch gap > gap_s — identical counts, no Python
+            # per-event iteration
+            if last_ts is None or ts[0] - last_ts > gap_s:
+                n_sessions += 1
+            n_sessions += int((np.diff(ts) > gap_s).sum())
+            n_events += len(ts)
+            last_ts = float(ts[-1])
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame({
             "user_id": [key[0]], "n_sessions": [n_sessions],
