@@ -11,9 +11,14 @@ min-of-REPS timed ``.count()``) and adds the evidence bench.py cannot emit:
   query is identifiable without the UI (disabled in the sandbox).
 - ``--mode explain``: ``.explain("formatted")`` captured to
   ``plans/r06/<query>_{before,after}.txt``.
+- ``--mode time``: the bench child protocol with NO event log — the event
+  log's synchronous per-event writes measurably inflate multi-job queries
+  (train_set profiled 4.9 s with the log vs ~3 s without), so before/after
+  wall numbers come from this mode and ``profile`` is for stage anatomy.
 
 Usage:
   python bench_extra.py profile  q1 [q2 ...]   # singleton JVM each
+  python bench_extra.py time     q1 [q2 ...]   # singleton JVM each, no log
   python bench_extra.py explain  --tag before q1 [q2 ...]
 """
 
@@ -77,6 +82,33 @@ def child_profile(name: str, sf_dir: str, reps: int, out_path: str) -> None:
     with open(out_path, "w") as fh:
         json.dump({"query": name, "wall": round(dt, 3), "stages": stages}, fh,
                   indent=1)
+
+
+def child_time(name: str, sf_dir: str, reps: int, out_path: str) -> None:
+    """bench.py's singleton child protocol verbatim (warm sf0.001 + warm
+    target + min-of-reps), no event log."""
+    import __spark_entry__ as entry_mod
+
+    from tree_sitter_codeviews_spark.session import get_spark
+
+    qmap = entry_mod.queries()
+    fn = qmap[name]
+    spark = get_spark(f"time-{name}")
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    fn(spark, WARM_SF).count()
+    fn(spark, sf_dir).count()
+    import gc
+
+    gc.collect()
+    time.sleep(1)
+    dt = float("inf")
+    for _ in range(reps):
+        tm = time.monotonic()
+        fn(spark, sf_dir).count()
+        dt = min(dt, time.monotonic() - tm)
+    spark.stop()
+    with open(out_path, "w") as fh:
+        json.dump({"query": name, "wall": round(dt, 3)}, fh)
 
 
 def _parse_eventlog(app_id: str, window) -> list[dict]:
@@ -153,6 +185,25 @@ def main() -> None:
     if mode == "profile-child":
         child_profile(names[0], sf_dir, int(os.environ.get("PROFILE_REPS", "3")),
                       names[1])
+        return
+    if mode == "time-child":
+        child_time(names[0], sf_dir, int(os.environ.get("PROFILE_REPS", "3")),
+                   names[1])
+        return
+    if mode == "time":
+        results = {}
+        for name in names:
+            out = f"/tmp/time_{name}.json"
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "time-child",
+                 "--sf-dir", sf_dir, name, out],
+                check=True, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL, timeout=1800)
+            with open(out) as fh:
+                res = json.load(fh)
+            results[name] = res["wall"]
+            print(f"== {name}: {res['wall']} s", flush=True)
+        print(json.dumps(results))
         return
     if mode == "explain-child":
         child_explain(names[0], sf_dir, tag)

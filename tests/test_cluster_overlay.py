@@ -68,6 +68,27 @@ def test_semantic_dups_subset_of_brute_near_dups(spark, sf_tiny):
     assert all(brute[p] == c for p, c in sem.items())
 
 
+def test_semantic_dups_complete_within_clusters(spark, sf_tiny):
+    """The grouped-GEMM prefilter (cos >= threshold - 1e-6 before the exact
+    SQL round/filter) must not drop ANY same-cluster survivor: semantic
+    pairs == brute near-dup pairs restricted to same-cluster, exactly."""
+    embs = load_table(spark, sf_tiny, "embeddings")
+    sem = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in cluster.semantic_dups(embs, k=8, iters=2, threshold=0.4).collect()
+    }
+    asg = {
+        r["vec_id"]: r["cluster"]
+        for r in cluster.kmeans_assign(embs, k=8, iters=2).collect()
+    }
+    brute_same_cluster = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in dedup.embedding_near_dups(embs, threshold=0.4).collect()
+        if asg[r["vec_id_a"]] == asg[r["vec_id_b"]]
+    }
+    assert sem == brute_same_cluster
+
+
 # --- rect overlay ------------------------------------------------------------
 
 def _brute_overlay(a_rows, b_rows):
