@@ -167,13 +167,26 @@ def reach(
     dst: str = "dst",
     seed_col: str = "node",
     max_iter: int = 50,
+    small_threshold: int = 500_000,
 ) -> DataFrame:
     """(node, hops): min directed-BFS distance from any seed, seeds at 0.
 
-    Frontier BFS: each round joins only the *frontier* (nodes first reached
-    last round) against the edge table and anti-joins the visited set — work
-    per round is proportional to the frontier, not the graph. Terminates when
-    the frontier empties (or max_iter)."""
+    SIZE-ADAPTIVE like ``connected_components``: the edge table is
+    materialized once and counted; below ``small_threshold`` edges the BFS
+    runs driver-side over the Arrow-collected adjacency (each frontier
+    round of the distributed loop costs 3-4 jobs of fixed overhead — on a
+    dim-sized graph the rounds are pure latency). Above it, frontier BFS:
+    each round joins only the *frontier* (nodes first reached last round)
+    against the edge table and anti-joins the visited set — work per round
+    is proportional to the frontier, not the graph. Terminates when the
+    frontier empties (or max_iter). Both arms return identical (node, hops)
+    sets (pinned by test); ``small_threshold=0`` forces the distributed
+    loop."""
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("nxt"))
+    if small_threshold:
+        e = e.localCheckpoint()
+        if e.count() <= small_threshold:
+            return _reach_driver(e, seeds, seed_col, max_iter)
     visited = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
@@ -183,8 +196,7 @@ def reach(
     frontier = visited
     for h in range(1, max_iter + 1):
         nxt = (
-            frontier.join(edges.select(F.col(src).alias("node"),
-                                       F.col(dst).alias("nxt")), "node")
+            frontier.join(e, "node")
             .select(F.col("nxt").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
@@ -198,6 +210,41 @@ def reach(
     return visited
 
 
+def _reach_driver(
+    e: DataFrame, seeds: DataFrame, seed_col: str, max_iter: int
+) -> DataFrame:
+    """Driver-side multi-source BFS over the Arrow-collected edge list —
+    the small-graph arm of ``reach``. Same min-hop semantics, same
+    max_iter bound."""
+    from collections import defaultdict, deque
+
+    pdf = e.toPandas()
+    adj = defaultdict(list)
+    for a, b in zip(pdf["node"].tolist(), pdf["nxt"].tolist()):
+        adj[a].append(b)
+    hops = {
+        r[seed_col]: 0
+        for r in seeds.select(seed_col).distinct().collect()
+    }
+    work = deque(hops)
+    while work:
+        v = work.popleft()
+        h = hops[v] + 1
+        if h > max_iter:
+            continue
+        for m in adj.get(v, ()):
+            if m not in hops:
+                hops[m] = h
+                work.append(m)
+    from ..localdf import arrow_local_df
+
+    t = e.schema["node"].dataType.simpleString()
+    return arrow_local_df(
+        e.sparkSession, [(n, h) for n, h in hops.items()],
+        f"node {t}, hops int",
+    )
+
+
 def reaching_definitions(
     edges: DataFrame,
     defs: DataFrame,
@@ -206,6 +253,8 @@ def reaching_definitions(
     node_col: str = "node",
     var_col: str = "var",
     max_iter: int = 60,
+    small_threshold: int = 500_000,
+    driver_fact_cap: int = 5_000_000,
 ) -> DataFrame:
     """(node, var, def_node): definitions live at each node's entry — the
     reference's core analysis (``codeviews/DFG/DFG_RDA.py`` via
@@ -219,9 +268,23 @@ def reaching_definitions(
     distributed anti-join per round instead of per-node bitsets). Work per
     round is proportional to the frontier; facts are deduped against the
     visited set so each (node, var, def_node) is expanded once — termination
-    in <= |V| rounds regardless of cycles."""
+    in <= |V| rounds regardless of cycles.
+
+    SIZE-ADAPTIVE like ``connected_components``: below ``small_threshold``
+    edges the fixpoint is a driver-side worklist BFS over the collected
+    adjacency (each distributed round costs ~4 jobs of fixed overhead —
+    profiled ~2 s of sub-70 ms stages for graph_sdfg_interproc at sf0.1),
+    with a ``driver_fact_cap`` escape back to the distributed loop if the
+    fact set explodes. Identical fact sets (pinned by test), including the
+    max_iter depth bound; ``small_threshold=0`` forces distributed."""
     d = defs.select(F.col(node_col).alias("node"), F.col(var_col).alias("var")).distinct()
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
+    if small_threshold:
+        e = e.localCheckpoint()
+        if e.count() <= small_threshold:
+            out = _rda_driver(e, d, max_iter, driver_fact_cap)
+            if out is not None:
+                return out
     visited = (
         d.withColumnRenamed("node", "_def_as_node")
         .join(e.withColumnRenamed("node", "_def_as_node"), "_def_as_node")
@@ -247,6 +310,50 @@ def reaching_definitions(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def _rda_driver(
+    e: DataFrame, d: DataFrame, max_iter: int, fact_cap: int
+) -> DataFrame | None:
+    """Driver-side gen/kill worklist BFS — the small-graph arm of
+    ``reaching_definitions``. Facts are expanded breadth-first with the
+    same depth bound as the distributed rounds (initial push = depth 1,
+    then ``max_iter`` extensions), so the emitted (node, var, def_node)
+    set is identical. Returns None when the fact set exceeds ``fact_cap``
+    (caller falls back to the distributed loop)."""
+    from collections import defaultdict, deque
+
+    pdf = e.toPandas()
+    adj = defaultdict(list)
+    for a, b in zip(pdf["node"].tolist(), pdf["_dst"].tolist()):
+        adj[a].append(b)
+    def_rows = d.collect()
+    defset = {(r["node"], r["var"]) for r in def_rows}
+    facts: set = set()
+    work: deque = deque()
+    for n, v in defset:
+        for m in adj.get(n, ()):
+            if (m, v, n) not in facts:
+                facts.add((m, v, n))
+                work.append((m, v, n, 1))
+    while work:
+        node, v, dn, depth = work.popleft()
+        if depth > max_iter or (node, v) in defset:  # depth bound / killed
+            continue
+        for m in adj.get(node, ()):
+            if (m, v, dn) not in facts:
+                if len(facts) >= fact_cap:
+                    return None
+                facts.add((m, v, dn))
+                work.append((m, v, dn, depth + 1))
+    from ..localdf import arrow_local_df
+
+    tn = e.schema["node"].dataType.simpleString()
+    tv = d.schema["var"].dataType.simpleString()
+    return arrow_local_df(
+        e.sparkSession, sorted(facts),
+        f"node {tn}, var {tv}, def_node {tn}",
+    )
 
 
 def transitive_closure(
