@@ -836,6 +836,10 @@ def cdc_chunk_stats(
     idx = flagged.withColumn(
         "chunk_idx", F.coalesce(F.sum("bnd").over(cw), F.lit(0))
     )
+    # chunks feeds BOTH the df aggregate and the final join — Spark has no
+    # common-subplan reuse, so without the checkpoint the whole upstream
+    # (token explode -> two per-doc windows -> chunk reassembly groupBy)
+    # executes twice (at cluster scale: a checkpoint stage table)
     chunks = (
         idx.groupBy("doc_id", "chunk_idx")
         .agg(
@@ -849,6 +853,7 @@ def cdc_chunk_stats(
                 ).cast("binary")
             ).alias("chunk_hash")
         )
+        .localCheckpoint()
     )
     dfq = (
         chunks.select("doc_id", "chunk_hash").distinct()

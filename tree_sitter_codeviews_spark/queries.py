@@ -828,7 +828,10 @@ def train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id")
     )
     reps = groups.filter(F.col("doc_id") == F.col("group_id")).select("doc_id")
-    surv = docs.join(reps, "doc_id")
+    # surv feeds FOUR subplans (decontaminate's bench/train shingle legs +
+    # its base keep-list + the clean join): checkpoint so the docs scan +
+    # reps join runs once, and the downstream plans analyze a leaf
+    surv = docs.join(reps, "doc_id").localCheckpoint()
     decon = curation.decontaminate(surv, n=4)
     keep = decon.filter(~F.col("contaminated")).select("doc_id")
     # clean feeds TWO consumers (pack_sequences and pii_scrub); without a
