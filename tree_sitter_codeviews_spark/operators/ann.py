@@ -40,28 +40,140 @@ def _query_set(embs: DataFrame, every: int = 50) -> DataFrame:
 def topk_quantized(embs: DataFrame, k: int = 10, every: int = 50) -> DataFrame:
     """(query_id, neighbor_id, rank, dot_q): exact top-k by integer dot.
 
-    The query side is tiny (1/every of the corpus) and broadcast; the scored
-    side streams map-side — no shuffle except the final per-query top-k
-    window over k*|queries| rows."""
+    The query side is tiny (1/every of the corpus — collected once under
+    the same 200k cap as ``topk_cosine_pandas`` and captured in the UDF
+    closure); the corpus streams map-side through ONE int64 numpy GEMM per
+    Arrow batch, with an exact per-batch local top-k by the FINAL total
+    order (dot desc, neighbor_id asc — lexsort, so int64 ties break
+    identically). Local top-k by the final order is a proven superset of
+    the global top-k (if k batch rows beat a row locally they beat it
+    globally), so the closing window over ~k·|queries| rows per batch is
+    bit-identical to the former crossJoin + interpreted 64-element HOF
+    fold, which evaluated per pair (measured: the fold dominated the
+    stage)."""
     q = embs.select("vec_id", quantize_col(F.col("embedding")).alias("qv"))
-    queries = _query_set(q, every).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
-    )
-    corpus = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"))
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    max_queries = 200_000
+    qrows = _query_set(q, every).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"topk_quantized: query set exceeds {max_queries} rows; "
+            "use the bucketed ANN family for dense query sides"
+        )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.int64)
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("dot_q", T.LongType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            dots = qmat @ m.T  # (Q, B) exact int64
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(qids)):
+                keep = ids != qids[qi]
+                cids, cdots = ids[keep], dots[qi][keep]
+                order = np.lexsort((cids, -cdots))[:k]
+                out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+                out_n.append(cids[order])
+                out_d.append(cdots[order])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "dot_q": np.concatenate(out_d),
+            })
+
     w = Window.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id").asc())
     return (
-        corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("dot_q", dot)
+        q.select("vec_id", "qv").mapInPandas(score, out_schema)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot_q")
     )
+
+
+def exact_cosine_gt_candidates(
+    embs: DataFrame, k: int = 10, every: int = 50,
+) -> DataFrame:
+    """(query_id, neighbor_id, dot, norm_a, norm_b): a PROVEN superset of
+    each query's top-k by the final order ``round(cos, 6) desc,
+    neighbor_id asc`` — the ground-truth leg of the recall eval, computed
+    as one int64 numpy GEMM per Arrow batch instead of a crossJoin with an
+    interpreted per-pair HOF fold. dot/norms are exact int64 (identical to
+    the SQL aggregates); the caller re-derives cos_q with the SAME Spark
+    SQL round/divide and runs the exact global window, so the final rows
+    are bit-identical.
+
+    Safety of the local cut: per batch and query, with c_k = the k-th
+    largest unrounded cos, rows with cos < c_k − 2e-6 are dropped. For any
+    such row, round(cos,6) < round(c_k − …) by at least one 1e-6 step
+    below every kept-row's rounded value (round moves a value by ≤ 5e-7),
+    so ≥ k same-batch rows strictly beat it on rounded cos alone — it
+    cannot be in the batch's, hence the global, top-k. NaN cos (zero-norm
+    vectors; Spark sorts NaN above every double in a descending order) is
+    treated as +inf for selection, so such rows are always kept."""
+    q = embs.select("vec_id", quantize_col(F.col("embedding")).alias("qv"))
+    max_queries = 200_000
+    qrows = _query_set(q, every).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"exact_cosine_gt_candidates: query set exceeds {max_queries} "
+            "rows; the GT leg is an offline eval on a bounded query sample"
+        )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.int64)
+    qnorm = (qmat * qmat).sum(axis=1)
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("dot", T.LongType()),
+        T.StructField("norm_a", T.LongType()),
+        T.StructField("norm_b", T.LongType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            bnorm = (m * m).sum(axis=1)
+            dots = qmat @ m.T  # (Q, B) exact int64
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dots / np.sqrt(
+                    qnorm.astype(np.float64)[:, None]
+                    * bnorm.astype(np.float64)[None, :]
+                )
+            cos = np.where(np.isnan(cos), np.inf, cos)
+            out: list[dict] = []
+            for qi in range(len(qids)):
+                keep = ids != qids[qi]
+                c = cos[qi][keep]
+                if len(c) > k:
+                    c_k = np.partition(c, -k)[-k]
+                    sel = c >= c_k - 2e-6
+                else:
+                    sel = np.ones(len(c), dtype=bool)
+                out.append({
+                    "query_id": np.full(int(sel.sum()), qids[qi], dtype=np.int64),
+                    "neighbor_id": ids[keep][sel],
+                    "dot": dots[qi][keep][sel],
+                    "norm_a": np.full(int(sel.sum()), qnorm[qi], dtype=np.int64),
+                    "norm_b": bnorm[keep][sel],
+                })
+            yield pd.DataFrame({
+                col: np.concatenate([o[col] for o in out])
+                for col in ("query_id", "neighbor_id", "dot", "norm_a", "norm_b")
+            })
+
+    return q.select("vec_id", "qv").mapInPandas(score, out_schema)
 
 
 def topk_cosine_pandas(embs: DataFrame, k: int = 10, every: int = 50) -> DataFrame:

@@ -2778,33 +2778,15 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the exact integer plane/dot arithmetic, so recall is
     bit-reproducible."""
     from .operators import ann
-    from .operators.dedup import quantize_col
 
     k, every = 10, 50
     lsh = ann.lsh_bucketed_topk(_embs(spark, sf_dir), k=k, every=every).select(
         "query_id", "neighbor_id"
     )
-    qn = (
-        _embs(spark, sf_dir)
-        .select("vec_id", quantize_col(F.col("embedding")).alias("qv"))
-        .withColumn(
-            "norm",
-            F.aggregate(F.transform("qv", lambda x: x * x),
-                        F.lit(0).cast("long"), lambda acc, v: acc + v),
-        )
-    )
-    a = qn.filter(F.col("vec_id") % every == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"),
-        F.col("norm").alias("norm_a"),
-    )
-    b = qn.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"),
-        F.col("norm").alias("norm_b"),
-    )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"), lambda acc, v: acc + v,
-    )
+    # GT candidates come from one int64 GEMM pass (a proven superset of the
+    # final top-k — see exact_cosine_gt_candidates); cos_q and the global
+    # ranking below are the SAME SQL expressions as the former crossJoin
+    # formulation, so the selected GT rows are bit-identical.
     cos = F.round(
         F.col("dot").cast("double")
         / F.sqrt(F.col("norm_a").cast("double") * F.col("norm_b").cast("double")),
@@ -2816,9 +2798,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_q").desc(), F.col("neighbor_id").asc()
     )
     gt = (
-        a.crossJoin(b)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("dot", dot)
+        ann.exact_cosine_gt_candidates(_embs(spark, sf_dir), k=k, every=every)
         .withColumn("cos_q", cos)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
