@@ -94,3 +94,33 @@ def test_pq_degrades_gracefully_on_tiny_corpus(spark, sf_tiny):
     # 2 queries (0, 5) x 3 neighbors, sampled codebook smaller than PQ_K
     assert len(out) == 6
     assert {r.query_id for r in out} == {0, 5}
+
+
+def test_knn_ring_driver_arm_equals_distributed(spark):
+    """r6 size-adaptive arm: driver blocked-numpy kNN must be bit-identical
+    (incl. dist_sq doubles and boundary ties) to the distributed ring loop."""
+    from tree_sitter_codeviews_spark import layers
+    from tree_sitter_codeviews_spark.operators import knn
+
+    # a grid with planted ties: duplicate coordinates and collinear rows,
+    # using the REAL layers lon/lat<->grid convention (the ring search's
+    # pruning bound assumes it)
+    def lonlat(gx, gy):
+        return (-180.0 + 360.0 * (gx + 0.5) / layers.GRID_N,
+                -90.0 + 180.0 * (gy + 0.5) / layers.GRID_N)
+
+    rows = []
+    for i in range(60):
+        gx, gy = (i * 37) % 900, (i * 53) % 900
+        rows.append((i, gx, gy, *lonlat(gx, gy)))
+    rows.append((100, 37, 53, *lonlat(37, 53)))  # duplicate of i=1's coords
+    pts = spark.createDataFrame(
+        rows, "doc_id long, gx long, gy long, lon double, lat double"
+    )
+    driver = {(r.doc_id, r.neighbor_id, r.rank, r.dist_sq)
+              for r in knn.knn_ring(pts, spark, k=3, res=5).collect()}
+    dist = {(r.doc_id, r.neighbor_id, r.rank, r.dist_sq)
+            for r in knn.knn_ring(pts, spark, k=3, res=5,
+                                  small_threshold=0).collect()}
+    assert driver == dist
+    assert driver

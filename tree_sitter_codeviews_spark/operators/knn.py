@@ -54,11 +54,22 @@ def knn_ring(
     id_col: str = "doc_id",
     schedule: tuple[int, ...] = DEFAULT_SCHEDULE,
     grid_res: int = layers.GRID_RES,
+    small_threshold: int = 20_000,
 ) -> DataFrame:
     """points(id, gx, gy, lon, lat) -> (id, neighbor_id, rank, dist_sq).
 
     gx/gy are grid coords at ``grid_res``; the kNN index grid is ``res``.
-    """
+
+    SIZE-ADAPTIVE (the connected_components discipline, with a LOWER
+    threshold because the driver arm is O(N²)): under ``small_threshold``
+    points the exact kNN runs as blocked numpy distance matrices on the
+    driver — the ring loop costs ~5 fixed-overhead jobs per annulus
+    (profiled ~50 sub-300 ms stages at sf0.1) while 20k² double ops are
+    sub-second in numpy. The arm mirrors ``_dist_sq``'s exact IEEE
+    expression and the (dist_sq asc, nid asc) tie order, so rows are
+    bit-identical (pinned by test); above the threshold (e.g. the sf2
+    bench point) the ring loop below runs unchanged.
+    ``small_threshold=0`` forces the distributed path."""
     shift = grid_res - res
     n = 1 << res
     min_cell_deg = 180.0 / n
@@ -70,6 +81,14 @@ def knn_ring(
         F.col("lon").alias("plon"),
         F.col("lat").alias("plat"),
     )
+    if small_threshold:
+        pdf = (
+            base.select("pid", "plon", "plat")
+            .limit(small_threshold + 1)
+            .toPandas()
+        )
+        if len(pdf) <= small_threshold:
+            return _knn_driver(spark, pdf, k, id_col)
     idx = base.select(
         F.col("pid").alias("nid"),
         cells.morton_col(F.col("px"), F.col("py"), res).alias("cell"),
@@ -189,6 +208,46 @@ def knn_ring(
         F.col("nid").alias("neighbor_id"),
         "rank",
         "dist_sq",
+    )
+
+
+def _knn_driver(
+    spark: SparkSession, pdf, k: int, id_col: str
+) -> DataFrame:
+    """Blocked exact kNN on the driver — the small-corpus arm of
+    ``knn_ring``. Distances use the same IEEE double expression as
+    ``_dist_sq`` ((a-b)*(a-b) + (c-d)*(c-d), correctly rounded per op, so
+    bit-identical to the JVM); ties break by (dist_sq asc, nid asc) via a
+    per-query lexsort over the tie-complete candidate set (argpartition
+    gives the k-th smallest distance, then EVERY index at or below it is
+    re-ranked exactly, so boundary ties cannot be split arbitrarily)."""
+    import numpy as np
+
+    ids = pdf["pid"].to_numpy(dtype=np.int64)
+    lon = pdf["plon"].to_numpy(dtype=np.float64)
+    lat = pdf["plat"].to_numpy(dtype=np.float64)
+    n_pts = len(ids)
+    rows: list[tuple] = []
+    kk = min(k, n_pts - 1)
+    if kk > 0:
+        block = max(1, (1 << 22) // n_pts)
+        for s in range(0, n_pts, block):
+            e = min(s + block, n_pts)
+            dx = lon[s:e, None] - lon[None, :]
+            dy = lat[s:e, None] - lat[None, :]
+            d = dx * dx + dy * dy
+            d[ids[s:e, None] == ids[None, :]] = np.inf  # exclude self
+            dk = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+            for i in range(e - s):
+                cand = np.nonzero(d[i] <= dk[i])[0]
+                sel = cand[np.lexsort((ids[cand], d[i][cand]))[:kk]]
+                rows.extend(
+                    (int(ids[s + i]), int(ids[j]), r, float(d[i][j]))
+                    for r, j in enumerate(sel, 1)
+                )
+    return arrow_local_df(
+        spark, rows,
+        f"{id_col} long, neighbor_id long, rank int, dist_sq double",
     )
 
 
