@@ -154,6 +154,54 @@ def compact_cells_np(cells: np.ndarray, res: int) -> list[tuple[int, int]]:
 # Spark Column expressions (JVM-side — the hot path; no Python per row)
 # ---------------------------------------------------------------------------
 
+# --- SQL-text twins (plan-build latency) -----------------------------------
+#
+# Building these expression trees through the Column API costs 2-4 py4j
+# round trips per operator — ~80-160 per morton_col call, measured ~0.1-0.15s
+# of DRIVER time per call site per plan build (the simhash_df /
+# pip_refine_expr finding). The twins build the IDENTICAL operator tree as
+# one SQL string in pure Python (one py4j round trip at F.expr); double
+# literals carry the D suffix so Spark does not parse them as DECIMAL.
+# Args are SQL text (a column name or any SQL expression).
+
+def morton_sql(x: str, y: str, res: int) -> str:
+    terms = ["cast(0 as bigint)"]
+    for i in range(res):
+        terms.append(f"shiftleft((shiftright({x}, {i}) & 1), {2 * i})")
+        terms.append(f"shiftleft((shiftright({y}, {i}) & 1), {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def x_sql(lon: str, res: int) -> str:
+    n = 1 << res
+    return (f"greatest(0, least({n - 1}, "
+            f"cast(floor((({lon}) + 180.0D) / 360.0D * {float(n)!r}D) as bigint)))")
+
+
+def y_sql(lat: str, res: int) -> str:
+    n = 1 << res
+    return (f"greatest(0, least({n - 1}, "
+            f"cast(floor((({lat}) + 90.0D) / 180.0D * {float(n)!r}D) as bigint)))")
+
+
+def cell_sql(lon: str, lat: str, res: int) -> str:
+    return morton_sql(x_sql(lon, res), y_sql(lat, res), res)
+
+
+def x_from_cell_sql(cell: str, res: int) -> str:
+    terms = ["cast(0 as bigint)"]
+    for i in range(res):
+        terms.append(f"shiftleft((shiftright({cell}, {2 * i}) & 1), {i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def y_from_cell_sql(cell: str, res: int) -> str:
+    terms = ["cast(0 as bigint)"]
+    for i in range(res):
+        terms.append(f"shiftleft((shiftright({cell}, {2 * i + 1}) & 1), {i})")
+    return "(" + " | ".join(terms) + ")"
+
+
 def x_col(lon: Column, res: int) -> Column:
     n = 1 << res
     raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))).cast("long")

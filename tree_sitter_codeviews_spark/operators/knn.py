@@ -91,7 +91,7 @@ def knn_ring(
             return _knn_driver(spark, pdf, k, id_col)
     idx = base.select(
         F.col("pid").alias("nid"),
-        cells.morton_col(F.col("px"), F.col("py"), res).alias("cell"),
+        F.expr(cells.morton_sql("px", "py", res)).alias("cell"),
         F.col("plon").alias("nlon"),
         F.col("plat").alias("nlat"),
     ).persist()
@@ -132,7 +132,7 @@ def knn_ring(
             .withColumn("cx", F.col("qx") + F.col("dx"))
             .withColumn("cy", F.col("qy") + F.col("dy"))
             .filter((F.col("cx") >= 0) & (F.col("cx") < n) & (F.col("cy") >= 0) & (F.col("cy") < n))
-            .withColumn("cell", cells.morton_col(F.col("cx"), F.col("cy"), res))
+            .withColumn("cell", F.expr(cells.morton_sql("cx", "cy", res)))
             .select("qid", "qlon", "qlat", "cell")
         )
         cand_new = (

@@ -95,7 +95,14 @@ def pip_refine_udf(lon: pd.Series, lat: pd.Series, polygon_id: pd.Series) -> pd.
     return pd.Series(out)
 
 
-def pip_refine_expr(lon: "F.Column", lat: "F.Column", polygon_id: "F.Column"):
+def _d(x: float) -> str:
+    """Exact double literal for SQL text: repr round-trips IEEE doubles and
+    the D suffix keeps Spark from parsing the literal as DECIMAL."""
+    return f"{x!r}D"
+
+
+def pip_refine_expr(lon: str = "lon", lat: str = "lat",
+                    polygon_id: str = "polygon_id"):
     """Exact ray-cast refine as a PURE JVM expression (whole-stage codegen,
     zero Python on the hot path).
 
@@ -109,21 +116,28 @@ def pip_refine_expr(lon: "F.Column", lat: "F.Column", polygon_id: "F.Column"):
     Measured vs the Arrow UDF on 5M rows: the UDF path anti-scales in local
     mode at high thread counts (JVM task threads + Python workers > CPUs);
     the expression path stays inside codegen and scales with cores.
-    """
-    result = F.lit(False)
+
+    Built as ONE SQL text expression (F.expr) instead of per-edge Column
+    operators: the Column-builder construction was ~6,300 py4j round trips
+    = ~1.1 s of DRIVER time per plan build (profiled via cProfile on
+    geo_region_centroids — the same finding as simhash_df's SQL-text
+    rewrite), identical operators either way. Args are column NAMES."""
+    result = "false"
     for p in layers.POLYGONS:
         ring = p["ring"]
-        parity = None
         nv = len(ring)
+        parity = None
         for k in range(nv):
             x1, y1 = float(ring[k][0]), float(ring[k][1])
             x2, y2 = float(ring[(k + 1) % nv][0]), float(ring[(k + 1) % nv][1])
-            straddle = (F.lit(y1) > lat) != (F.lit(y2) > lat)
-            xint = F.lit(x2 - x1) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
-            cross = straddle & (lon < xint)
-            parity = cross if parity is None else (parity != cross)
-        result = F.when(polygon_id == F.lit(p["polygon_id"]), parity).otherwise(result)
-    return result
+            straddle = f"(({_d(y1)} > {lat}) != ({_d(y2)} > {lat}))"
+            xint = (f"(({_d(x2 - x1)} * ({lat} - {_d(y1)}) / {_d(y2 - y1)})"
+                    f" + {_d(x1)})")
+            cross = f"({straddle} AND ({lon} < {xint}))"
+            parity = cross if parity is None else f"({parity} != {cross})"
+        result = (f"CASE WHEN ({polygon_id} = {p['polygon_id']}L) "
+                  f"THEN {parity} ELSE {result} END")
+    return F.expr(result)
 
 
 def pip_join(
@@ -142,18 +156,19 @@ def pip_join(
     layer) or "udf" (Arrow-vectorized numpy — arbitrary ring tables).
     Both are bit-identical to the oracle."""
     if "cell" not in points.columns:
-        points = points.withColumn("cell", cells.cell_col(F.col("lon"), F.col("lat"), point_res))
+        points = points.withColumn("cell", F.expr(cells.cell_sql("lon", "lat", point_res)))
     pts = points.withColumn(
         "cover_cell", cells.parent_col(F.col("cell"), point_res - cover_res)
     )
     cov = cover_df(spark, cover_res)
     cand = pts.join(F.broadcast(cov), "cover_cell", "inner")
-    refine_fn = pip_refine_expr if refine == "jvm" else pip_refine_udf
+    refine_col = (
+        pip_refine_expr("lon", "lat", "polygon_id") if refine == "jvm"
+        else pip_refine_udf(F.col("lon"), F.col("lat"), F.col("polygon_id"))
+    )
     # interior cells short-circuit the exact test (cell ⊆ polygon); only
     # boundary candidates evaluate the ray-cast
-    refined = cand.filter(
-        F.col("full") | refine_fn(F.col("lon"), F.col("lat"), F.col("polygon_id"))
-    )
+    refined = cand.filter(F.col("full") | refine_col)
     return refined.select(
         *keys, F.col("cell").alias("cell_id"), "polygon_id", "admin_level"
     )

@@ -38,8 +38,8 @@ def rasterize_polygons(
     exact refine crosses into the (Arrow-batched) Python UDF."""
     n_cells = 1 << (2 * res)
     grid = spark.range(n_cells).select(F.col("id").alias("cell_id"))
-    x = cells.x_from_cell_col(F.col("cell_id"), res)
-    y = cells.y_from_cell_col(F.col("cell_id"), res)
+    x = F.expr(cells.x_from_cell_sql("cell_id", res))
+    y = F.expr(cells.y_from_cell_sql("cell_id", res))
     pix = grid.select(
         "cell_id",
         cells.lon_center_col(x, res).alias("lon"),

@@ -43,11 +43,11 @@ def tile_counts(
     One scan + one shuffle of the raw points (finest-level groupBy); the
     small finest tile table is materialized (localCheckpoint), then coarser
     levels are re-aggregated from it. NOTE: eager (runs a job on call)."""
-    base_cell = cells.morton_col(
-        F.shiftright(F.col("gx"), grid_res - res_hi) if grid_res != res_hi else F.col("gx"),
-        F.shiftright(F.col("gy"), grid_res - res_hi) if grid_res != res_hi else F.col("gy"),
+    base_cell = F.expr(cells.morton_sql(
+        f"shiftright(gx, {grid_res - res_hi})" if grid_res != res_hi else "gx",
+        f"shiftright(gy, {grid_res - res_hi})" if grid_res != res_hi else "gy",
         res_hi,
-    )
+    ))
     finest = (
         points.select(base_cell.alias("cell_id"))
         .groupBy("cell_id")
@@ -169,7 +169,7 @@ def tile_smooth(
             (base["x"] == contrib["tx"]) & (base["y"] == contrib["ty"]),
         )
         .select(
-            cells.morton_col(F.col("x"), F.col("y"), res).alias("cell_id"),
+            F.expr(cells.morton_sql("x", "y", res)).alias("cell_id"),
             "n_docs",
             F.col("smoothed").cast("long").alias("smoothed"),
         )

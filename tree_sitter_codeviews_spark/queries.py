@@ -24,7 +24,7 @@ from .sources import pages as pages_src
 def geo_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, res, cell_id) at res 7..10 — one scan, parents by truncation."""
     pts = pages_src.doc_points_df(spark, sf_dir)
-    c10 = cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+    c10 = F.expr(cells.morton_sql("gx", "gy", layers.GRID_RES))
     levels = F.array(*[
         F.struct(
             F.lit(r).alias("res"),
@@ -64,7 +64,7 @@ def geo_s2_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def geo_pip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pages_src.doc_points_df(spark, sf_dir).withColumn(
-        "cell", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+        "cell", F.expr(cells.morton_sql("gx", "gy", layers.GRID_RES))
     )
     return pip_join.pip_join(pts, spark, keys=("doc_id",)).select(
         "doc_id", "cell_id", "polygon_id"
@@ -73,7 +73,7 @@ def geo_pip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def geo_pip_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pages_src.doc_points_df(spark, sf_dir).withColumn(
-        "cell", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+        "cell", F.expr(cells.morton_sql("gx", "gy", layers.GRID_RES))
     )
     joined = pip_join.pip_join(pts, spark, keys=("doc_id",))
     return pip_join.pip_best(joined, keys=("doc_id",)).select(
@@ -106,7 +106,7 @@ def geo_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pip_join import COVER_RES, cover_df, pip_refine_udf
 
     pts = pages_src.doc_points_df(spark, sf_dir).withColumn(
-        "cell", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+        "cell", F.expr(cells.morton_sql("gx", "gy", layers.GRID_RES))
     ).withColumn(
         "cover_cell", cells.parent_col(F.col("cell"), layers.GRID_RES - COVER_RES)
     )
@@ -129,7 +129,7 @@ def geo_tiles_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pages_src.doc_points_df(spark, sf_dir)
     finest = skew.salted_count(
         pts.withColumn(
-            "cell_id", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+            "cell_id", F.expr(cells.morton_sql("gx", "gy", layers.GRID_RES))
         ),
         keys=["cell_id"],
         salt_col=F.xxhash64("doc_id"),
@@ -152,7 +152,7 @@ def geo_tiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pages_src.points_from_ids(docs)
     agg = (
         pts.withColumn(
-            "cell_id", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+            "cell_id", F.expr(cells.morton_sql("gx", "gy", layers.GRID_RES))
         )
         .groupBy("cell_id")
         .agg(F.count("*").alias("n_docs"))
@@ -182,11 +182,11 @@ def geo_tiles_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked path; ``geo_tiles_approx`` is the approx variant."""
     pts = pages_src.doc_points_df(spark, sf_dir)
     host = (F.col("doc_id") % 100).alias("host_id")
-    cell7 = cells.morton_col(
-        F.shiftright(F.col("gx"), layers.GRID_RES - 7),
-        F.shiftright(F.col("gy"), layers.GRID_RES - 7),
+    cell7 = F.expr(cells.morton_sql(
+        f"shiftright(gx, {layers.GRID_RES - 7})",
+        f"shiftright(gy, {layers.GRID_RES - 7})",
         7,
-    )
+    ))
     return (
         pts.select(cell7.alias("cell_id"), host)
         .groupBy("cell_id")
@@ -202,11 +202,11 @@ def geo_tiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct would shuffle every (cell, host) pair. Rows-only check (HLL
     estimates are engine-specific by design)."""
     pts = pages_src.doc_points_df(spark, sf_dir)
-    cell7 = cells.morton_col(
-        F.shiftright(F.col("gx"), layers.GRID_RES - 7),
-        F.shiftright(F.col("gy"), layers.GRID_RES - 7),
+    cell7 = F.expr(cells.morton_sql(
+        f"shiftright(gx, {layers.GRID_RES - 7})",
+        f"shiftright(gy, {layers.GRID_RES - 7})",
         7,
-    )
+    ))
     return (
         pts.select(cell7.alias("cell_id"), (F.col("doc_id") % 100).alias("host_id"))
         .groupBy("cell_id")
@@ -228,7 +228,7 @@ def geo_raster_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pages_src.doc_points_df(spark, sf_dir)
     finest = (
         pts.select(
-            cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES).alias("cell_id")
+            F.expr(cells.morton_sql("gx", "gy", layers.GRID_RES)).alias("cell_id")
         )
         .groupBy("cell_id")
         .agg(F.count("*").alias("n_docs"))
@@ -289,11 +289,11 @@ def _doc_graph(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
 
     pts = pages_src.doc_points_df(spark, sf_dir)
-    cell5 = cells.morton_col(
-        F.shiftright(F.col("gx"), layers.GRID_RES - 5),
-        F.shiftright(F.col("gy"), layers.GRID_RES - 5),
+    cell5 = F.expr(cells.morton_sql(
+        f"shiftright(gx, {layers.GRID_RES - 5})",
+        f"shiftright(gy, {layers.GRID_RES - 5})",
         5,
-    )
+    ))
     ntype = F.element_at(
         F.array(F.lit("city"), F.lit("poi"), F.lit("region")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -1782,9 +1782,10 @@ def webtext_geo_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     hostnum = F.expr("(doc_id div 3) % 100")
-    x = (hostnum * 13) % 128
-    y = (hostnum * 29) % 128
-    cell7 = cells.morton_col(x.cast("long"), y.cast("long"), 7)
+    _h = "((doc_id div 3) % 100)"
+    cell7 = F.expr(cells.morton_sql(
+        f"cast(({_h} * 13) % 128 as bigint)",
+        f"cast(({_h} * 29) % 128 as bigint)", 7))
     return (
         docs.select(
             hostnum.alias("hostnum"), cell7.alias("cell_id7")
@@ -2192,7 +2193,7 @@ def webtext_geo_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(doc_id div 3) % 100").alias("doc_id")
     ).distinct()
     pts = pages_src.points_from_ids(hosts).withColumn(
-        "cell", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+        "cell", F.expr(cells.morton_sql("gx", "gy", layers.GRID_RES))
     )
     joined = pip_join.pip_join(pts, spark, keys=("doc_id",))
     pages = docs.groupBy(
@@ -2588,9 +2589,9 @@ def geo_route_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pts.select(
         "user_id",
-        cells_mod.morton_col(
-            F.shiftright("xt", 5), F.shiftright("yt", 5), 5
-        ).alias("cell_id"),
+        F.expr(cells_mod.morton_sql(
+            "shiftright(xt, 5)", "shiftright(yt, 5)", 5
+        )).alias("cell_id"),
     ).distinct()
 
 
@@ -2637,9 +2638,9 @@ def geo_tiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = pages_src.doc_points_df(spark, sf_dir).select(
         "doc_id",
-        cells_mod.morton_col(
-            F.shiftright("gx", 3), F.shiftright("gy", 3), 7
-        ).alias("cell_id"),
+        F.expr(cells_mod.morton_sql(
+            "shiftright(gx, 3)", "shiftright(gy, 3)", 7
+        )).alias("cell_id"),
     )
     base = (
         pts.filter(F.col("doc_id") % 2 == 0)
@@ -2678,7 +2679,7 @@ def geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     core = (
         pts.groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= minpts)
-        .withColumn("cell_id", cells_mod.morton_col(F.col("tx"), F.col("ty"), 5))
+        .withColumn("cell_id", F.expr(cells_mod.morton_sql("tx", "ty", 5)))
         .localCheckpoint()  # consumed three times (two join sides + final union)
     )
     offsets = arrow_local_df(
@@ -2746,7 +2747,7 @@ def geo_region_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import cells as cells_mod
 
     pts = pages_src.doc_points_df(spark, sf_dir).withColumn(
-        "cell", cells_mod.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+        "cell", F.expr(cells_mod.morton_sql("gx", "gy", layers.GRID_RES))
     )
     hits = pip_join.pip_join(pts, spark, keys=("doc_id", "gx", "gy")).select(
         "doc_id", "gx", "gy", "polygon_id"
@@ -2889,7 +2890,7 @@ def geo_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so the second shuffle is bounded by the grid, not the data."""
     pts = pages_src.doc_points_df(spark, sf_dir)
     base = pts.groupBy(
-        cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES).alias("c10")
+        F.expr(cells.morton_sql("gx", "gy", layers.GRID_RES)).alias("c10")
     ).agg(F.count(F.lit(1)).alias("n"))
     lv = base.select(
         F.explode(
@@ -2919,7 +2920,7 @@ def geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit arithmetic + string ops fused with the scan; gh3 = the 3-char
     parent prefix (geohash's containment-by-prefix property)."""
     pts = pages_src.doc_points_df(spark, sf_dir)
-    g = cells.morton_col(F.col("gy"), F.col("gx"), layers.GRID_RES).alias("g")
+    g = F.expr(cells.morton_sql("gy", "gx", layers.GRID_RES)).alias("g")
     chars = [F.expr(cells.geohash_char_sql("g", k)) for k in range(4)]
     return (
         pts.select("doc_id", g)
@@ -3953,7 +3954,7 @@ def geo_uncovered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import pip_join
 
     pts = pages_src.doc_points_df(spark, sf_dir).withColumn(
-        "cell", cells.morton_col(F.col("gx"), F.col("gy"), layers.GRID_RES)
+        "cell", F.expr(cells.morton_sql("gx", "gy", layers.GRID_RES))
     )
     hits = (
         pip_join.pip_join(pts, spark, keys=("doc_id",))
@@ -4807,11 +4808,11 @@ def geo_route_friction(spark: SparkSession, sf_dir: str) -> DataFrame:
     density = (
         load_table(spark, sf_dir, "events")
         .select(
-            cells_mod.morton_col(
-                F.shiftright(F.expr(layers.EVT_GX_SQL), TRAJSIM_SHIFT),
-                F.shiftright(F.expr(layers.EVT_GY_SQL), TRAJSIM_SHIFT),
+            F.expr(cells_mod.morton_sql(
+                f"shiftright({layers.EVT_GX_SQL}, {TRAJSIM_SHIFT})",
+                f"shiftright({layers.EVT_GY_SQL}, {TRAJSIM_SHIFT})",
                 5,
-            ).alias("cell_id")
+            )).alias("cell_id")
         )
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("density"))
