@@ -305,7 +305,16 @@ def quadtree_decompose(
     cells (each recursion level contributes a ring of at most O(side/s)
     partially-covered cells). Pure-int driver-side helper for DIM-SIZED
     rectangle sets only: the decomposition list is broadcast, never
-    computed per corpus row."""
+    computed per corpus row.
+
+    Memoized (pure integer function of its arguments — the recursion is
+    ~4k Python calls per rectangle, 0.45 s per geo_range_count plan build
+    over its fixed 64-rect query set); a fresh copy is returned so callers
+    may mutate."""
+    key = (x0, y0, x1, y1, max_res)
+    hit = _QUADTREE_MEMO.get(key)
+    if hit is not None:
+        return list(hit)
     out: list[tuple[int, int]] = []
 
     def rec(res: int, cx: int, cy: int) -> None:
@@ -328,4 +337,8 @@ def quadtree_decompose(
                 rec(res + 1, 2 * cx + dx, 2 * cy + dy)
 
     rec(0, 0, 0)
+    _QUADTREE_MEMO[key] = tuple(out)
     return out
+
+
+_QUADTREE_MEMO: dict = {}

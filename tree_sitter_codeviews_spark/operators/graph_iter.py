@@ -184,9 +184,10 @@ def reach(
     loop."""
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("nxt"))
     if small_threshold:
-        e = e.localCheckpoint()
-        if e.count() <= small_threshold:
-            return _reach_driver(e, seeds, seed_col, max_iter)
+        # probe via limit+toPandas: one job, no eager checkpoint/count pair
+        pdf = e.limit(small_threshold + 1).toPandas()
+        if len(pdf) <= small_threshold:
+            return _reach_driver(e, pdf, seeds, seed_col, max_iter)
     visited = (
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
@@ -211,14 +212,13 @@ def reach(
 
 
 def _reach_driver(
-    e: DataFrame, seeds: DataFrame, seed_col: str, max_iter: int
+    e: DataFrame, pdf, seeds: DataFrame, seed_col: str, max_iter: int
 ) -> DataFrame:
     """Driver-side multi-source BFS over the Arrow-collected edge list —
     the small-graph arm of ``reach``. Same min-hop semantics, same
     max_iter bound."""
     from collections import defaultdict, deque
 
-    pdf = e.toPandas()
     adj = defaultdict(list)
     for a, b in zip(pdf["node"].tolist(), pdf["nxt"].tolist()):
         adj[a].append(b)
@@ -280,11 +280,13 @@ def reaching_definitions(
     d = defs.select(F.col(node_col).alias("node"), F.col(var_col).alias("var")).distinct()
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
     if small_threshold:
-        e = e.localCheckpoint()
-        if e.count() <= small_threshold:
-            out = _rda_driver(e, d, max_iter, driver_fact_cap)
+        # probe via limit+toPandas: one job, no eager checkpoint/count pair
+        pdf = e.limit(small_threshold + 1).toPandas()
+        if len(pdf) <= small_threshold:
+            out = _rda_driver(e, pdf, d, max_iter, driver_fact_cap)
             if out is not None:
                 return out
+        e = e.localCheckpoint()  # the distributed loop consumes e per round
     visited = (
         d.withColumnRenamed("node", "_def_as_node")
         .join(e.withColumnRenamed("node", "_def_as_node"), "_def_as_node")
@@ -313,7 +315,7 @@ def reaching_definitions(
 
 
 def _rda_driver(
-    e: DataFrame, d: DataFrame, max_iter: int, fact_cap: int
+    e: DataFrame, pdf, d: DataFrame, max_iter: int, fact_cap: int
 ) -> DataFrame | None:
     """Driver-side gen/kill worklist BFS — the small-graph arm of
     ``reaching_definitions``. Facts are expanded breadth-first with the
@@ -323,7 +325,6 @@ def _rda_driver(
     (caller falls back to the distributed loop)."""
     from collections import defaultdict, deque
 
-    pdf = e.toPandas()
     adj = defaultdict(list)
     for a, b in zip(pdf["node"].tolist(), pdf["_dst"].tolist()):
         adj[a].append(b)

@@ -454,8 +454,11 @@ def graph_sdfg_interproc(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned_value edge attributes."""
     from .operators import graph_iter
 
-    nodes, _ = _doc_graph(spark, sf_dir)
-    edges = _broken_edges(spark, sf_dir)
+    # one _doc_graph build for both nodes and edges (the former separate
+    # _broken_edges call rebuilt the whole doc-graph plan — ~0.25 s of
+    # py4j driver time per query build)
+    nodes, chain = _doc_graph(spark, sf_dir)
+    edges = chain.filter(F.col("src") % 7 != 3)
     dash = F.lit("-")
     cfg = edges.select(
         "src", "dst", F.lit("cfg").alias("edge_type"),

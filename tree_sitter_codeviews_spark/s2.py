@@ -132,73 +132,70 @@ def with_hilbert_col(
     Zero Python per row; whole-stage codegen end to end. Preferred over
     ``hilbert_udf`` on the hot path: in local mode the Arrow-UDF pipeline
     adds a Python worker per core (oversubscription), and on a real cluster
-    it adds serialization; this is pure columnar JVM work."""
-    full = F.lit(_FULL)
+    it adds serialization; this is pure columnar JVM work.
 
-    def sr(colname, k):  # unsigned-safe here: values are 16-bit positive
-        return F.shiftright(F.col(colname), k)
+    Expressions assemble as SQL text (one F.expr per staged column — the
+    per-operator Column-builder version measured ~2,800 py4j round trips =
+    ~0.65 s of driver time per plan build); identical operator trees, same
+    named-column staging."""
+    full = str(_FULL)
+    E = F.expr
 
-    x0 = F.shiftleft(F.col(x_col).cast("long"), _M - res).bitwiseAND(full)
-    y0 = F.shiftleft(F.col(y_col).cast("long"), _M - res).bitwiseAND(full)
-    df = df.withColumns({"_hx": x0, "_hy": y0})
     df = df.withColumns({
-        "_a": F.col("_hx").bitwiseXOR(F.col("_hy")),
-        "_d": F.col("_hx").bitwiseAND(F.col("_hy").bitwiseXOR(full)),
+        "_hx": E(f"shiftleft(cast({x_col} as bigint), {_M - res}) & {full}"),
+        "_hy": E(f"shiftleft(cast({y_col} as bigint), {_M - res}) & {full}"),
     })
     df = df.withColumns({
-        "_b": full.bitwiseXOR(F.col("_a")),
-        "_c": full.bitwiseXOR(F.col("_hx").bitwiseOR(F.col("_hy"))),
+        "_a": E("_hx ^ _hy"),
+        "_d": E(f"_hx & (_hy ^ {full})"),
     })
     df = df.withColumns({
-        "_A": F.col("_a").bitwiseOR(sr("_b", 1)),
-        "_B": sr("_a", 1).bitwiseXOR(F.col("_a")),
-        "_C": sr("_c", 1).bitwiseXOR(F.col("_b").bitwiseAND(sr("_d", 1))).bitwiseXOR(F.col("_c")),
-        "_D": F.col("_a").bitwiseAND(sr("_c", 1)).bitwiseXOR(sr("_d", 1)).bitwiseXOR(F.col("_d")),
+        "_b": E(f"{full} ^ _a"),
+        "_c": E(f"{full} ^ (_hx | _hy)"),
+    })
+    df = df.withColumns({
+        "_A": E("_a | shiftright(_b, 1)"),
+        "_B": E("shiftright(_a, 1) ^ _a"),
+        "_C": E("(shiftright(_c, 1) ^ (_b & shiftright(_d, 1))) ^ _c"),
+        "_D": E("((_a & shiftright(_c, 1)) ^ shiftright(_d, 1)) ^ _d"),
     })
     for sh in (2, 4):
-        ab = F.col("_A").bitwiseXOR(F.col("_B"))
-        df = df.withColumn("_ab", ab)
+        df = df.withColumn("_ab", E("_A ^ _B"))
         df = df.withColumns({
-            "_A2": F.col("_A").bitwiseAND(sr("_A", sh)).bitwiseXOR(F.col("_B").bitwiseAND(sr("_B", sh))),
-            "_B2": F.col("_A").bitwiseAND(sr("_B", sh)).bitwiseXOR(F.col("_B").bitwiseAND(sr("_ab", sh))),
-            "_C2": F.col("_C").bitwiseXOR(F.col("_A").bitwiseAND(sr("_C", sh)).bitwiseXOR(F.col("_B").bitwiseAND(sr("_D", sh)))),
-            "_D2": F.col("_D").bitwiseXOR(F.col("_B").bitwiseAND(sr("_C", sh)).bitwiseXOR(F.col("_ab").bitwiseAND(sr("_D", sh)))),
+            "_A2": E(f"(_A & shiftright(_A, {sh})) ^ (_B & shiftright(_B, {sh}))"),
+            "_B2": E(f"(_A & shiftright(_B, {sh})) ^ (_B & shiftright(_ab, {sh}))"),
+            "_C2": E(f"_C ^ ((_A & shiftright(_C, {sh})) ^ (_B & shiftright(_D, {sh})))"),
+            "_D2": E(f"_D ^ ((_B & shiftright(_C, {sh})) ^ (_ab & shiftright(_D, {sh})))"),
         })
         df = (
             df.drop("_A", "_B", "_C", "_D", "_ab")
             .withColumnRenamed("_A2", "_A").withColumnRenamed("_B2", "_B")
             .withColumnRenamed("_C2", "_C").withColumnRenamed("_D2", "_D")
         )
-    df = df.withColumn("_ab", F.col("_A").bitwiseXOR(F.col("_B")))
+    df = df.withColumn("_ab", E("_A ^ _B"))
     df = df.withColumns({
-        "_C3": F.col("_C").bitwiseXOR(F.col("_A").bitwiseAND(sr("_C", 8)).bitwiseXOR(F.col("_B").bitwiseAND(sr("_D", 8)))),
-        "_D3": F.col("_D").bitwiseXOR(F.col("_B").bitwiseAND(sr("_C", 8)).bitwiseXOR(F.col("_ab").bitwiseAND(sr("_D", 8)))),
+        "_C3": E("_C ^ ((_A & shiftright(_C, 8)) ^ (_B & shiftright(_D, 8)))"),
+        "_D3": E("_D ^ ((_B & shiftright(_C, 8)) ^ (_ab & shiftright(_D, 8)))"),
     })
     df = df.withColumns({
-        "_sa": F.col("_C3").bitwiseXOR(sr("_C3", 1)),
-        "_sb": F.col("_D3").bitwiseXOR(sr("_D3", 1)),
-        "_i0": F.col("_hx").bitwiseXOR(F.col("_hy")),
+        "_sa": E("_C3 ^ shiftright(_C3, 1)"),
+        "_sb": E("_D3 ^ shiftright(_D3, 1)"),
+        "_i0": E("_hx ^ _hy"),
     })
-    df = df.withColumn(
-        "_i1", F.col("_sb").bitwiseOR(full.bitwiseXOR(F.col("_i0").bitwiseOR(F.col("_sa"))))
-    )
+    df = df.withColumn("_i1", E(f"_sb | ({full} ^ (_i0 | _sa))"))
 
     def spread_col(df, src, dst):
         masks = [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]
-        cur = F.col(src)
+        cur = src
         for k, m in masks:
-            df = df.withColumn(dst, cur.bitwiseOR(F.shiftleft(cur, k)).bitwiseAND(F.lit(m)))
-            cur = F.col(dst)
+            df = df.withColumn(dst, E(f"({cur} | shiftleft({cur}, {k})) & {m}"))
+            cur = dst
         return df
 
     df = spread_col(df, "_i1", "_s1")
     df = spread_col(df, "_i0", "_s0")
     df = df.withColumn(
-        out,
-        F.shiftright(
-            F.shiftleft(F.col("_s1"), 1).bitwiseOR(F.col("_s0")),
-            2 * (_M - res),
-        ),
+        out, E(f"shiftright(shiftleft(_s1, 1) | _s0, {2 * (_M - res)})")
     )
     return df.drop(
         "_hx", "_hy", "_a", "_b", "_c", "_d", "_A", "_B", "_C", "_D",
