@@ -25,6 +25,18 @@ Contract:
 At 100 TB the only knobs are the source's maxFilesPerTrigger (micro-batch
 sizing) and shuffle partitions for the user-key state exchange; state per
 user is one int64, so the state store is user-dim-sized.
+
+ORDERING REQUIREMENT (r6, per the r5 advice): the transition state machine
+is batch-equivalent only when micro-batches arrive in per-user event-time
+order. The file source splits batches on FILE boundaries without ordering
+by event time, so a multi-file drop directory MUST be populated in
+time-partitioned order (one drop = one time slice, later slices dropped
+later) — e.g. hourly files named monotonically — and drained with
+``maxFilesPerTrigger=1`` if several slices can be pending at once.
+Out-of-order drops silently produce wrong enter/exit sequences; a
+deployment that cannot guarantee drop order needs event-time buffering in
+state (a watermark-delayed flatMapGroupsWithState variant) instead of
+this job.
 """
 
 from __future__ import annotations
@@ -51,7 +63,9 @@ def run(spark, sf_dir: str, out: str, checkpoint: str) -> int:
         .start()
     )
     q.awaitTermination()
-    after = spark.read.parquet(out).count()
+    # a first run over an input with zero transition rows writes no parquet
+    # at all — guard the after-count like the before-count (r5 advice)
+    after = _count_or_zero(spark, out)
     return after - before
 
 

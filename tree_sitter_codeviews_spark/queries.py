@@ -3033,6 +3033,10 @@ def events_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(F.expr(layers.EVT_GY_SQL), 6).alias("cy"),
         )
         .distinct()
+        # ev feeds the hot-key count AND both pair sides — without the
+        # checkpoint the single-row-group scan + distinct executes 3x,
+        # each scan a serial one-task stage (~0.6 s apiece at sf0.1)
+        .localCheckpoint()
     )
     key = ["day", "cx", "cy"]
     small = (
@@ -3600,8 +3604,12 @@ def events_mobility_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum of squared cell counts * 1e6 div total^2 — the integer stand-in
     for location entropy). Two aggregates on the uniform user key, one of
     them over the (user, cell) rollup; no window, no corpus-wide state.
-    Values stay in int64: coords < 2^10, so n * sum(x^2+y^2) < n * 2^21
-    and (sum x)^2 < (n * 2^10)^2 — safe to ~2^26 pings per user."""
+    Int64 bounds (corrected r6 per the r5 advice): coords < 2^10, so
+    n * sum(x^2+y^2) <= n^2 * 2^21 and (sum x)^2 <= (n * 2^10)^2 = n^2 *
+    2^20 — the rg2 numerator is safe to ~2^21 pings per user; the binding
+    term is hhi_ppm's sum(c^2) * 1e6, which overflows first when visits
+    concentrate in one cell (c ~ n), at n ~ 3e6 pings/user. Beyond that,
+    widen the squared terms to decimal(38)."""
     from .sources.testdata import load_table
 
     # one pass, two chained aggregates, ZERO joins: the (user, cell) rollup
@@ -4221,9 +4229,13 @@ def events_stay_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_heading_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional statistics — the per-tile heading histogram (which way
     does traffic flow here): every hop classifies its (dx, dy) into one of
-    8 octants by exact integer sign/dominance tests (E, NE, N, NW, W, SW,
+    8 sectors by exact integer sign/dominance tests (E, NE, N, NW, W, SW,
     S, SE as 0..7; zero-displacement hops are excluded by the transition
-    filter), binned at the hop's ORIGIN res-3 tile. One window pass + one
+    filter), binned at the hop's ORIGIN res-3 tile. The sectors are NOT
+    equal 45-degree octants: the cardinal tests use a 2:1 dominance cut
+    (abs(dx) > 2*abs(dy)), giving ~53-degree cardinal and ~37-degree
+    diagonal sectors (r6 doc correction; engine and oracle share the
+    formula, so the gate is unaffected). One window pass + one
     (tile, octant) aggregate — the key space is 64 tiles x 8."""
     from pyspark.sql import Window
 
@@ -4243,8 +4255,8 @@ def events_heading_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         F.col("dx").isNotNull() & ((F.col("dx") != 0) | (F.col("dy") != 0))
     )
-    # octant: dominant axis by |dx| vs |dy| (ties to the diagonal), then
-    # sign pattern — pure integer comparisons, no atan2
+    # sector: 2:1 axis-dominance cut (NOT a true 45-degree octant split —
+    # see docstring), then sign pattern — pure integer comparisons, no atan2
     octant = F.expr("""
       CASE
         WHEN abs(dx) > 2 * abs(dy) THEN IF(dx > 0, 0, 4)
