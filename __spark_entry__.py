@@ -54,7 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-verified green most recently (all of them stay gate-mirrored
     every round by tests/test_entry_gate.py regardless of position).
     """
-    return {
+    reg = {
         # ==== r5 DRIVER WINDOW (first 50) ================================
         # Block A (21): every registry query that has never had a
         # driver-side CORRECTNESS row in r1-r4 (VERDICT r4 next-round #1;
@@ -362,6 +362,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn": q.geo_knn,
         "geo_s2_encode": q.geo_s2_encode,
     }
+    # ==== r6 DRIVER WINDOW (first 50) ====================================
+    # Same rotation policy as every round (docstring above), applied at
+    # return time so the literal registry above stays byte-stable: the 37
+    # queries with NO driver-side CORRECTNESS row in r1-r5 (the r5 verdict
+    # next-round #2 list == GATE_FULL_r05 minus the union of
+    # CORRECTNESS_r01..r05) come first — after this window cumulative
+    # driver coverage is 229/229 — then the 13 remaining slots go to
+    # queries whose code paths this optimization round restructured
+    # (driver re-verification is worth the most where internals moved).
+    # Pure reordering: names, callables and oracle SQL are untouched.
+    r6_head = [
+        # 37 never-driver-verified (r5-late waves)
+        "events_convex_hull", "events_gap_stats", "events_geofence_dwell",
+        "events_geofence_occupancy", "events_geofence_transitions",
+        "events_heading_hist", "events_hopping_windows",
+        "events_mobility_profile", "events_percent_rank_ppm",
+        "events_popular_routes", "events_purchase_attribution",
+        "events_state_history", "events_stay_overlaps",
+        "events_stream_geofence", "events_traj_outliers",
+        "events_traj_resample", "events_traj_similarity", "events_trips",
+        "events_unpivot", "geo_choropleth_bins", "geo_emerging_hotspots",
+        "geo_fence_affinity", "geo_idw_surface", "geo_nearest_facility",
+        "geo_range_count", "geo_route_friction", "geo_tile_changepoint",
+        "geo_tile_closest_pair", "geo_tile_day_bitmask", "geo_tile_rhythms",
+        "geo_tile_skyline", "geo_traj_simplify", "geo_uncovered_docs",
+        "geo_voronoi_edges", "text_fuzzy_link", "webtext_crawl_cost",
+        "webtext_graph_diff",
+        # 13 r6-restructured code paths (oldest driver rows among them)
+        "dedup_semantic", "emb_kmeans", "ann_topk_quantized",
+        "ann_recall_eval", "geo_knn", "train_set", "events_colocation",
+        "dedup_cdc_chunks", "graph_sdfg_interproc", "geo_pip_entities",
+        "geo_s2_encode", "graph_rda", "graph_reach",
+    ]
+    head_set = set(r6_head)
+    out = {k: reg[k] for k in r6_head}
+    out.update((k, v) for k, v in reg.items() if k not in head_set)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
