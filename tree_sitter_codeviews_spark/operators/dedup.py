@@ -201,13 +201,52 @@ def minhash_lsh_dups(
     jaccard >= threshold). Prefilter is probabilistic (recall < 1 for pairs
     barely above threshold — standard LSH contract); precision is exact.
     ``max_df`` prunes stop-shingles before BOTH the signatures and the verify
-    join (one consistent shingle universe)."""
+    join (one consistent shingle universe).
+
+    Exact-duplicate texts are collapsed to one representative before the
+    shingle/LSH/verify core and expanded back to doc-level pairs at the
+    end — the standard exact-dedup-before-MinHash ordering: identical
+    texts have identical shingle sets, hence identical signatures, band
+    buckets, per-doc counts and Jaccard values, so the rep-level result is
+    lossless. Cross-group member pairs inherit the rep pair's jaccard;
+    within-group pairs are jaccard 1.0 exactly when the text keeps >= 1
+    (surviving) shingle — precisely the pairs the uncollapsed pipeline
+    emits (same-text docs share every band bucket, and prune-to-empty
+    docs never reach the candidate join). The stop-shingle cut keeps its
+    doc-level semantics: document frequency is the member-weighted count
+    over representatives. Without the collapse the candidate pair space
+    squares with dup-cluster size (tests pin bit-equality against the
+    uncollapsed reference)."""
+    # one rep row per distinct text (md5 grouping — the exact_dup_groups
+    # idiom): (text hash, rep = min doc_id, member count, the rep's text).
+    # Checkpointed: it feeds the shingle core AND the expansion joins, and
+    # the partial aggregate collapses duplicate texts map-side before the
+    # one exchange. Built as a pure aggregate over the scan — NOT a join
+    # back onto docs: localCheckpoint preserves the ORIGIN plan's size
+    # statistics, and a join in sh's lineage inflates every downstream
+    # estimate past the broadcast threshold (measured as the whole
+    # candidate/verify chain degrading from broadcast to sort-merge
+    # joins).
+    g = docs.groupBy(F.md5(F.col("text")).alias("_th")).agg(
+        F.min("doc_id").alias("_rep"),
+        F.count("*").alias("_sz"),
+        F.min_by("text", "doc_id").alias("text"),
+        F.collect_list("doc_id").alias("_ids"),
+    ).localCheckpoint()
+    # the member-id array is linear in dup-group size while the query's
+    # declared OUTPUT is quadratic in it (every within-group pair), so the
+    # array is never the binding constraint at any corpus size
+    reps = g.select(F.col("_rep").alias("doc_id"), "text")
     # the shingle table feeds three consumers (signatures + both sides of
     # the verify join); materialize it once — Spark has no common-subplan
     # reuse (at cluster scale this is a checkpoint stage table)
-    sh = shingles_df(docs, n)
+    sh = shingles_df(reps, n)
     if max_df is not None:
-        sh = prune_stop_shingles(sh, max_df)
+        w = g.select(F.col("_rep").alias("doc_id"), "_sz")
+        dfc = sh.join(w, "doc_id").groupBy("shingle").agg(
+            F.sum("_sz").alias("_df"))
+        keep = dfc.filter(F.col("_df") <= max_df).select("shingle")
+        sh = sh.join(keep, "shingle", "left_semi")
     sh = sh.localCheckpoint()
     sigs = minhash_signatures_from(sh, with_count=True)
     cand = lsh_candidate_pairs(sigs)
@@ -224,12 +263,37 @@ def minhash_lsh_dups(
     ca = cnt.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
     j = (F.col("inter") * F.lit(1.0)) / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
+    rep_pairs = (
         inter.join(ca, "doc_id_a").join(cb, "doc_id_b")
         .withColumn("jaccard", F.round(j, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
+    # expand rep-level pairs back to doc level (broadcast the small group
+    # table, explode member ids — no second corpus scan anywhere)
+    ga = g.select(F.col("_rep").alias("doc_id_a"), F.col("_ids").alias("_ia"))
+    gb = g.select(F.col("_rep").alias("doc_id_b"), F.col("_ids").alias("_ib"))
+    cross = (
+        rep_pairs.join(F.broadcast(ga), "doc_id_a")
+        .join(F.broadcast(gb), "doc_id_b")
+        .select(F.explode("_ia").alias("_da"), "_ib", "jaccard")
+        .select("_da", F.explode("_ib").alias("_db"), "jaccard")
+        .select(
+            F.least("_da", "_db").alias("doc_id_a"),
+            F.greatest("_da", "_db").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+    shingled = sh.select(F.col("doc_id").alias("_rep")).distinct()
+    within = (
+        g.filter(F.col("_sz") >= 2)
+        .join(F.broadcast(shingled), "_rep")
+        .select(F.explode("_ids").alias("doc_id_a"), "_ids")
+        .select("doc_id_a", F.explode("_ids").alias("doc_id_b"))
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 def simhash_df(docs: DataFrame, hasher: str = "xxhash64") -> DataFrame:
