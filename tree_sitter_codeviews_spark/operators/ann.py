@@ -473,6 +473,36 @@ def _pq_sample(q: DataFrame, col: str = "qv") -> np.ndarray:
     return np.array([r[col] for r in rows], dtype=np.int64)
 
 
+def _pq_d2_batch(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(B, 64) int64 vectors -> (B, M, K) exact squared subdistances.
+
+    ||x - c||^2 expanded as ||x||^2 + ||c||^2 - 2 x.c with the cross term
+    as one float64 BLAS GEMM per subspace: quantized coordinates are
+    |v| <= ~2^13 (round(1000x) of unit-ish floats), so every product and
+    every DSUB-term sum stays far below 2^53 — float64 is EXACT here, and
+    the cast back to int64 is lossless. (The former broadcast-subtract
+    formulation allocated B x K x DSUB temporaries — memory traffic, not
+    arithmetic, dominated its cost.)"""
+    b = x.shape[0]
+    sub = x.reshape(b, PQ_M, PQ_DSUB).astype(np.float64)     # (B, M, D)
+    c = cb.astype(np.float64)                                # (M, K, D)
+    cross = np.einsum("bmd,mkd->bmk", sub, c)                # BLAS per m
+    xn = (sub * sub).sum(-1)                                 # (B, M)
+    cn = (c * c).sum(-1)                                     # (M, K)
+    return (xn[:, :, None] + cn[None, :, :] - 2.0 * cross).astype(np.int64)
+
+
+def _pq_pack(d2: np.ndarray) -> np.ndarray:
+    """(B, M, K) subdistances -> (B,) packed 6-bit codes (argmin per
+    subspace; numpy argmin takes the first occurrence on ties — the
+    smallest code, matching the SQL oracle's arg_min tie rule)."""
+    codes = d2.argmin(axis=2)                                # (B, M)
+    packed = np.zeros(d2.shape[0], dtype=np.int64)
+    for m in range(PQ_M):
+        packed |= codes[:, m].astype(np.int64) << (6 * m)
+    return packed
+
+
 def pq_encode_udf(cb: np.ndarray):
 
     @F.pandas_udf(T.LongType())
@@ -480,13 +510,24 @@ def pq_encode_udf(cb: np.ndarray):
         if len(qv) == 0:
             return pd.Series([], dtype="int64")
         x = np.stack(qv.to_numpy()).astype(np.int64)  # (B, 64)
-        packed = np.zeros(len(x), dtype=np.int64)
-        for m in range(PQ_M):
-            sub = x[:, m * PQ_DSUB:(m + 1) * PQ_DSUB]          # (B, DSUB)
-            d2 = ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(-1)  # (B, K)
-            codes = d2.argmin(axis=1)  # first occurrence == smallest k on ties
-            packed |= codes << (6 * m)
-        return pd.Series(packed, dtype="int64")
+        return pd.Series(_pq_pack(_pq_d2_batch(x, cb)), dtype="int64")
+
+    return encode
+
+
+def pq_encode_res_udf(cb: np.ndarray):
+    """Residual encode fused into the Arrow kernel: codes of (qv - cv).
+    Replaces a zip_with(qv, cv, -) projection feeding ``pq_encode_udf`` —
+    higher-order-function lambdas are interpreted expression-eval, and the
+    subtraction is exact int64 either way."""
+
+    @F.pandas_udf(T.LongType())
+    def encode(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        x = (np.stack(qv.to_numpy()).astype(np.int64)
+             - np.stack(cv.to_numpy()).astype(np.int64))
+        return pd.Series(_pq_pack(_pq_d2_batch(x, cb)), dtype="int64")
 
     return encode
 
@@ -495,15 +536,27 @@ def pq_lut_udf(cb: np.ndarray):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def lut(qv: pd.Series) -> pd.Series:
-        out = []
-        for v in qv:
-            x = np.asarray(v, dtype=np.int64)
-            rows = []
-            for m in range(PQ_M):
-                sub = x[m * PQ_DSUB:(m + 1) * PQ_DSUB]
-                rows.append(((sub[None, :] - cb[m]) ** 2).sum(-1))  # (K,)
-            out.append(np.concatenate(rows))
-        return pd.Series(out)
+        if len(qv) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(qv.to_numpy()).astype(np.int64)
+        d2 = _pq_d2_batch(x, cb).reshape(len(x), PQ_M * cb.shape[1])
+        return pd.Series(list(d2))
+
+    return lut
+
+
+def pq_lut_res_udf(cb: np.ndarray):
+    """Per-cell residual LUT fused into the Arrow kernel: LUT of
+    (qv - cv) — see ``pq_encode_res_udf``."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def lut(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="object")
+        x = (np.stack(qv.to_numpy()).astype(np.int64)
+             - np.stack(cv.to_numpy()).astype(np.int64))
+        d2 = _pq_d2_batch(x, cb).reshape(len(x), PQ_M * cb.shape[1])
+        return pd.Series(list(d2))
 
     return lut
 
@@ -631,16 +684,19 @@ def ivfpq_residual_topk(
     cents = qn.filter(F.col("vec_id") % centroid_every == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
     )
-    res = (
-        q.join(assign, "vec_id")
-        .join(F.broadcast(cents), "cent_id")
-        .withColumn("rv", F.zip_with("qv", "cv", lambda a, b: a - b))
-        .select("vec_id", "cent_id", "rv")
-    )
+    assigned = q.join(assign, "vec_id").join(F.broadcast(cents), "cent_id")
+    # the codebook sample leg still evaluates the residual as a projection
+    # (only the ~PQ_K sampled rows reach it); the corpus/query encodes
+    # subtract INSIDE the Arrow kernels instead (pq_encode_res_udf /
+    # pq_lut_res_udf) — the zip_with lambda is interpreted expression-eval
+    # and was evaluated once per corpus row
+    res = assigned.withColumn(
+        "rv", F.zip_with("qv", "cv", lambda a, b: a - b)
+    ).select("vec_id", "cent_id", "rv")
     cb = _pq_codebook_from(_pq_sample(res, col="rv"))
-    corpus = res.select(
+    corpus = assigned.select(
         F.col("vec_id").alias("neighbor_id"), "cent_id",
-        pq_encode_udf(cb)(F.col("rv")).alias("pqcode"),
+        pq_encode_res_udf(cb)(F.col("qv"), F.col("cv")).alias("pqcode"),
     )
     qres = (
         qprobe.join(
@@ -648,8 +704,10 @@ def ivfpq_residual_topk(
             "query_id",
         )
         .join(F.broadcast(cents), "cent_id")
-        .withColumn("rq", F.zip_with("qa", "cv", lambda a, b: a - b))
-        .select("query_id", "cent_id", pq_lut_udf(cb)(F.col("rq")).alias("lut"))
+        .select(
+            "query_id", "cent_id",
+            pq_lut_res_udf(cb)(F.col("qa"), F.col("cv")).alias("lut"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
