@@ -287,12 +287,36 @@ def _ivf_route(
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
             dots = m @ cmat.T  # (B, C), exact int64
+            norms = pdf["norm"].to_numpy(dtype=np.int64)
+            # emit only a PROVEN superset of each vector's winners instead
+            # of all B x C pairs (the Spark-side round/max_by/window below
+            # is unchanged and does the exact selection): with c_t = the
+            # t-th largest unrounded cos (t = nprobe for query vectors,
+            # 1 otherwise), rows with cos < c_t - 2e-6 satisfy
+            # round(cos) < round(c_t) (round moves a value <= 5e-7), so
+            # >= t rows strictly beat them on the ROUNDED key and they
+            # cannot be selected even via ties; rounded ties of the t-th
+            # value itself all survive the cut. NaN cos (zero-norm
+            # vectors) sorts highest in Spark — treated as +inf, always
+            # kept. Same guard-band discipline as
+            # ``exact_cosine_gt_candidates``.
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dots / np.sqrt(
+                    norms.astype(np.float64)[:, None]
+                    * cnorms.astype(np.float64)[None, :]
+                )
+            cos = np.where(np.isnan(cos), np.inf, cos)
+            t = np.where(ids % every == 0, min(nprobe, n_c), 1)
+            cuts = sorted({n_c - int(v) for v in np.unique(t)})
+            part = np.partition(cos, cuts, axis=1)
+            kth = np.take_along_axis(part, (n_c - t)[:, None], axis=1)[:, 0]
+            row, col = np.nonzero(cos >= (kth - 2e-6)[:, None])
             yield pd.DataFrame({
-                "vec_id": np.repeat(ids, n_c),
-                "cent_id": np.tile(cent_ids, len(ids)),
-                "dotc": dots.ravel(),
-                "norm": np.repeat(pdf["norm"].to_numpy(dtype=np.int64), n_c),
-                "cnorm": np.tile(cnorms, len(ids)),
+                "vec_id": ids[row],
+                "cent_id": cent_ids[col],
+                "dotc": dots[row, col],
+                "norm": norms[row],
+                "cnorm": cnorms[col],
             })
 
     scored = (
