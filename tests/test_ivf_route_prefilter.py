@@ -84,9 +84,9 @@ def _reference_route(qn, every, centroid_every, nprobe):
 def _fixture(spark):
     rng = np.random.default_rng(7)
     rows = []
-    base = rng.normal(size=(8, 8))
+    base = rng.normal(size=(8, 64))
     for i in range(64):
-        v = base[i % 8] + rng.normal(scale=0.05, size=8)
+        v = base[i % 8] + rng.normal(scale=0.05, size=64)
         rows.append((i, [float(x) for x in v]))
     # exact-tie plants: vec 61 identical to centroid 40; vec 62 = 2x
     # centroid 44 (cos exactly 1 with it); centroids 40/44/48 all equal
