@@ -458,7 +458,10 @@ def graph_sdfg_interproc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _broken_edges call rebuilt the whole doc-graph plan — ~0.25 s of
     # py4j driver time per query build)
     nodes, chain = _doc_graph(spark, sf_dir)
-    edges = chain.filter(F.col("src") % 7 != 3)
+    # nodes feeds five leg subplans (defs/uses/calls/fndefs/rets) and
+    # chain two — materialize once each
+    nodes = nodes.localCheckpoint()
+    edges = chain.localCheckpoint().filter(F.col("src") % 7 != 3)
     dash = F.lit("-")
     cfg = edges.select(
         "src", "dst", F.lit("cfg").alias("edge_type"),
