@@ -205,26 +205,23 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     uniform (no corpus-wide hot key; a single pathological giant doc is
     bounded upstream by ingest length caps). Docs with <2 words have no
     2-gram and drop out, matching the oracle's empty generate_series."""
-    # 2-gram formation via posexplode + lead window — the shingles_df
-    # idiom: HOF transform/element_at lambdas are interpreted expression-
-    # eval (and ran inside the single-row-group scan task), while the
-    # token window stays in whole-stage codegen behind the doc_id
-    # exchange the per-doc aggregate needs anyway. Same gram multiset:
-    # docs with <2 words produce no row with a non-null lead.
-    from pyspark.sql import Window
-
-    from .dedup import tokens_df
-
-    toks = tokens_df(docs.select("doc_id", F.col(text_col).alias("text")))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    # 2-gram formation array-side with non-lambda native ops (the
+    # shingles_df idiom): arrays_zip of two staggered slices of the token
+    # array, explode, concat_ws — whole-stage codegen with NO per-doc
+    # window sort. Same gram multiset: slice length clamps to zero for
+    # docs with <2 words. (transform/element_at HOF lambdas would be
+    # interpreted expression-eval — still avoided.)
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    wtok = F.split(F.col(text_col), " ")
+    ln2 = F.greatest(F.size(wtok) - F.lit(1), F.lit(0))
+    z2 = F.arrays_zip(F.slice(wtok, 1, ln2).alias("t0"),
+                      F.slice(wtok, 2, ln2).alias("t1"))
     grams = (
-        toks.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("gram"),
-            F.lead("tok", 1).over(w).alias("_t"),
-        )
-        .filter(F.col("_t").isNotNull())
-        .drop("_t")
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(z2).alias("z"))
+        .select("doc_id", F.concat_ws(
+            " ", F.col("z").getField("t0"), F.col("z").getField("t1")
+        ).alias("gram"))
     )
     per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
     return per_gram.groupBy("doc_id").agg(
@@ -554,32 +551,27 @@ def dsir_weights(
     (uniform by hashing), and scoring is one broadcast join + one per-doc
     rollup. Nothing collects.
     """
-    # Bigram features via posexplode + lead window (the shingles_df /
-    # repetition_stats idiom — codegen, parallel behind the doc_id
-    # exchange) instead of an interpreted transform HOF fused into the
-    # single-task scan; identical bigram multiset (docs with <2 words
-    # yield no non-null lead). ``bg`` feeds THREE consumers (raw dist,
-    # target dist, scoring join) — materialize it once; recomputing the
+    # Bigram features array-side with non-lambda native ops (the
+    # shingles_df / repetition_stats idiom): arrays_zip of two staggered
+    # slices, explode, concat_ws — codegen, no per-doc window sort,
+    # identical bigram multiset (slice length clamps to zero for docs
+    # with <2 words). ``bg`` feeds THREE consumers (raw dist, target
+    # dist, scoring join) — materialize it once; recomputing the
     # explode+md5 pass per consumer profiled as 3 single-task ~600 ms
     # stages (at cluster scale this is a checkpoint stage table, the
     # minhash ``sh`` discipline).
-    from pyspark.sql import Window
-
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    toks = (
+    wtok = F.split(F.col("text"), " ")
+    lnb = F.greatest(F.size(wtok) - F.lit(1), F.lit(0))
+    zb = F.arrays_zip(F.slice(wtok, 1, lnb).alias("t0"),
+                      F.slice(wtok, 2, lnb).alias("t1"))
+    bg = (
         docs.select("doc_id", "lang", F.col(text_col).alias("text"))
         .repartition(n_part, "doc_id")
-        .select("doc_id", "lang",
-                F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"))
-    )
-    wn = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        toks.select(
-            "doc_id", "lang",
-            F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(wn)).alias("g"),
-            F.lead("tok", 1).over(wn).alias("_t"),
-        )
-        .filter(F.col("_t").isNotNull())
+        .select("doc_id", "lang", F.explode(zb).alias("z"))
+        .select("doc_id", "lang", F.concat_ws(
+            " ", F.col("z").getField("t0"), F.col("z").getField("t1")
+        ).alias("g"))
         .withColumn(
             "b",
             F.conv(F.substring(F.md5(F.col("g")), 1, 7), 16, 10).cast("long")

@@ -249,12 +249,13 @@ def bigram_lm(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     toks = docs.select(
         F.split(F.col(text_col), " ").alias("w")
     ).filter(F.size("w") >= 2)
+    # arrays_zip (native, codegen) instead of a zip_with struct lambda —
+    # HOF lambdas are interpreted expression-eval; same pair multiset
     pairs = toks.select(
         F.explode(
-            F.zip_with(
-                F.slice(F.col("w"), 1, F.size("w") - 1),
-                F.slice(F.col("w"), 2, F.size("w") - 1),
-                lambda a, b: F.struct(a.alias("token"), b.alias("next_token")),
+            F.arrays_zip(
+                F.slice(F.col("w"), 1, F.size("w") - 1).alias("token"),
+                F.slice(F.col("w"), 2, F.size("w") - 1).alias("next_token"),
             )
         ).alias("p")
     ).select("p.token", "p.next_token")
