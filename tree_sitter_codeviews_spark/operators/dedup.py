@@ -84,6 +84,27 @@ def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def shingle_multiset_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Positional shingle MULTISET per doc (one row per occurrence, no
+    distinct): the array-side build of ``shingles_df`` minus the final
+    dedup — consumers that count occurrences (dup-ngram fraction, the
+    count-min calibration) use this."""
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    w = F.split(F.col("text"), " ")
+    ln = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(w, i + 1, ln).alias(f"t{i}") for i in range(n)])
+    return (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(z).alias("z"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.col("z").getField(f"t{i}") for i in range(n)]
+            ).alias("shingle"),
+        )
+    )
+
+
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
     """(text_hash, n_dups, keep_doc_id): md5 grouping; keep = min doc_id.
     The canonical exact-dedup at any scale — one shuffle on the hash."""
@@ -607,17 +628,7 @@ def dup_ngram_stats(docs: DataFrame, n: int = 3) -> DataFrame:
 
     Integer ppm (``* 1e6 div``), no float division. Returns
     (doc_id, total_ngrams, dup_ngrams, dup_ppm)."""
-    from pyspark.sql import Window
-
-    toks = tokens_df(docs)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
-    pos_sh = (
-        toks.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"),
-                    F.lead("tok", n - 1).over(w).alias("_t"))
-        .filter(F.col("_t").isNotNull())
-        .drop("_t")
-    )
+    pos_sh = shingle_multiset_df(docs, n)
     per_doc = pos_sh.groupBy("doc_id", "shingle").agg(
         F.count("*").alias("cnt")
     )
@@ -974,16 +985,7 @@ def countmin_calibration(
     materialization), and d broadcast probes. At 100 TB the counter grid
     is what ships to the planner/monitor instead of a trillion-row
     frequency table; this op is the error bound that justifies it."""
-    from pyspark.sql import Window
-
-    toks = tokens_df(docs)
-    wn = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(wn) for j in range(1, n)]
-    pos_sh = (
-        toks.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"),
-                    F.lead("tok", n - 1).over(wn).alias("_t"))
-        .filter(F.col("_t").isNotNull())
-    )
+    pos_sh = shingle_multiset_df(docs, n)
     counts = pos_sh.groupBy("shingle").agg(F.count("*").alias("exact_cnt"))
 
     def _pos(sh_col: F.Column, i_col: F.Column) -> F.Column:
